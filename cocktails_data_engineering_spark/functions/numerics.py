@@ -1,0 +1,42 @@
+"""Numeric helpers for cross-engine-exact aggregation.
+
+Floating-point SUM is order-dependent; Spark's partial/final aggregation
+order differs from any other engine's, so double sums disagree in the last
+ulps and break value-hash comparisons (and, worse, can differ run to run
+at scale when partitioning changes).  The fix is standard warehouse
+practice and costs nothing at 100 TB scale: sum in DECIMAL (exact,
+associative, commutative — any aggregation tree yields the same result),
+then cast the final value to double.
+
+``dsum(col)`` here and ``CAST(SUM(CAST(x AS DECIMAL(18,s))) AS DOUBLE)``
+in an external engine are bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# 18 digits / scale 6 holds |x| < 1e12 at 1e-6 resolution; the decimal sum
+# itself widens to precision 28+ so group totals never overflow.
+DEC = "decimal(18,6)"
+
+
+def dsum(col: Column) -> Column:
+    """Order-independent SUM: exact decimal accumulation, double result."""
+    return F.sum(col.cast(DEC)).cast("double")
+
+
+def davg(col: Column) -> Column:
+    """Order-independent AVG = decimal sum / count, evaluated in double."""
+    return dsum(col) / F.count(col)
+
+
+def oracle_dsum(expr: str) -> str:
+    """DuckDB-side twin of :func:`dsum`."""
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
+
+
+def oracle_davg(expr: str) -> str:
+    """DuckDB-side twin of :func:`davg`."""
+    return f"{oracle_dsum(expr)} / COUNT({expr})"

@@ -1,0 +1,749 @@
+"""Relational query surface (SURVEY.md §2.3): scan/filter/project, joins,
+aggregation, rollup/cube, windows, sort/limit, set ops, JSON, time windows.
+
+The reference project has no aggregation/window/join engine at all (its only
+joins are the implicit visited-set anti-join, ``scripts/spiders/
+web_spider_oo.py:98-101``, and the degenerate literal cross product at
+``:316``); this module supplies the full relational surface its README-stated
+downstream analytics ("display the data in a small web app") would need,
+expressed declaratively so Catalyst plans pushdown/broadcast/AQE for free.
+
+Scale notes are attached per query; the common rules:
+
+- filters/projections are written directly against the scan so they push
+  into the parquet reader (check: ``PushedFilters`` in ``.explain``),
+- small dims join via explicit ``broadcast()`` (no shuffle of the fact),
+- double sums go through DECIMAL (see ``functions/numerics.py``) making
+  results independent of partitioning/aggregation order — required both for
+  the DuckDB oracle and for run-to-run stability on a 1000-executor cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.numerics import DEC, davg, dsum, oracle_davg, oracle_dsum
+from ..registry import register
+from ..sources.tables import load, load_dim
+
+
+# ---------------------------------------------------------------------------
+# Flagship: TPC-H Q1-shaped pricing summary (scan → filter → agg → sort)
+# ---------------------------------------------------------------------------
+Q1_ORACLE = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  {oracle_dsum('l_quantity')} AS sum_qty,
+  {oracle_dsum('l_extendedprice')} AS sum_base_price,
+  {oracle_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+  {oracle_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+  {oracle_davg('l_quantity')} AS avg_qty,
+  {oracle_davg('l_extendedprice')} AS avg_price,
+  {oracle_davg('l_discount')} AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@register("q1_pricing_summary", oracle=Q1_ORACLE)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary report: the flagship scan→filter→agg→sort query.
+
+    Scale: single shuffle (partial+final hash agg on 6 groups); the shipdate
+    filter and 7-column projection push into the parquet scan, so at 100 TB
+    only the needed columns are read.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg(F.col("l_quantity")).alias("avg_qty"),
+            davg(F.col("l_extendedprice")).alias("avg_price"),
+            davg(F.col("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scan + projection + filter pushdown
+# ---------------------------------------------------------------------------
+@register(
+    "scan_project",
+    oracle="""
+SELECT l_orderkey, l_partkey, l_extendedprice
+FROM lineitem
+WHERE l_quantity >= 48.0
+""",
+)
+def scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-pruned, predicate-pushed scan (reference's document-store read
+    analog, web_spider_oo.py:352-365 → parquet).
+
+    Scale: `.explain` must show ReadSchema with exactly 4 columns and
+    PushedFilters [GreaterThanOrEqual(l_quantity,48.0)] — no full-table read.
+    """
+    return (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 48.0)
+        .select("l_orderkey", "l_partkey", "l_extendedprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins: anti / semi / equi / broadcast
+# ---------------------------------------------------------------------------
+@register(
+    "anti_join_visited",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000.0
+)
+""",
+)
+def anti_join_visited(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join — the visited-set dedup of the crawl frontier
+    (web_spider_oo.py:98-101) generalized: customers with no large order.
+
+    Scale: anti join shuffles both sides on the key; with AQE a small
+    build side flips to broadcast automatically.
+    """
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000.0)
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "semi_join_active",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def semi_join_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join — complement of the visited-set anti join."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "equi_join_vertex_resolve",
+    oracle="""
+SELECT o.o_orderkey, c.c_name, n.n_name
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_totalprice > 400000.0
+""",
+)
+def equi_join_vertex_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join chain — the edge-table ⋈ vertex-table resolution the
+    reference's indexing/unique_links tables are built for
+    (web_spider_oo.py:316-326): resolve keys to names across tables.
+
+    Scale: nation broadcasts (25 rows at any SF); orders⋈customer is the
+    real shuffle and the totalprice filter pushes below it.
+    """
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000.0)
+    cust = load(spark, sf_dir, "customer")
+    nation = load_dim(spark, sf_dir, "nation")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .select("o_orderkey", "c_name", "n_name")
+    )
+
+
+@register(
+    "broadcast_join_dims",
+    oracle=f"""
+SELECT r.r_name, n.n_name,
+       {oracle_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+ORDER BY r.r_name, n.n_name
+""",
+)
+def broadcast_join_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join with explicit broadcast of every dimension: revenue by
+    region/nation (TPC-H Q5 shape).
+
+    Scale: with supplier/nation/region broadcast, the plan is a single
+    pass over lineitem with zero fact-table shuffles before the final
+    26-group aggregation — the canonical 100 TB star-join strategy.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    supp = F.broadcast(load(spark, sf_dir, "supplier"))
+    nation = load_dim(spark, sf_dir, "nation")
+    region = load_dim(spark, sf_dir, "region")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(dsum(revenue).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+        .orderBy("r_name", "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (frontier union / distinct of the crawl, O10/O13 + family)
+# ---------------------------------------------------------------------------
+@register(
+    "union_frontier",
+    oracle="""
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+UNION
+SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000.0
+""",
+)
+def union_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """union().distinct() — the per-level frontier merge
+    (web_spider_oo.py:121,135)."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    a = cust.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
+    b = (
+        orders.filter(F.col("o_totalprice") > 300000.0)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return a.union(b).distinct()
+
+
+@register(
+    "intersect_segments",
+    oracle="""
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT o_custkey AS c_custkey FROM orders
+""",
+)
+def intersect_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct semantics)."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+        .intersect(orders.select(F.col("o_custkey").alias("c_custkey")))
+    )
+
+
+@register(
+    "except_unvisited",
+    oracle="""
+SELECT c_custkey FROM customer
+EXCEPT
+SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+""",
+)
+def except_unvisited(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct semantics) — set-difference form of the frontier
+    minus visited computation."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return cust.select("c_custkey").subtract(orders.select(F.col("o_custkey").alias("c_custkey")))
+
+
+@register(
+    "distinct_links",
+    oracle="SELECT DISTINCT lang, source FROM documents",
+)
+def distinct_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT — the reference's pervasive set semantics
+    (web_spider_oo.py:87,300)."""
+    return load(spark, sf_dir, "documents").select("lang", "source").distinct()
+
+
+# ---------------------------------------------------------------------------
+# Aggregation breadth
+# ---------------------------------------------------------------------------
+@register(
+    "groupby_agg_depth",
+    oracle=f"""
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       {oracle_dsum('o_totalprice')} AS total_price
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def groupby_agg_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count / countDistinct per group — the crawl-stats query over the
+    reference's depth-stamped edge table (web_spider_oo.py:318)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "agg_multi",
+    oracle=f"""
+SELECT COUNT(*) AS n_rows,
+       {oracle_dsum('l_extendedprice')} AS sum_price,
+       {oracle_davg('l_extendedprice')} AS avg_price,
+       MIN(l_extendedprice) AS min_price,
+       MAX(l_extendedprice) AS max_price,
+       {oracle_dsum('l_quantity')} AS sum_qty,
+       strftime(MIN(l_shipdate), '%Y-%m-%d %H:%M:%S') AS min_shipdate_str,
+       strftime(MAX(l_shipdate), '%Y-%m-%d %H:%M:%S') AS max_shipdate_str
+FROM lineitem
+""",
+)
+def agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global multi-aggregate: sum/avg/min/max/count over measures and
+    timestamps (README's price-analytics intent)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum(F.col("l_extendedprice")).alias("sum_price"),
+        davg(F.col("l_extendedprice")).alias("avg_price"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        dsum(F.col("l_quantity")).alias("sum_qty"),
+        F.date_format(F.min("l_shipdate"), "yyyy-MM-dd HH:mm:ss").alias("min_shipdate_str"),
+        F.date_format(F.max("l_shipdate"), "yyyy-MM-dd HH:mm:ss").alias("max_shipdate_str"),
+    )
+
+
+@register(
+    "rollup_priority_status",
+    oracle=f"""
+SELECT o_orderpriority, o_orderstatus,
+       COUNT(*) AS n_orders,
+       {oracle_dsum('o_totalprice')} AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+""",
+)
+def rollup_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP — hierarchical subtotals."""
+    return (
+        load(spark, sf_dir, "orders")
+        .rollup("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum(F.col("o_totalprice")).alias("total_price"))
+    )
+
+
+@register(
+    "cube_flag_status",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_items,
+       {oracle_dsum('l_quantity')} AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE — all grouping-set combinations."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_items"), dsum(F.col("l_quantity")).alias("sum_qty"))
+    )
+
+
+@register(
+    "pivot_priority_by_status",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS status_f,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS status_o,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS status_p
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): order counts per priority by status.
+
+    Explicit value list keeps the plan a single pass (no values-discovery
+    job) — required at scale.
+    """
+    df = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .orderBy("o_orderpriority")
+    )
+    renamed = df.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("status_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("status_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("status_p"),
+    )
+    return renamed
+
+
+@register(
+    "unpivot_measures",
+    oracle="""
+SELECT l_orderkey, l_linenumber, measure, value
+FROM (
+  SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS value FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'discount' AS measure, l_discount AS value FROM lineitem
+) t
+WHERE l_orderkey % 100 = 0
+""",
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long) via stack()."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 100 == 0)
+        .selectExpr(
+            "l_orderkey",
+            "l_linenumber",
+            "stack(2, 'quantity', l_quantity, 'discount', l_discount) AS (measure, value)",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+@register(
+    "window_rank_topk",
+    oracle="""
+SELECT c_nationkey, c_custkey, c_acctbal, rk
+FROM (
+  SELECT c_nationkey, c_custkey, c_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rk
+  FROM customer
+) t
+WHERE rk <= 3
+""",
+)
+def window_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via row_number — the reference's enumerate-ids shape
+    (web_spider_oo.py:325) generalized to ranked top-k (README's
+    top-prices-per-venue intent).
+
+    Scale: one shuffle on the partition key; Spark pushes a per-partition
+    top-k (WindowGroupLimit) before the full sort at this filter shape.
+    """
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        load(spark, sf_dir, "customer")
+        .select("c_nationkey", "c_custkey", "c_acctbal", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 3)
+    )
+
+
+@register(
+    "window_running",
+    oracle=f"""
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+       LAG(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_orderkey,
+       LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_orderkey
+FROM orders
+""",
+)
+def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total + lag/lead over a deterministic total order.
+
+    The running SUM accumulates in DECIMAL so the result is identical under
+    any window evaluation strategy (running vs segment-tree).
+    """
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(DEC))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+        .alias("running_total"),
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+    )
+
+
+@register(
+    "enumerate_ids",
+    oracle="""
+SELECT ROW_NUMBER() OVER (ORDER BY link_name) - 1 AS link_id, link_name
+FROM (SELECT DISTINCT source AS link_name FROM documents) t
+""",
+)
+def enumerate_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense ID assignment — deterministic replacement for the reference's
+    ``enumerate(set)`` (web_spider_oo.py:321-326, quirk Q3 in SURVEY §2.1):
+    ``row_number() over (order by name) - 1``.
+
+    Scale: a single-partition window is fine only for modest vertex
+    dictionaries; for billions of vertices switch to
+    ``zipWithIndex``-style two-phase numbering (per-partition counts +
+    offset join) — documented here as the scale path.
+    """
+    w = Window.orderBy("link_name")
+    return (
+        load(spark, sf_dir, "documents")
+        .select(F.col("source").alias("link_name"))
+        .distinct()
+        .select((F.row_number().over(w) - 1).alias("link_id"), "link_name")
+    )
+
+
+@register(
+    "sort_limit_topk",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+LIMIT 100
+""",
+)
+def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: ORDER BY ... LIMIT k.
+
+    Scale: Spark plans TakeOrderedAndProject — per-partition heap top-k,
+    then a k-row merge on the driver; no global sort materializes.
+    """
+    return (
+        load(spark, sf_dir, "lineitem")
+        .orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .limit(100)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON + event-time windows (events table)
+# ---------------------------------------------------------------------------
+@register(
+    "json_extract_props",
+    oracle="""
+SELECT event_id, event_type,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+FROM events
+WHERE event_type = 'purchase'
+""",
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from the events props column."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("bigint").alias("prop_k"),
+    )
+
+
+@register(
+    "from_json_struct",
+    oracle=f"""
+SELECT event_type,
+       {oracle_dsum("CAST(json_extract_string(props, '$.k') AS BIGINT)")} AS sum_k,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-full JSON parse (from_json → struct) then aggregate."""
+    ev = load(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.from_json("props", "k BIGINT").alias("p"),
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(dsum(F.col("p.k")).alias("sum_k"), F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "date_trunc_hourly",
+    oracle=f"""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+       COUNT(*) AS n_events,
+       {oracle_dsum('value')} AS sum_value
+FROM events
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def date_trunc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly rollup via date_trunc (timestamps emitted as strings so the
+    comparison is timezone/precision-proof; fixture ts is ns, Spark µs)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour_start"
+            )
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value")).alias("sum_value"))
+        .orderBy("hour_start")
+    )
+
+
+@register(
+    "tumbling_window_agg",
+    oracle=f"""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {oracle_dsum('value')} AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window via F.window — the batch twin of the
+    Structured Streaming aggregation (streaming/events.py runs the same
+    plan with readStream + watermark)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value")).alias("sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "sessionize_lag_gaps",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_id
+""",
+)
+def sessionize_lag_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: lag(ts) gap > 30 min starts a new session,
+    cumulative sum numbers them (classic window idiom; the streaming twin
+    uses session_window in streaming/events.py)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.lag("ts").over(w).isNull() | (gap_us > 1800 * 1_000_000), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("new_session"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sessions = flagged.select("user_id", F.sum("new_session").over(w2).alias("session_id"))
+    return sessions.groupBy("user_id", "session_id").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+@register("session_window_agg")  # no oracle: session_window is Spark-native
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (5-minute gap) per user — rows-only check;
+    semantics verified against sessionize_lag_gaps in tests."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+@register("approx_distinct_users")  # approximate by design → rows-only check
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) per event type — the sketch
+    path for 100 TB cardinality estimation; exactness asserted within 5%
+    of countDistinct in tests."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "percentile_quantiles",
+    oracle="""
+SELECT l_returnflag,
+       CAST(median(l_extendedprice) AS DOUBLE) AS median_price,
+       MAX(l_extendedprice) AS max_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def percentile_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median per group (Spark `median` ≡ DuckDB `median` for even
+    counts: mean of the two middle values)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.median("l_extendedprice").alias("median_price"),
+            F.max("l_extendedprice").alias("max_price"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -1,0 +1,30 @@
+"""The assembled query surface.
+
+Importing this module imports every operator module, which registers its
+queries (and oracle SQL, when expressible) in the central registry.
+``__spark_entry__.py`` re-exports :func:`queries` / :func:`oracle_sql`.
+"""
+
+from __future__ import annotations
+
+import importlib
+
+from ..registry import all_oracles, all_queries, specs  # noqa: F401
+
+_OPERATOR_MODULES = (
+    "cocktails_data_engineering_spark.operators.relational",
+    "cocktails_data_engineering_spark.operators.link_pipeline",
+    "cocktails_data_engineering_spark.operators.graph",
+    "cocktails_data_engineering_spark.operators.text_analysis",
+    "cocktails_data_engineering_spark.operators.dedup",
+    "cocktails_data_engineering_spark.operators.similarity",
+    "cocktails_data_engineering_spark.operators.multimodal",
+    "cocktails_data_engineering_spark.streaming.events",
+)
+
+for _mod in _OPERATOR_MODULES:
+    try:
+        importlib.import_module(_mod)
+    except ModuleNotFoundError as exc:  # tolerate not-yet-built modules
+        if exc.name is not None and not exc.name.startswith("cocktails_data_engineering_spark"):
+            raise

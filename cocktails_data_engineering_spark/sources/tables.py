@@ -1,0 +1,60 @@
+"""Table catalog over the driver's synthetic parquet directory.
+
+Mirrors the reference's raw-document / indexing tables (its ``raw`` schema,
+``scripts/db_connections/spider_indexing_dataclass.py:10-21``) as a parquet
+catalog: one call loads a named table; small dimension tables are marked so
+joins against them pick broadcast strategy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimensions small enough to broadcast at ANY realistic scale factor
+# (region=5, nation=25 rows are fixed-size in TPC-H-style schemas).
+BROADCAST_DIMS = frozenset({"region", "nation"})
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; have {TABLES}")
+    # Parquet timestamps are UTC-normalized instants; every downstream
+    # rendering (date_format, date_trunc) must interpret them in UTC no
+    # matter what session the caller built — pin it here, not only in
+    # our own session factory.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) which Spark's reader rejects;
+        # read the raw int64 nanos (legacy conf, dynamic) and truncate to the
+        # engine's native microsecond timestamps. DIV keeps the arithmetic in
+        # int64 — a double division would lose precision above 2^53 ns.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_dim(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a small dimension with a broadcast hint applied."""
+    df = load(spark, sf_dir, name)
+    return F.broadcast(df) if name in BROADCAST_DIMS else df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for the SQL API."""
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)

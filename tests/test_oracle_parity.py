@@ -1,0 +1,86 @@
+"""Differential test: every oracle-expressible query must match DuckDB
+exactly — row count, column names, and values (order-insensitive).
+
+This replicates (strictly: exact value equality, stronger than a hash)
+the driver's CORRECTNESS check so mismatches surface before a round ends.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from cocktails_data_engineering_spark.plans.queries import all_oracles, all_queries
+
+
+def _norm(v):
+    """Normalize a cell for cross-engine comparison."""
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, int):
+        return float(v) if abs(v) < 2**52 else v
+    return v
+
+
+def _rows_to_multiset(rows, colnames):
+    from collections import Counter
+
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    return Counter(
+        tuple(_norm(r[i]) for i in order) for r in rows
+    ), [colnames[i] for i in order]
+
+
+def compare_query(spark, duck, sf_dir, name, fn, sql):
+    sdf = fn(spark, sf_dir)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_cols = sdf.columns
+
+    duck_res = duck.execute(sql)
+    duck_cols = [d[0] for d in duck_res.description]
+    duck_rows = duck_res.fetchall()
+
+    s_set, s_cols = _rows_to_multiset(spark_rows, spark_cols)
+    d_set, d_cols = _rows_to_multiset(duck_rows, duck_cols)
+
+    assert s_cols == d_cols, f"{name}: column names differ: spark={s_cols} duck={d_cols}"
+    assert sum(s_set.values()) == sum(d_set.values()), (
+        f"{name}: row count differs: spark={sum(s_set.values())} duck={sum(d_set.values())}"
+    )
+    if s_set != d_set:
+        only_spark = list((s_set - d_set).items())[:3]
+        only_duck = list((d_set - s_set).items())[:3]
+        raise AssertionError(
+            f"{name}: value mismatch; spark-only rows: {only_spark}; duck-only rows: {only_duck}"
+        )
+
+
+_QUERIES = all_queries()
+_ORACLES = all_oracles()
+
+
+@pytest.mark.parametrize("name", sorted(_ORACLES))
+def test_oracle_parity(spark, duck, sf_dir, name):
+    compare_query(spark, duck, sf_dir, name, _QUERIES[name], _ORACLES[name])
+
+
+def test_every_query_runs(spark, sf_dir):
+    """Rows-only queries (no oracle) must at least execute and be stable."""
+    for name, fn in _QUERIES.items():
+        if name in _ORACLES:
+            continue
+        df = fn(spark, sf_dir)
+        assert df.count() >= 0, name
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(e.oracle_sql()) <= set(e.queries())
