@@ -1,0 +1,136 @@
+"""Graph / iterative operators (SURVEY.md §2.1 O5, O11-O14).
+
+The reference's core algorithm is a level-synchronous BFS over a link graph
+(``scripts/spiders/web_spider_oo.py:91-138``): per depth, take the frontier,
+skip visited URLs, expand children, union them into the next frontier.  Here
+that becomes the canonical Spark iterative pattern — a driver-side loop of
+DataFrame ops with per-round ``localCheckpoint()`` to truncate lineage —
+applied to an edge list derived deterministically from the fixture tables so
+a DuckDB recursive CTE can oracle-check it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tables import load
+
+MAX_DEPTH = 3  # reference tests pen_depth ∈ {1,2,4} (spider_tester.py:16-63)
+
+
+def bfs_min_depth(edges: DataFrame, roots: DataFrame, max_depth: int) -> DataFrame:
+    """Level-synchronous BFS: minimum depth per reachable node.
+
+    ``edges``: (src, dst); ``roots``: (node).  Returns (node, depth).
+
+    Mirrors run_spider's loop (web_spider_oo.py:93-135): frontier =
+    previous level's children minus visited (left-anti join, the O5
+    visited-set dedup), expand via the edge list, union into visited.
+
+    Scale: each round is one shuffle-join frontier⋈edges (frontier is
+    usually small → AQE flips it to broadcast); ``localCheckpoint()``
+    truncates the plan so lineage doesn't grow with depth — without it,
+    round N replays rounds 0..N-1.  Guarded for max_depth=0 (reference
+    quirk Q5: pen_depth=0 crashes the reference; we return just roots).
+    """
+    frontier = roots.select(F.col("node")).distinct().localCheckpoint(eager=True)
+    visited = frontier.select("node", F.lit(0).alias("depth"))
+
+    for depth in range(1, max_depth + 1):
+        children = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        frontier = children.join(visited, "node", "left_anti").localCheckpoint(eager=True)
+        if not frontier.take(1):
+            break
+        visited = visited.union(frontier.select("node", F.lit(depth).alias("depth")))
+
+    return visited.localCheckpoint(eager=True)
+
+
+def derived_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic link graph on 30 nodes from the orders table:
+    edge (o_custkey % 30) -> (o_orderkey % 30)."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            (F.col("o_custkey") % 30).alias("src"),
+            (F.col("o_orderkey") % 30).alias("dst"),
+        )
+        .distinct()
+    )
+
+
+@register(
+    "bfs_crawl_sim",
+    oracle=f"""
+WITH RECURSIVE e AS (
+  SELECT DISTINCT o_custkey % 30 AS src, o_orderkey % 30 AS dst FROM orders
+),
+walk(node, depth) AS (
+  SELECT CAST(0 AS BIGINT) AS node, 0 AS depth
+  UNION ALL
+  SELECT e.dst AS node, walk.depth + 1 AS depth
+  FROM walk JOIN e ON e.src = walk.node
+  WHERE walk.depth < {MAX_DEPTH}
+)
+SELECT node, CAST(MIN(depth) AS INT) AS depth FROM walk GROUP BY node
+""",
+)
+def bfs_crawl_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end BFS crawl simulation (O14): min depth of every node
+    reachable within {MAX_DEPTH} hops of node 0 over the derived link
+    graph.  DuckDB oracle: recursive CTE + MIN(depth)."""
+    edges = derived_edges(spark, sf_dir)
+    roots = spark.range(1).select(F.lit(0).cast("long").alias("node"))
+    return bfs_min_depth(edges, roots, MAX_DEPTH).select(
+        "node", F.col("depth").cast("int").alias("depth")
+    )
+
+
+@register(
+    "graph_degree_stats",
+    oracle="""
+WITH e AS (SELECT DISTINCT o_custkey % 30 AS src, o_orderkey % 30 AS dst FROM orders)
+SELECT src AS node, COUNT(*) AS out_degree, COUNT(DISTINCT dst) AS n_children
+FROM e GROUP BY src ORDER BY node
+""",
+)
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree statistics over the edge table — the crawl-stats aggregation
+    the reference's ``indexing`` table exists to answer
+    (web_spider_oo.py:302-319)."""
+    e = derived_edges(spark, sf_dir)
+    return (
+        e.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("out_degree"), F.countDistinct("dst").alias("n_children"))
+        .orderBy("node")
+    )
+
+
+@register(
+    "connected_reachable_pairs",
+    oracle="""
+WITH e AS (SELECT DISTINCT o_custkey % 30 AS src, o_orderkey % 30 AS dst FROM orders)
+SELECT a.src, b.dst
+FROM e a JOIN e b ON a.dst = b.src
+WHERE a.src <> b.dst
+GROUP BY a.src, b.dst
+""",
+)
+def connected_reachable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop reachability (edge-list self-join) — the graph-closure shape
+    of the link-index tables."""
+    e = derived_edges(spark, sf_dir)
+    a = e.alias("a")
+    b = e.alias("b")
+    return (
+        a.join(b, F.col("a.dst") == F.col("b.src"))
+        .filter(F.col("a.src") != F.col("b.dst"))
+        .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+        .distinct()
+    )

@@ -1,0 +1,254 @@
+"""Text-analysis operators over the documents table (north-star extension:
+language ID, quality scoring, token counting, fingerprinting, word counts).
+
+The reference's only text processing is BeautifulSoup text extraction and
+file naming (``scripts/spiders/web_spider_oo.py:352-359,367-390``); this
+module supplies the text layer a 100 TB training-data pipeline needs.  All
+operators are pure Catalyst expressions (split/transform/filter/aggregate)
+— no Python UDFs in the hot path — so they stay in whole-stage codegen and
+scale linearly with a shuffle only where a groupBy genuinely needs one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numerics import dsum, oracle_dsum
+from ..registry import register
+from ..sources.tables import load
+
+# Tiny per-language marker lexicons for the heuristic language scorer.
+# The fixture text is an engine-vocabulary word soup, so English function
+# words are the only markers that actually occur — the other lists make
+# the argmax structure real (they legitimately score 0).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "es": ("el", "la", "de", "los", "que"),
+    "de": ("der", "die", "das", "und", "nicht"),
+    "fr": ("le", "la", "les", "des", "est"),
+}
+
+
+@register(
+    "tokenize_wordcount",
+    oracle="""
+SELECT word, COUNT(*) AS n
+FROM (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+) t
+WHERE word <> ''
+GROUP BY word
+ORDER BY n DESC, word
+""",
+)
+def tokenize_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus word count: split → explode → groupBy → count (the parse-to-
+    rows shape of the reference's link extraction, web_spider_oo.py:251-263).
+
+    Scale: explode multiplies rows ~60×, but partial aggregation combines
+    map-side before the shuffle, so shuffle volume is |vocab| per task.
+    """
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "word")
+    )
+
+
+@register(
+    "token_count_stats",
+    oracle="""
+SELECT doc_id,
+       len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tokens,
+       length(text) AS n_chars_actual,
+       len(list_filter(string_split(text, ' '), w -> length(w) >= 6)) AS n_long_tokens
+FROM documents
+""",
+)
+def token_count_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counting (whitespace tokenizer) — the token-count
+    operator of the training-data pipeline."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda w: w != "")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+        F.size(F.filter(F.split("text", " "), lambda w: F.length(w) >= 6)).alias(
+            "n_long_tokens"
+        ),
+    )
+
+
+@register(
+    "bpe_ish_token_count",
+    oracle="""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS n_bpe_tokens
+FROM documents
+""",
+)
+def bpe_ish_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: alpha runs / digit runs / single punctuation
+    as separate tokens (regex pre-tokenizer shape used by BPE vocabularies)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.expr("regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)")).alias(
+            "n_bpe_tokens"
+        ),
+    )
+
+
+@register(
+    "lang_id_heuristic",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang AS lang_actual,
+         len(list_filter(string_split(text, ' '), w -> w IN ('the','a','of','and','to'))) AS en_hits,
+         len(list_filter(string_split(text, ' '), w -> w IN ('el','la','de','los','que'))) AS es_hits,
+         len(list_filter(string_split(text, ' '), w -> w IN ('der','die','das','und','nicht'))) AS de_hits,
+         len(list_filter(string_split(text, ' '), w -> w IN ('le','la','les','des','est'))) AS fr_hits,
+         len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, lang_actual, en_hits, es_hits, de_hits, fr_hits,
+       CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
+            WHEN es_hits >= de_hits AND es_hits >= fr_hits AND es_hits > 0 THEN 'es'
+            WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de'
+            WHEN fr_hits > 0 THEN 'fr'
+            ELSE 'unknown' END AS lang_pred
+FROM scored
+""",
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: count marker-word hits per language, argmax
+    with a deterministic tie order (en > es > de > fr > unknown)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    hits = {
+        lang: F.size(F.filter(toks, lambda w, m=markers: w.isin(*m)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    df = docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_actual"),
+        hits["en"].alias("en_hits"),
+        hits["es"].alias("es_hits"),
+        hits["de"].alias("de_hits"),
+        hits["fr"].alias("fr_hits"),
+        F.size(F.filter(toks, lambda w: w != "")).alias("n_tokens"),
+    )
+    pred = (
+        F.when(
+            (F.col("en_hits") >= F.col("es_hits"))
+            & (F.col("en_hits") >= F.col("de_hits"))
+            & (F.col("en_hits") >= F.col("fr_hits"))
+            & (F.col("en_hits") > 0),
+            F.lit("en"),
+        )
+        .when(
+            (F.col("es_hits") >= F.col("de_hits"))
+            & (F.col("es_hits") >= F.col("fr_hits"))
+            & (F.col("es_hits") > 0),
+            F.lit("es"),
+        )
+        .when((F.col("de_hits") >= F.col("fr_hits")) & (F.col("de_hits") > 0), F.lit("de"))
+        .when(F.col("fr_hits") > 0, F.lit("fr"))
+        .otherwise(F.lit("unknown"))
+    )
+    return df.select(
+        "doc_id", "lang_actual", "en_hits", "es_hits", "de_hits", "fr_hits",
+        pred.alias("lang_pred"),
+    ).drop("n_tokens")
+
+
+@register(
+    "quality_score",
+    oracle="""
+WITH feats AS (
+  SELECT doc_id,
+         length(text) AS n_chars_actual,
+         len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tokens,
+         len(list_filter(string_split(text, ' '),
+                         w -> w IN ('the','a','of','and','to','in','is'))) AS n_stopwords
+  FROM documents
+)
+SELECT doc_id, n_tokens, n_stopwords,
+       CAST(n_chars_actual AS DOUBLE) / n_tokens AS avg_token_len,
+       CAST(n_stopwords AS DOUBLE) / n_tokens AS stopword_ratio,
+       CASE WHEN n_tokens >= 20
+             AND CAST(n_stopwords AS DOUBLE) / n_tokens BETWEEN 0.01 AND 0.5
+            THEN 1 ELSE 0 END AS quality_keep
+FROM feats
+""",
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: length, stopword ratio, average token
+    length, and a keep/drop gate — the C4-style quality filter shape."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda w: w != "")
+    stops = ("the", "a", "of", "and", "to", "in", "is")
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(F.split("text", " "), lambda w: w.isin(*stops)))
+    feats = docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_actual"),
+        n_tokens.alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+    )
+    ratio = F.col("n_stopwords").cast("double") / F.col("n_tokens")
+    return feats.select(
+        "doc_id",
+        "n_tokens",
+        "n_stopwords",
+        (F.col("n_chars_actual").cast("double") / F.col("n_tokens")).alias("avg_token_len"),
+        ratio.alias("stopword_ratio"),
+        F.when((F.col("n_tokens") >= 20) & ratio.between(0.01, 0.5), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("quality_keep"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+SELECT doc_id,
+       md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+FROM documents
+""",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized document fingerprint: lowercase, collapse whitespace,
+    trim, md5 — the content-hash dedup key (reference's commented-out
+    hash naming, web_spider_oo.py:386, grown into a document fingerprint)."""
+    docs = load(spark, sf_dir, "documents")
+    normalized = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    return docs.select("doc_id", F.md5(normalized).alias("fingerprint"))
+
+
+@register(
+    "wordcount_by_source",
+    oracle=f"""
+SELECT source, word, COUNT(*) AS n
+FROM (
+  SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+) t
+WHERE word IN ('join', 'filter', 'scan')
+GROUP BY source, word
+""",
+)
+def wordcount_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped word count restricted to a keyword set — the filtered
+    explode+agg composition."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select("source", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word").isin("join", "filter", "scan"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
