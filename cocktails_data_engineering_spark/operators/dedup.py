@@ -336,15 +336,15 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits_range = (
         hashed.sparkSession.range(SIMHASH_BITS).select(F.col("id").cast("int").alias("b"))
     )
+    # F.shiftright/F.shiftleft require a Python-int bit count; the SQL form
+    # accepts a column, so variable shifts go through F.expr.
     bits = (
         hashed.crossJoin(F.broadcast(bits_range))
         .groupBy("doc_id", "b")
         .agg(
             F.when(
                 F.sum(
-                    F.when(F.shiftright(F.col("hv"), F.col("b")).bitwiseAND(1) == 1, 1).otherwise(
-                        -1
-                    )
+                    F.when(F.expr("shiftright(hv, b)").bitwiseAND(1) == 1, 1).otherwise(-1)
                 )
                 >= 0,
                 1,
@@ -354,7 +354,7 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sigs = bits.groupBy("doc_id").agg(
-        F.sum(F.shiftleft(F.col("bit"), F.col("b"))).cast("bigint").alias("simhash")
+        F.sum(F.expr("shiftleft(bit, b)")).cast("bigint").alias("simhash")
     )
     n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
     band_range = sigs.sparkSession.range(n_bands).select(F.col("id").cast("int").alias("band"))
@@ -362,7 +362,7 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "simhash",
         "band",
-        F.shiftright(F.col("simhash"), F.col("band") * SIMHASH_BAND_BITS)
+        F.expr(f"shiftright(simhash, band * {SIMHASH_BAND_BITS})")
         .bitwiseAND(2**SIMHASH_BAND_BITS - 1)
         .alias("band_val"),
     )

@@ -664,8 +664,9 @@ WITH flagged AS (
 ),
 sessions AS (
   SELECT user_id,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id, COUNT(*) AS n_events

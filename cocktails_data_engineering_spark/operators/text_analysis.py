@@ -130,8 +130,15 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a deterministic tie order (en > es > de > fr > unknown)."""
     docs = load(spark, sf_dir, "documents")
     toks = F.split("text", " ")
+
+    # Closure factory keeps the higher-order-function lambda unary: a
+    # default arg (lambda w, m=markers: ...) would make PySpark treat it
+    # as a two-argument lambda and bind m to a lambda-variable Column.
+    def _marker_pred(markers: tuple[str, ...]):
+        return lambda w: w.isin(*markers)
+
     hits = {
-        lang: F.size(F.filter(toks, lambda w, m=markers: w.isin(*m)))
+        lang: F.size(F.filter(toks, _marker_pred(markers)))
         for lang, markers in LANG_MARKERS.items()
     }
     df = docs.select(
@@ -216,7 +223,7 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_fingerprint",
-    oracle="""
+    oracle=r"""
 SELECT doc_id,
        md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
 FROM documents
