@@ -1,0 +1,278 @@
+"""Crawl/fetch layer (SURVEY.md §2.1 O1-O4, O7) — the reference's source
+side, re-expressed for Spark.
+
+The reference fetches live pages single-threaded with politeness sleeps
+and a retry policy (``scripts/spiders/web_spider_oo.py:228-249`` fetch,
+``:140-156`` session construction, ``:158-170`` retry policy) and parses
+hrefs with BeautifulSoup (``:251-263``).  Here:
+
+- **Transport is injectable** — tests and the driver's correctness gate
+  never touch a network.  :class:`SyntheticSiteTransport` serves a
+  deterministic site derived from the ``documents`` table, so a DuckDB
+  oracle can replicate the whole crawl in SQL.
+- **Fetch runs inside ``mapInPandas``** — one transport (≈ one HTTP
+  session, O2) per partition, a retry loop with exponential backoff (O3)
+  around each GET, an optional politeness sleep (O1) between requests.
+  Input is repartitioned by domain first so per-domain rate limits hold
+  no matter how many executors run: all of a domain's URLs land in one
+  partition.  Fetch output is non-deterministic in the real world, so
+  callers must persist/checkpoint it before branching plans — the
+  pipeline below does exactly that via an eager ``localCheckpoint``.
+- **Link extraction is an Arrow-batched pandas UDF** (the one genuinely
+  UDF-shaped operator in the reference): ``Series.str.findall`` over the
+  html, returned as ``array<string>`` and exploded.  Cheap status/type
+  filters are applied *upstream* of the UDF by construction — Catalyst
+  does not reorder around Python UDFs (SURVEY §4).
+
+Scale: fetch cost is politeness-bound, not compute-bound — the win over
+the reference is per-domain parallelism (D domains crawl D× faster, each
+still polite).  Everything after the fetch is columnar Catalyst code.
+"""
+
+from __future__ import annotations
+
+import re
+import time
+from collections.abc import Callable, Iterator
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from ..functions import linkops
+from ..registry import register
+from ..sources.tables import load
+
+ROOT_SITE = "http://site.test/"
+SITE_MOD = 500  # links always target doc_id 0..499 — present at every sf
+
+HREF_RE = re.compile(r'href="([^"]*)"')
+
+
+# ---------------------------------------------------------------------------
+# The deterministic synthetic site (Spark exprs + Python + SQL twins)
+# ---------------------------------------------------------------------------
+def _status_for(doc_id: int, attempt: int) -> int:
+    """404 for %17 pages; 503 on the FIRST attempt for %19 pages (retry
+    succeeds); 200 otherwise."""
+    if doc_id % 17 == 0:
+        return 404
+    if doc_id % 19 == 0 and attempt == 0:
+        return 503
+    return 200
+
+
+def _html_for(doc_id: int) -> str:
+    a = (7 * doc_id + 1) % SITE_MOD
+    b = (7 * doc_id + 2) % SITE_MOD
+    return (
+        f'<html><body><a href="/p{a}">one</a> <a href="/p{b}">two</a> '
+        f'<a href="/careers/c{doc_id}">blocked</a> '
+        f'<a href="http://other.test/o{doc_id}">abs</a> '
+        "<a>nohref</a></body></html>"
+    )
+
+
+# SQL twins of the derivations above (used by every oracle below).
+_SQL_URL = f"'{ROOT_SITE}p' || CAST(doc_id AS VARCHAR)"
+_SQL_STATUS = "CASE WHEN doc_id % 17 = 0 THEN 404 ELSE 200 END"  # post-retry view
+_SQL_HTML = (
+    f"'<html><body><a href=\"/p' || CAST((7*doc_id+1) % {SITE_MOD} AS VARCHAR) || "
+    f"'\">one</a> <a href=\"/p' || CAST((7*doc_id+2) % {SITE_MOD} AS VARCHAR) || "
+    "'\">two</a> <a href=\"/careers/c' || CAST(doc_id AS VARCHAR) || "
+    "'\">blocked</a> <a href=\"http://other.test/o' || CAST(doc_id AS VARCHAR) || "
+    "'\">abs</a> <a>nohref</a></body></html>'"
+)
+
+
+def pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthetic site as a batch table: (doc_id, url, status_code, html).
+
+    Status here is the POST-retry view (503s resolved) — the fetch path
+    below derives the same table through the transport + retry machinery.
+    """
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.concat(F.lit(f"{ROOT_SITE}p"), F.col("doc_id").cast("string")).alias("url"),
+        F.when(F.col("doc_id") % 17 == 0, F.lit(404)).otherwise(F.lit(200)).alias(
+            "status_code"
+        ),
+    ).withColumn(
+        "html",
+        F.concat(
+            F.lit('<html><body><a href="/p'),
+            ((F.col("doc_id") * 7 + 1) % SITE_MOD).cast("string"),
+            F.lit('">one</a> <a href="/p'),
+            ((F.col("doc_id") * 7 + 2) % SITE_MOD).cast("string"),
+            F.lit('">two</a> <a href="/careers/c'),
+            F.col("doc_id").cast("string"),
+            F.lit('">blocked</a> <a href="http://other.test/o'),
+            F.col("doc_id").cast("string"),
+            F.lit('">abs</a> <a>nohref</a></body></html>'),
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# O1-O3: transport + per-partition fetch
+# ---------------------------------------------------------------------------
+@dataclass(frozen=True)
+class FetchResult:
+    status: int
+    body: str
+
+
+class SyntheticSiteTransport:
+    """Deterministic fake of the reference's requests.Session: serves the
+    synthetic site, returning 503 on the first attempt for %19 pages so
+    the retry policy is actually exercised."""
+
+    def __init__(self) -> None:
+        self._attempts: dict[str, int] = {}
+
+    def get(self, url: str) -> FetchResult:
+        doc_id = int(url.rsplit("/p", 1)[1])
+        attempt = self._attempts.get(url, 0)
+        self._attempts[url] = attempt + 1
+        status = _status_for(doc_id, attempt)
+        body = _html_for(doc_id) if status == 200 else ""
+        return FetchResult(status=status, body=body)
+
+
+RETRY_STATUSES = frozenset({500, 502, 503, 504})  # web_spider_oo.py:162
+MAX_RETRIES = 5  # web_spider_oo.py:159
+
+FETCH_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("status_code", T.IntegerType()),
+        T.StructField("html", T.StringType()),
+    ]
+)
+
+
+def fetch_pages(
+    urls: DataFrame,
+    transport_factory: Callable[[], object] = SyntheticSiteTransport,
+    delay_s: float = 0.0,
+    backoff_s: float = 0.0,
+) -> DataFrame:
+    """Fetch every ``url`` through an injectable transport (O1-O3).
+
+    One transport per partition (session construction, O2); retry with
+    exponential backoff on 5xx (O3); ``delay_s`` politeness sleep between
+    requests (O1 — the reference sleeps 40-90 s; tests pass 0).  Callers
+    should first ``repartition(n, domain)`` so per-domain politeness holds
+    cluster-wide; :func:`crawl_edges` does.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        transport = transport_factory()
+        first = True
+        for pdf in batches:
+            rows = []
+            for url in pdf["url"]:
+                if not first and delay_s:
+                    time.sleep(delay_s)
+                first = False
+                result = transport.get(url)
+                for attempt in range(1, MAX_RETRIES + 1):
+                    if result.status not in RETRY_STATUSES:
+                        break
+                    if backoff_s:
+                        time.sleep(backoff_s * (2 ** (attempt - 1)))
+                    result = transport.get(url)
+                rows.append((url, result.status, result.body))
+            yield pd.DataFrame(rows, columns=["url", "status_code", "html"])
+
+    return urls.mapInPandas(run, schema=FETCH_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# O7: link extraction as an Arrow-batched pandas UDF
+# ---------------------------------------------------------------------------
+@pandas_udf(T.ArrayType(T.StringType()))
+def extract_hrefs(html: pd.Series) -> pd.Series:
+    """All href values of ``<a>`` tags, in document order (the BeautifulSoup
+    collect at web_spider_oo.py:251-263, vectorized)."""
+    return html.fillna("").str.findall(HREF_RE)
+
+
+# ---------------------------------------------------------------------------
+# Registered queries
+# ---------------------------------------------------------------------------
+@register(
+    "filter_status",
+    oracle=f"""
+SELECT doc_id, {_SQL_URL} AS url, {_SQL_STATUS} AS status_code
+FROM documents
+WHERE {_SQL_STATUS} = 200
+""",
+)
+def filter_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Status gate (O4, web_spider_oo.py:104-105): keep 200s only."""
+    return pages(spark, sf_dir).filter(F.col("status_code") == 200).select(
+        "doc_id", "url", "status_code"
+    )
+
+
+@register(
+    "extract_links_udf",
+    oracle=f"""
+WITH site AS (SELECT doc_id, {_SQL_URL} AS url, {_SQL_HTML} AS html FROM documents)
+SELECT url, unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS href
+FROM site
+""",
+)
+def extract_links_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7 as a pandas UDF: html → array<string> of hrefs → explode.
+
+    The only Python in the crawl's transform layer; Arrow-batched, and
+    fed already-filtered rows (UDF fencing — cheap predicates run before
+    the UDF by construction).
+    """
+    site = pages(spark, sf_dir)
+    return site.select("url", F.explode(extract_hrefs(F.col("html"))).alias("href"))
+
+
+@register(
+    "crawl_pipeline_e2e",
+    oracle=f"""
+WITH ok AS (SELECT doc_id, {_SQL_URL} AS url FROM documents WHERE {_SQL_STATUS} = 200)
+SELECT DISTINCT url AS parent_link,
+       '{ROOT_SITE}p' || CAST((7*doc_id + k) % {SITE_MOD} AS VARCHAR) AS child_link
+FROM ok, (SELECT unnest([1, 2]) AS k)
+""",
+)
+def crawl_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end crawl of the synthetic site through the REAL machinery:
+    per-domain repartition → mapInPandas fetch (retry resolves the 503s)
+    → status filter → pandas-UDF extraction → blocklist filter →
+    relative-only rewrite → distinct edge list.
+
+    The oracle derives the surviving edges arithmetically: %17 pages 404
+    out; of each page's 5 hrefs the two ``/p…`` links survive (blocklist
+    kills ``/careers/…``, the absolute link is dropped by the
+    relative-only rule, the hrefless anchor never extracts).
+    """
+    urls = pages(spark, sf_dir).select("url")
+    # Per-domain politeness partitioning: one domain → one partition.
+    urls = urls.repartition(8, F.expr("parse_url(url, 'HOST')"))
+    fetched = fetch_pages(urls).localCheckpoint(eager=True)  # fence non-determinism
+    ok = fetched.filter(F.col("status_code") == 200)
+    links = ok.select(
+        F.col("url").alias("parent_link"),
+        F.explode(extract_hrefs(F.col("html"))).alias("href"),
+    )
+    return (
+        links.filter(linkops.keep_link(F.col("href")) & linkops.is_relative(F.col("href")))
+        .select(
+            "parent_link",
+            linkops.resolve_relative(F.col("href"), ROOT_SITE).alias("child_link"),
+        )
+        .distinct()
+    )
