@@ -1,0 +1,206 @@
+"""Multimodal columns (north-star extension; reference analog: the binary
+PDF sink at ``scripts/spiders/web_spider_oo.py:361-365``).
+
+Media in a 100 TB pipeline is an opaque ``binary`` column plus typed
+metadata — never a Python object.  This module supplies that layer over
+the fixture tables:
+
+- payload = the document text utf-8-encoded to ``binary`` (a stand-in
+  with exactly the schema/plan shape of real image/audio bytes),
+- modality = deterministic image/audio/video/text assignment,
+- fingerprinting and per-modality stats as pure Catalyst expressions,
+- **feature extraction through the real ``mapInPandas`` plumbing** —
+  Arrow batches in, Arrow batches out, schema declared up front.  The
+  "decode" is a deterministic fake (md5-derived dimensions) because the
+  actual imaging/audio libraries are not in this container; the real
+  decode slots into :func:`decode_media_real`, which raises
+  ``NotImplementedError`` by design.  Everything around it — batch
+  iteration, schema, partitioning — is the production path and is
+  oracle-checked (the fake features are SQL-expressible, so DuckDB
+  verifies the pandas-UDF round trip bit-for-bit).
+
+The on-disk side (``binaryFile`` reader, binary-store writer) lives in
+``sources/io.py``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..registry import register
+from ..sources.tables import load
+
+MODALITIES = ("image", "audio", "video", "text")
+
+_HEX = "0123456789abcdef"
+
+# DuckDB twin of the first-16-bits-of-md5 value used by the fake decode.
+_SQL_HV16 = (
+    "((strpos('{hx}', substr(md5(text), 1, 1)) - 1) * 4096 + "
+    "(strpos('{hx}', substr(md5(text), 2, 1)) - 1) * 256 + "
+    "(strpos('{hx}', substr(md5(text), 3, 1)) - 1) * 16 + "
+    "(strpos('{hx}', substr(md5(text), 4, 1)) - 1))"
+).format(hx=_HEX)
+
+_SQL_MODALITY = (
+    "CASE doc_id % 4 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
+    "WHEN 2 THEN 'video' ELSE 'text' END"
+)
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, modality, payload binary, n_bytes).
+
+    The schema a real media lake has: opaque bytes + typed metadata.
+    """
+    docs = load(spark, sf_dir, "documents")
+    modality = (
+        F.when(F.col("doc_id") % 4 == 0, "image")
+        .when(F.col("doc_id") % 4 == 1, "audio")
+        .when(F.col("doc_id") % 4 == 2, "video")
+        .otherwise("text")
+    )
+    payload = F.encode(F.col("text"), "utf-8")
+    return docs.select(
+        "doc_id",
+        modality.alias("modality"),
+        payload.alias("payload"),
+        F.octet_length(payload).alias("n_bytes"),
+    )
+
+
+@register(
+    "binary_fingerprint",
+    oracle=f"""
+SELECT doc_id, {_SQL_MODALITY} AS modality,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS payload_md5
+FROM documents
+""",
+)
+def binary_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bytes-column fingerprinting: md5 + size per object (the dedup /
+    integrity key of a binary store; reference's PDF bytes analog)."""
+    media = media_table(spark, sf_dir)
+    return media.select(
+        "doc_id", "modality", "n_bytes", F.md5(F.col("payload")).alias("payload_md5")
+    )
+
+
+@register(
+    "multimodal_type_stats",
+    oracle=f"""
+SELECT {_SQL_MODALITY} AS modality,
+       COUNT(*) AS n_objects,
+       SUM(octet_length(encode(text))) AS total_bytes,
+       MIN(octet_length(encode(text))) AS min_bytes,
+       MAX(octet_length(encode(text))) AS max_bytes
+FROM documents
+GROUP BY 1
+ORDER BY modality
+""",
+)
+def multimodal_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-modality storage profile — the first scan any media pipeline
+    runs (content-type routing stats; reference's O6 grown up)."""
+    media = media_table(spark, sf_dir)
+    return (
+        media.groupBy("modality")
+        .agg(
+            F.count(F.lit(1)).alias("n_objects"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.min("n_bytes").alias("min_bytes"),
+            F.max("n_bytes").alias("max_bytes"),
+        )
+        .orderBy("modality")
+    )
+
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("modality", T.StringType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("n_frames", T.IntegerType()),
+    ]
+)
+
+
+def decode_media_real(payload: bytes, modality: str) -> dict:
+    """The real decode hook (PIL / soundfile / pyav) — NOT implemented in
+    this container by design; swap in the actual decoder on a cluster
+    with the media libraries installed."""
+    raise NotImplementedError(
+        "real media decode requires imaging/audio libraries not present here; "
+        "use decode_media_fake (deterministic) or install decoders and plug in"
+    )
+
+
+def decode_media_fake(payload: bytes, modality: str) -> tuple:
+    """Deterministic fake decode: md5-derived dimensions.  Exists so the
+    full Arrow/mapInPandas plumbing runs and is oracle-checkable."""
+    hv = int(hashlib.md5(payload).hexdigest()[:4], 16)
+    n = len(payload)
+    width = 16 + hv % 1024 if modality in ("image", "video") else None
+    height = 16 + (hv * 7) % 1024 if modality in ("image", "video") else None
+    duration = round(n / 1000.0, 3) if modality in ("audio", "video") else None
+    frames = 1 + hv % 10 if modality == "video" else None
+    return width, height, duration, frames
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction: the production batch shape (decode
+    per Arrow batch, never per-row Python in the driver)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                decode_media_fake(p, m) for p, m in zip(pdf["payload"], pdf["modality"])
+            ]
+            w, h, d, fr = zip(*feats) if feats else ((), (), (), ())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": pdf["n_bytes"],
+                    "width": pd.array(w, dtype="Int32"),
+                    "height": pd.array(h, dtype="Int32"),
+                    "duration_s": pd.array(d, dtype="float64"),
+                    "n_frames": pd.array(fr, dtype="Int32"),
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+@register(
+    "media_feature_extract",
+    oracle=f"""
+WITH media AS (
+  SELECT doc_id, {_SQL_MODALITY} AS modality,
+         octet_length(encode(text)) AS n_bytes,
+         {_SQL_HV16} AS hv
+  FROM documents
+)
+SELECT doc_id, modality, n_bytes,
+       CASE WHEN modality IN ('image','video') THEN CAST(16 + hv % 1024 AS INT) END AS width,
+       CASE WHEN modality IN ('image','video') THEN CAST(16 + (hv * 7) % 1024 AS INT) END AS height,
+       CASE WHEN modality IN ('audio','video') THEN ROUND(n_bytes / 1000.0, 3) END AS duration_s,
+       CASE WHEN modality = 'video' THEN CAST(1 + hv % 10 AS INT) END AS n_frames
+FROM media
+""",
+)
+def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over the media table through mapInPandas — the
+    decode stage's plumbing (schema, batching, null typing) verified
+    end-to-end against the SQL twin of the deterministic fake decode."""
+    return extract_features(media_table(spark, sf_dir))
