@@ -1,0 +1,174 @@
+"""Structured Streaming twin of the events analytics (SURVEY.md §2.2).
+
+The reference's crawl is conceptually an incremental pipeline — per-parent
+micro-batch appends "as the website is scraped"
+(``scripts/spiders/web_spider_oo.py:305-308``).  Structured Streaming is
+that pattern done right: ``readStream`` over the events table, event-time
+windows with a watermark for late data, and either a sink write or a
+``foreachBatch`` hook per micro-batch.
+
+Every streaming query here is registered as a *batch-callable*: it runs
+the stream to completion with ``trigger(availableNow=True)`` into a
+memory sink and returns the final result as a static DataFrame — so the
+driver's DuckDB oracle checks the STREAMING path end-to-end, not a batch
+stand-in.  ``tests/test_streaming.py`` additionally asserts the
+``foreachBatch`` route produces the identical result to the batch plan.
+
+Scale: a watermark bounds state (windows older than watermark - delay are
+evicted); ``availableNow`` processes a backlog in bounded batches.  The
+stateful per-user counter uses ``applyInPandasWithState`` — the custom
+stateful-operator API — with state keyed and partitioned by user.
+"""
+
+from __future__ import annotations
+
+import itertools
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..functions.numerics import dsum, oracle_dsum
+from ..registry import register
+from ..sources.tables import load
+
+_COUNTER = itertools.count()
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet with the same ns→µs timestamp
+    normalization as the batch catalog (sources/tables.load)."""
+    # Batch load first: sets spark.sql.legacy.parquet.nanosAsLong and gives
+    # us the raw schema (ts as int64 nanos) the stream reader needs.
+    load(spark, sf_dir, "events")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # File stream sources need a directory basePath; select the one table
+    # file with a glob filter.
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def _run_to_memory(result: DataFrame, output_mode: str) -> DataFrame:
+    """Execute a streaming plan to completion into a memory sink; return
+    the sink table as a static DataFrame."""
+    name = f"stream_result_{next(_COUNTER)}"
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return result.sparkSession.table(name)
+
+
+def tumbling_plan(events: DataFrame) -> DataFrame:
+    """The shared tumbling-window aggregation (must stay in lockstep with
+    operators/relational.tumbling_window_agg and its oracle)."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value")).alias("sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "stream_tumbling_window_agg",
+    oracle=f"""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {oracle_dsum('value')} AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def stream_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling watermarked window via readStream → memory sink, run to
+    completion with availableNow — the streaming path itself is what the
+    oracle checks (same SQL as the batch twin tumbling_window_agg)."""
+    events = read_events_stream(spark, sf_dir)
+    return _run_to_memory(tumbling_plan(events), "complete")
+
+
+STATE_SCHEMA = T.StructType([T.StructField("n", T.LongType())])
+COUNT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+
+def _count_events(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Custom stateful operator: running event count per user.  State is
+    one int64; each micro-batch adds its rows and emits the new total."""
+    (user_id,) = key
+    n = state.get[0] if state.exists else 0
+    for pdf in batches:
+        n += len(pdf)
+    state.update((n,))
+    yield pd.DataFrame({"user_id": [user_id], "n_events": [n]})
+
+
+@register(
+    "stream_user_event_counts",
+    oracle="""
+SELECT user_id, COUNT(*) AS n_events
+FROM events
+GROUP BY user_id
+""",
+)
+def stream_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running counts through applyInPandasWithState (the custom
+    stateful-operator API): state keyed by user_id, updated per
+    micro-batch, emitted in update mode.  Run to completion, the final
+    totals must equal the batch GROUP BY — which is the oracle."""
+    events = read_events_stream(spark, sf_dir)
+    counted = events.groupBy("user_id").applyInPandasWithState(
+        _count_events,
+        outputStructType=COUNT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    result = _run_to_memory(counted, "update")
+    # update-mode memory sink holds one row per (user, batch) update; the
+    # LAST update per user is the final total.  availableNow on a single
+    # parquet file yields one batch, but aggregate defensively anyway.
+    return result.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+
+
+def run_foreach_batch(plan: DataFrame, output_mode: str = "complete") -> list[pd.DataFrame]:
+    """Drive a streaming plan through foreachBatch (the reference's
+    per-parent incremental-append hook, web_spider_oo.py:305-308) and
+    collect every micro-batch's rows for inspection."""
+    collected: list[pd.DataFrame] = []
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        collected.append(batch_df.toPandas())
+
+    q = (
+        plan.writeStream.foreachBatch(sink)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return collected

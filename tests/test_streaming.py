@@ -1,0 +1,39 @@
+"""Streaming semantics: the foreachBatch route and the memory-sink route
+must both reproduce the batch plan's result exactly (the VERDICT's
+docstring-claims-made-true test)."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from cocktails_data_engineering_spark.operators.relational import tumbling_window_agg
+from cocktails_data_engineering_spark.streaming.events import (
+    read_events_stream,
+    run_foreach_batch,
+    stream_user_event_counts,
+    tumbling_plan,
+)
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    cols = sorted(df.columns)
+    return df[cols].sort_values(cols).reset_index(drop=True)
+
+
+def test_foreach_batch_matches_batch_plan(spark, sf_dir):
+    batch = _canon(tumbling_window_agg(spark, sf_dir).toPandas())
+    batches = run_foreach_batch(tumbling_plan(read_events_stream(spark, sf_dir)))
+    assert batches, "no micro-batches produced"
+    final = _canon(batches[-1])  # complete mode: last batch is the full result
+    pd.testing.assert_frame_equal(batch, final)
+
+
+def test_stateful_counts_match_groupby(spark, sf_dir):
+    from cocktails_data_engineering_spark.sources.tables import load
+
+    stream_counts = _canon(stream_user_event_counts(spark, sf_dir).toPandas())
+    batch_counts = _canon(
+        load(spark, sf_dir, "events").groupBy("user_id").count()
+        .withColumnRenamed("count", "n_events").toPandas()
+    )
+    pd.testing.assert_frame_equal(stream_counts, batch_counts)
