@@ -1,0 +1,77 @@
+"""Sink layer: text-document writer (reference file format), binary store
+round trip, binaryFile reader, and the SinkConfig JDBC option rendering."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from cocktails_data_engineering_spark.sources.io import (
+    SinkConfig,
+    read_binary_store,
+    write_binary_store,
+    write_text_documents,
+)
+
+
+def test_sink_config_jdbc_options():
+    cfg = SinkConfig(host="db.internal", port=5433, database="webdata", password="s3cret")
+    assert cfg.jdbc_url == "jdbc:postgresql://db.internal:5433/webdata"
+    assert cfg.qualified(cfg.indexing_table) == "raw.indexing"
+    opts = cfg.options()
+    assert opts["batchsize"] == "1000"
+    assert "s3cret" not in repr(cfg)  # password never in logs
+
+
+def test_text_document_sink_format(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [
+            ("http://a.test/", "http://a.test/page1", "hello world"),
+            ("http://b.test/", "http://b.test/page2", "two\nlines"),
+        ],
+        "root_site string, web_url string, text string",
+    )
+    out = str(tmp_path / "textdocs")
+    write_text_documents(docs, out)
+
+    files = glob.glob(os.path.join(out, "site=*", "*.txt"))
+    assert files, os.listdir(out)
+    contents = []
+    for f in files:
+        with open(f) as fh:
+            contents.append(fh.read())
+    blob = "\n".join(contents)
+    # reference format: root_site: / web_url: header lines then body
+    assert "root_site:http://a.test/" in blob
+    assert "web_url:http://a.test/page1" in blob
+    assert "hello world" in blob
+
+
+def test_binary_store_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"%PDF-1.4 fake")), (2, bytearray(b"\x89PNG fake"))],
+        "doc_id long, payload binary",
+    )
+    out = str(tmp_path / "binstore")
+    write_binary_store(df, out)
+    back = spark.read.parquet(out)
+    rows = {r.doc_id: bytes(r.payload) for r in back.collect()}
+    assert rows == {1: b"%PDF-1.4 fake", 2: b"\x89PNG fake"}
+
+
+def test_binaryfile_source(spark, tmp_path):
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    (raw / "a.pdf").write_bytes(b"%PDF-1.4 contents-a")
+    (raw / "b.pdf").write_bytes(b"%PDF-1.4 contents-bb")
+    (raw / "ignore.txt").write_bytes(b"not a pdf")
+
+    df = read_binary_store(spark, str(raw), glob="*.pdf")
+    rows = sorted(
+        (os.path.basename(r.path), r.length, bytes(r.content)) for r in df.collect()
+    )
+    assert [r[0] for r in rows] == ["a.pdf", "b.pdf"]
+    assert rows[0][2] == b"%PDF-1.4 contents-a"
+    assert rows[1][1] == len(b"%PDF-1.4 contents-bb")
