@@ -676,8 +676,8 @@ GROUP BY user_id, session_id
 )
 def sessionize_lag_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization: lag(ts) gap > 30 min starts a new session,
-    cumulative sum numbers them (classic window idiom; the streaming twin
-    uses session_window in streaming/events.py)."""
+    cumulative sum numbers them (classic window idiom; session_window_agg
+    below is the engine-native formulation of the same idea)."""
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
@@ -699,7 +699,8 @@ def sessionize_lag_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("session_window_agg")  # no oracle: session_window is Spark-native
 def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session windows (5-minute gap) per user — rows-only check;
-    semantics verified against sessionize_lag_gaps in tests."""
+    tests/test_session_windows.py asserts its session count equals a
+    lag-gap sessionization computed at the same 5-minute gap."""
     ev = load(spark, sf_dir, "events")
     return (
         ev.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")

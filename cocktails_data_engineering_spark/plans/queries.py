@@ -18,13 +18,11 @@ _OPERATOR_MODULES = (
     "cocktails_data_engineering_spark.operators.text_analysis",
     "cocktails_data_engineering_spark.operators.dedup",
     "cocktails_data_engineering_spark.operators.similarity",
+    "cocktails_data_engineering_spark.operators.crawl",
     "cocktails_data_engineering_spark.operators.multimodal",
     "cocktails_data_engineering_spark.streaming.events",
+    "cocktails_data_engineering_spark.sources.io",
 )
 
 for _mod in _OPERATOR_MODULES:
-    try:
-        importlib.import_module(_mod)
-    except ModuleNotFoundError as exc:  # tolerate not-yet-built modules
-        if exc.name is not None and not exc.name.startswith("cocktails_data_engineering_spark"):
-            raise
+    importlib.import_module(_mod)
