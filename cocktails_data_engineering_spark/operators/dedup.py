@@ -4,16 +4,18 @@ Four families, each the standard shape used in large-scale training-data
 pipelines:
 
 - **exact**: hash-groupBy on the full text (canonical-representative = min id)
-- **MinHash + LSH**: word-3-shingles → 8 minhashes → 4 bands of 2 → candidate
-  pairs share a band bucket.  The minhash is the *lexicographic minimum of
-  md5(seed || shingle)* — md5 is available and bit-identical in Spark and
-  DuckDB, which makes the whole pipeline oracle-checkable (no engine-specific
-  hash functions).
+- **MinHash + LSH**: word-3-shingles → 128 minhash permutations → 32 bands
+  of 4 → candidate pairs share a band bucket.  The base hash is the first
+  32 bits of md5(shingle) (bit-identical in Spark and DuckDB, so the whole
+  pipeline is oracle-checkable); the 128 permutations are linear maps over
+  it, computed as codegen'd arithmetic — ONE string hash per shingle.
 - **SimHash**: 16-bit signature from per-token md5 bits, banded 4×4 for the
   pigeonhole prefilter (hamming ≤ 3 ⇒ at least one band equal), then exact
   hamming verification with xor + bit_count.
-- **n-gram Jaccard**: exact shingle-set Jaccard via a shingle-bucket
-  self-join — the verification stage LSH candidates feed at scale.
+- **n-gram Jaccard**: exact shingle-set Jaccard computed ONLY for LSH
+  candidate pairs — the verification stage of the dedup pipeline.
+- **finalization**: connected components over candidate pairs (min-label
+  propagation) → cluster ids → the deduplicated canonical corpus.
 
 Scale notes: every stage is explode → shuffle-on-key → aggregate; the only
 quadratic step is *within a bucket* (band bucket or shingle bucket), which
@@ -24,14 +26,27 @@ the self-join; AQE's skew-join handles moderate skew automatically.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..sources.tables import load
+from ..sources.tables import load, load_spread
 
-N_HASHES = 8
-BAND_SIZE = 2  # 4 bands of 2 minhashes
+# 128 minhash permutations in 32 bands of 4: candidate threshold
+# (1/32)^(1/4) ≈ 0.42 — catches every planted ≥0.8-Jaccard duplicate with
+# ~1-5e-8 miss probability while rejecting the <0.1 noise pairs.
+N_HASHES = 128
+N_BANDS = 32
+BAND_ROWS = N_HASHES // N_BANDS
+MERSENNE = 2_147_483_647  # 2^31 - 1
+
+
+def _ha(i: int) -> int:
+    return 2 * i + 1
+
+
+def _hb(i: int) -> int:
+    return 31 * i + 7
 
 
 # ---------------------------------------------------------------------------
@@ -42,8 +57,15 @@ def _tokens_col():
 
 
 def _shingles(df: DataFrame) -> DataFrame:
-    """(doc_id, shingle) — distinct word-3-shingles per document."""
-    toks = _tokens_col()
+    """(doc_id, shingle) — distinct word-3-shingles per document.
+
+    The token array is materialized as a projection FIRST: Catalyst does
+    not common-subexpression-eliminate across lambda bodies, so building
+    shingles directly over ``split(text)`` would re-split the text for
+    every ``element_at`` — ~3× shingle-count splits per document.
+    """
+    toked = df.select("doc_id", _tokens_col().alias("toks")).filter(F.size("toks") >= 3)
+    toks = F.col("toks")
     shingles = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.size(toks) - 3),
@@ -55,10 +77,7 @@ def _shingles(df: DataFrame) -> DataFrame:
             ),
         )
     )
-    return (
-        df.filter(F.size(toks) >= 3)
-        .select("doc_id", F.explode(shingles).alias("shingle"))
-    )
+    return toked.select("doc_id", F.explode(shingles).alias("shingle"))
 
 
 # DuckDB twin of _shingles (1-indexed lists; range(a,b) is end-exclusive).
@@ -130,117 +149,143 @@ def exact_dedup_by_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # MinHash + LSH banding
 # ---------------------------------------------------------------------------
-@register(
-    "minhash_near_dedup",
-    oracle=f"""
-WITH shingled AS ({_ORACLE_SHINGLES}),
-hashed AS (
-  SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS h
-  FROM shingled, (SELECT unnest(range(0, {N_HASHES})) AS seed)
-  GROUP BY doc_id, seed
-),
-bands AS (
-  SELECT doc_id, seed // {BAND_SIZE} AS band_id,
-         MAX(CASE WHEN seed % {BAND_SIZE} = 0 THEN h END) ||
-         MAX(CASE WHEN seed % {BAND_SIZE} = 1 THEN h END) AS band_key
-  FROM hashed
-  GROUP BY doc_id, seed // {BAND_SIZE}
+# Base hash: first 32 bits of md5(shingle) as int64 — ONE md5 per shingle;
+# the 128 permutations are linear maps (a·x + b) mod 2^31-1 computed as
+# codegen'd arithmetic, not 128 separate string hashes.
+def _x_col() -> Column:
+    return F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("bigint")
+
+
+# DuckDB twin of _x_col (no conv(): alphabet-index each of 8 hex chars).
+_HEX_ALPHABET = "0123456789abcdef"
+_ORACLE_X = " + ".join(
+    f"(strpos('{_HEX_ALPHABET}', substr(md5(shingle), {c + 1}, 1)) - 1) * {16 ** (7 - c)}"
+    for c in range(8)
 )
+
+_ORACLE_MINS = ", ".join(
+    f"MIN(({_ha(i)} * x + {_hb(i)}) % {MERSENNE}) AS h{i}" for i in range(N_HASHES)
+)
+
+_ORACLE_BANDS = "\nUNION ALL\n".join(
+    "SELECT doc_id, {b} AS band_id, concat_ws('|', {cols}) AS band_key FROM mins".format(
+        b=b, cols=", ".join(f"h{b * BAND_ROWS + r}" for r in range(BAND_ROWS))
+    )
+    for b in range(N_BANDS)
+)
+
+# Candidate-pair CTE chain reused by minhash_near_dedup, the Jaccard
+# verifier, and the cluster finalizer.
+_ORACLE_CANDIDATES = f"""
+shingled AS ({_ORACLE_SHINGLES}),
+hashed AS (SELECT doc_id, {_ORACLE_X} AS x FROM shingled),
+mins AS (SELECT doc_id, {_ORACLE_MINS} FROM hashed GROUP BY doc_id),
+bands AS ({_ORACLE_BANDS}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+"""
+
+
+_SPARK_MINS = ", ".join(
+    f"MIN(({_ha(i)} * x + {_hb(i)}) % {MERSENNE}L) AS h{i}" for i in range(N_HASHES)
+)
+_SPARK_STACK = "stack({n}, {args})".format(
+    n=N_BANDS,
+    args=", ".join(
+        "{b}, concat_ws('|', {cols})".format(
+            b=b, cols=", ".join(f"h{b * BAND_ROWS + r}" for r in range(BAND_ROWS))
+        )
+        for b in range(N_BANDS)
+    ),
+)
+
+
+def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b) near-duplicate candidate pairs via 128-perm MinHash
+    banded 32×4.
+
+    Plan: one md5 + 128 arithmetic hashes per shingle row → 128-way
+    column-wise MIN aggregate (map-side combine; shuffle = one 128-int
+    row per doc) → stack to 32 (doc, band_id, band_key) rows → self-join
+    on the band bucket.  No all-pairs step; cost is Σ bucket².  The wide
+    aggregate is authored as ONE SQL string (the DataFrame form costs
+    ~650 py4j round trips in plan construction alone).
+    """
+    shingled = _shingles(load_spread(spark, sf_dir, "documents"))
+    hashed = shingled.select("doc_id", _x_col().alias("x"))
+    view = f"minhash_hashed_{abs(hash(sf_dir)) % 10**8}"
+    hashed.createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+WITH mins AS (SELECT doc_id, {_SPARK_MINS} FROM {view} GROUP BY doc_id),
+bands AS (SELECT doc_id, {_SPARK_STACK} AS (band_id, band_key) FROM mins)
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b
   ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-""",
-)
+"""
+    )
+
+
+@register("minhash_near_dedup", oracle=f"WITH {_ORACLE_CANDIDATES} SELECT * FROM cands")
 def minhash_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-duplicate candidates: 8 md5-minhashes over word-3-
-    shingles, banded 4×2; pairs sharing any band bucket are candidates.
-
-    Scale: no all-pairs step anywhere — the self-join is on (band_id,
-    band_key), so cost is Σ bucket². Signature build is explode + 8-way
-    seed fan-out + min-aggregate: shuffle volume 8 rows/doc.
-    """
-    docs = load(spark, sf_dir, "documents")
-    shingled = _shingles(docs)
-    seeds = spark.range(N_HASHES).select(F.col("id").cast("int").alias("seed"))
-    hashed = (
-        shingled.crossJoin(F.broadcast(seeds))
-        .select(
-            "doc_id",
-            "seed",
-            F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("shingle"))).alias(
-                "h"
-            ),
-        )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("h"))
-    )
-    bands = (
-        hashed.withColumn("band_id", (F.col("seed") / BAND_SIZE).cast("int"))
-        .groupBy("doc_id", "band_id")
-        .agg(
-            F.concat(
-                F.max(F.when(F.col("seed") % BAND_SIZE == 0, F.col("h"))),
-                F.max(F.when(F.col("seed") % BAND_SIZE == 1, F.col("h"))),
-            ).alias("band_key")
-        )
-    )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    """MinHash-LSH near-duplicate candidates (see minhash_candidates —
+    this query is its registered face)."""
+    return minhash_candidates(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
-# n-gram Jaccard (exact verification)
+# n-gram Jaccard (exact verification, LSH-candidate-restricted)
 # ---------------------------------------------------------------------------
-JACCARD_MIN = 0.03
+JACCARD_MIN = 0.5
 
 
 @register(
     "ngram_jaccard_dedup",
     oracle=f"""
-WITH shingled AS ({_ORACLE_SHINGLES}),
+WITH {_ORACLE_CANDIDATES},
 counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingled GROUP BY doc_id),
 common AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-  FROM shingled a JOIN shingled b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  FROM cands c
+  JOIN shingled sa ON sa.doc_id = c.doc_a
+  JOIN shingled sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
 )
-SELECT doc_a, doc_b, n_common,
+SELECT common.doc_a, common.doc_b, n_common,
        CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common) AS jaccard
 FROM common
-JOIN counts ca ON ca.doc_id = doc_a
-JOIN counts cb ON cb.doc_id = doc_b
+JOIN counts ca ON ca.doc_id = common.doc_a
+JOIN counts cb ON cb.doc_id = common.doc_b
 WHERE CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common) >= {JACCARD_MIN}
 """,
 )
 def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-shingle Jaccard similarity for pairs sharing ≥1 shingle.
+    """Exact 3-shingle Jaccard — computed ONLY for LSH candidate pairs
+    (the verification stage of the dedup pipeline).
 
-    Scale: the self-join is bucketed by shingle, so cost is Σ(docs-per-
-    shingle)² — bounded for natural text; at 100 TB run it only on LSH
-    candidates (minhash_near_dedup) and drop stop-shingles (df > cap).
-    The Jaccard itself is int/int division — exact across engines.
+    Scale: the quadratic shingle-bucket self-join is gone; cost is
+    |candidates| × shingles-per-doc.  The Jaccard itself is int/int
+    division in double — exact across engines, no rounding needed.
     """
-    shingled = _shingles(load(spark, sf_dir, "documents"))
+    docs = load_spread(spark, sf_dir, "documents")
+    # Materialize once: shingled feeds three plan branches (counts + both
+    # join sides) — without the checkpoint the shingle pipeline runs 3×.
+    shingled = _shingles(docs).localCheckpoint(eager=True)
+    cands = minhash_candidates(spark, sf_dir)
     counts = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = shingled.alias("a")
-    b = shingled.alias("b")
+    sa = shingled.alias("sa")
+    sb = shingled.alias("sb")
     common = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        cands.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            sb,
+            (F.col("doc_b") == F.col("sb.doc_id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     ca = counts.alias("ca")
@@ -254,6 +299,113 @@ def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= JACCARD_MIN)
         .select("doc_a", "doc_b", "n_common", jac.alias("jaccard"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup finalization: candidate pairs → duplicate clusters → kept corpus
+# ---------------------------------------------------------------------------
+def connected_components(pairs: DataFrame) -> DataFrame:
+    """Min-label propagation over an undirected pair list → (node,
+    cluster_id) where cluster_id = min doc_id of the component.
+
+    The same driver-loop-with-checkpoint pattern as graph.bfs_min_depth;
+    converges in O(component diameter) rounds — duplicate clusters are
+    shallow, so 2-3 rounds in practice.  Each round is one shuffle join +
+    one aggregate; lineage is truncated per round.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("cluster_id")
+    ).localCheckpoint(eager=True)
+
+    while True:
+        nbr_min = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.u, "left")
+            .select(
+                "node",
+                F.least(F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")).alias(
+                    "cluster_id"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE {_ORACLE_CANDIDATES},
+edges AS (SELECT doc_a AS u, doc_b AS v FROM cands
+          UNION SELECT doc_b, doc_a FROM cands),
+reach(node, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r
+)
+SELECT node AS doc_id, MIN(r) AS cluster_id,
+       CASE WHEN node = MIN(r) THEN 1 ELSE 0 END AS is_canonical
+FROM reach GROUP BY node
+""",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup finalization stage 1: group candidate pairs into duplicate
+    clusters (connected components) and mark the canonical doc (min id)
+    per cluster.  DuckDB oracle: recursive-CTE transitive closure."""
+    pairs = minhash_candidates(spark, sf_dir)
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"),
+        "cluster_id",
+        F.when(F.col("node") == F.col("cluster_id"), 1).otherwise(0).alias("is_canonical"),
+    )
+
+
+@register(
+    "dedup_canonical_corpus",
+    oracle=f"""
+WITH RECURSIVE {_ORACLE_CANDIDATES},
+edges AS (SELECT doc_a AS u, doc_b AS v FROM cands
+          UNION SELECT doc_b, doc_a FROM cands),
+reach(node, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r
+),
+drop_set AS (
+  SELECT node FROM reach GROUP BY node HAVING node <> MIN(r)
+)
+SELECT d.doc_id, d.source
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT node FROM drop_set)
+""",
+)
+def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup finalization stage 2: the deduplicated corpus — every
+    document except non-canonical cluster members (left-anti join against
+    the drop set; the keep-side of the pipeline a 100 TB dedup run
+    actually ships)."""
+    docs = load(spark, sf_dir, "documents")
+    clusters = dedup_clusters(spark, sf_dir)
+    drop = clusters.filter(F.col("is_canonical") == 0).select(F.col("doc_id"))
+    return docs.join(drop, "doc_id", "left_anti").select("doc_id", "source")
 
 
 # ---------------------------------------------------------------------------
@@ -328,7 +480,7 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     width here keeps the oracle's integers small while exercising the
     identical plan.
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.filter(F.split("text", " "), lambda w: w != "")).alias("word")
     )

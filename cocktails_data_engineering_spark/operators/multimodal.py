@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..registry import register
-from ..sources.tables import load
+from ..sources.tables import load, load_spread
 
 MODALITIES = ("image", "audio", "video", "text")
 
@@ -203,4 +203,10 @@ def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over the media table through mapInPandas — the
     decode stage's plumbing (schema, batching, null typing) verified
     end-to-end against the SQL twin of the deterministic fake decode."""
-    return extract_features(media_table(spark, sf_dir))
+    media = media_table(spark, sf_dir)
+    # Spread before the pandas UDF: the single-row-group fixture scan would
+    # otherwise feed ONE Python worker (see tables.load_spread).
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if media.rdd.getNumPartitions() < n:
+        media = media.repartition(n)
+    return extract_features(media)

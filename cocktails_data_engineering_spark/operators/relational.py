@@ -501,6 +501,44 @@ def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def assign_dense_ids(df: DataFrame, key: str, id_name: str = "link_id") -> DataFrame:
+    """zipWithIndex-style two-phase dense ID assignment by sort order of a
+    UNIQUE ``key`` — no single-partition window anywhere.
+
+    Phase 1: range-repartition on the key (global order across partitions
+    is then the concatenation of per-partition orders) and rank locally
+    within each partition.  Phase 2: per-partition counts → cumulative
+    offsets (a table of n_partitions rows — the only single-partition
+    step, on O(partitions) data) broadcast-joined back.
+
+    IDs are identical to ``row_number() over (order by key) - 1`` for any
+    range boundary placement, because range partitioning preserves global
+    key order.
+    """
+    n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    parts = df.repartitionByRange(n_parts, F.col(key)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    local_w = Window.partitionBy("_pid").orderBy(key)
+    local = parts.withColumn("_local", F.row_number().over(local_w) - 1)
+    offsets = (
+        local.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            "_pid",
+            (
+                F.sum("_n").over(
+                    Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+                )
+            ).alias("_offset"),
+        )
+        .fillna({"_offset": 0})
+    )
+    return local.join(F.broadcast(offsets), "_pid").select(
+        (F.col("_local") + F.col("_offset")).alias(id_name), key
+    )
+
+
 @register(
     "enumerate_ids",
     oracle="""
@@ -510,21 +548,14 @@ FROM (SELECT DISTINCT source AS link_name FROM documents) t
 )
 def enumerate_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense ID assignment — deterministic replacement for the reference's
-    ``enumerate(set)`` (web_spider_oo.py:321-326, quirk Q3 in SURVEY §2.1):
-    ``row_number() over (order by name) - 1``.
-
-    Scale: a single-partition window is fine only for modest vertex
-    dictionaries; for billions of vertices switch to
-    ``zipWithIndex``-style two-phase numbering (per-partition counts +
-    offset join) — documented here as the scale path.
-    """
-    w = Window.orderBy("link_name")
-    return (
-        load(spark, sf_dir, "documents")
-        .select(F.col("source").alias("link_name"))
-        .distinct()
-        .select((F.row_number().over(w) - 1).alias("link_id"), "link_name")
+    ``enumerate(set)`` (web_spider_oo.py:321-326, quirk Q3 in SURVEY §2.1),
+    equal to ``row_number() over (order by name) - 1`` but computed with
+    the two-phase :func:`assign_dense_ids` so no single-partition window
+    exists at any vertex-set size."""
+    distinct_names = (
+        load(spark, sf_dir, "documents").select(F.col("source").alias("link_name")).distinct()
     )
+    return assign_dense_ids(distinct_names, "link_name").select("link_id", "link_name")
 
 
 @register(

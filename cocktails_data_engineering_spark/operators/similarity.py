@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..sources.tables import load
+from ..sources.tables import load_spread
 
 TOP_K = 5
 QUERY_MOD = 50  # vec_id % QUERY_MOD == 0 → query vector
@@ -66,7 +66,7 @@ FROM embeddings
 
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_spread(spark, sf_dir, "embeddings")
     dbl = _as_double(F.col("embedding"))
     return emb.select("vec_id", "label", dbl.alias("emb"), _norm(dbl).alias("norm"))
 

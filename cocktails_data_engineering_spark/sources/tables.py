@@ -48,6 +48,26 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def load_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a table and spread it across the session's shuffle parallelism
+    when the scan has fewer splits than that.
+
+    The fixture parquet files are single-row-group, so a scan is one task
+    no matter what ``maxPartitionBytes`` says; any compute-amplified
+    pipeline downstream (per-shingle hashing, per-vector folds, pandas
+    UDF decode) would run single-threaded.  The guard keeps this a no-op
+    on real deployments where inputs already have ≥cores splits — there
+    the extra full-input shuffle would be pure waste.  Use for
+    compute-bound pipelines only; plain scan→filter→agg queries should
+    use :func:`load` so predicate pushdown stays against the scan.
+    """
+    df = load(spark, sf_dir, name)
+    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df
+
+
 def load_dim(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a small dimension with a broadcast hint applied."""
     df = load(spark, sf_dir, name)
