@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from ..functions.numerics import DEC, davg, dsum, oracle_davg, oracle_dsum
 from ..registry import register
-from ..sources.tables import load, load_dim
+from ..sources.tables import load, load_dim, load_spread
 
 
 # ---------------------------------------------------------------------------
@@ -770,9 +770,10 @@ ORDER BY l_returnflag
 )
 def percentile_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact median per group (Spark `median` ≡ DuckDB `median` for even
-    counts: mean of the two middle values)."""
+    counts: mean of the two middle values).  Median buffers every value
+    per group, so the scan is spread first (see tables.load_spread)."""
     return (
-        load(spark, sf_dir, "lineitem")
+        load_spread(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
             F.median("l_extendedprice").alias("median_price"),

@@ -1,0 +1,98 @@
+"""Property-based tests (SURVEY §5 item 4, hypothesis): operator laws that
+must hold for ANY input, checked on generated data — blocklist filter is a
+subset of its input and agrees with a Python reference; dense IDs are a
+bijection onto 0..n-1 in sort order; connected components assign one label
+per component with the component minimum as its id."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from cocktails_data_engineering_spark.functions import linkops
+from cocktails_data_engineering_spark.operators.dedup import connected_components
+from cocktails_data_engineering_spark.operators.relational import assign_dense_ids
+
+_slow = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+links = st.lists(
+    st.one_of(
+        st.none(),
+        st.just("/"),
+        st.text(
+            alphabet="abcdefghijklmnopqrstuvwxyz/#@.:",
+            min_size=0,
+            max_size=24,
+        ),
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+def _py_blocked(link: str | None) -> bool:
+    """Independent Python reference of linkops.is_blocked."""
+    if link is None or link == "/":
+        return True
+    return any(w in link for w in linkops.BLOCKLIST)
+
+
+@given(links)
+@_slow
+def test_blocklist_matches_python_reference(spark, xs):
+    df = spark.createDataFrame([(x,) for x in xs], "href string")
+    kept = [r.href for r in df.filter(linkops.keep_link(F.col("href"))).collect()]
+    expected = [x for x in xs if not _py_blocked(x)]
+    assert sorted(kept, key=str) == sorted(expected, key=str)
+    assert set(kept) <= {x for x in xs}  # subset of input
+
+
+@given(st.lists(st.text(alphabet="abcdef0123456789", min_size=1, max_size=12),
+                min_size=1, max_size=60, unique=True))
+@_slow
+def test_dense_ids_bijection_in_sort_order(spark, keys):
+    df = spark.createDataFrame([(k,) for k in keys], "link_name string")
+    out = {r.link_name: r.link_id for r in assign_dense_ids(df, "link_name").collect()}
+    assert sorted(out.values()) == list(range(len(keys)))  # dense & unique
+    for rank, name in enumerate(sorted(keys)):
+        assert out[name] == rank  # equals row_number() over (order by name) - 1
+
+
+@given(st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda p: p[0] != p[1]),
+    min_size=1, max_size=40,
+))
+@_slow
+def test_connected_components_laws(spark, raw_pairs):
+    pairs = [(min(a, b), max(a, b)) for a, b in raw_pairs]
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    labels = {r.node: r.cluster_id for r in connected_components(df).collect()}
+
+    # reference: union-find in plain Python
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected_comp: dict[int, list[int]] = {}
+    for n in parent:
+        expected_comp.setdefault(find(n), []).append(n)
+
+    for root, members in expected_comp.items():
+        expect_id = min(members)
+        for m in members:
+            assert labels[m] == expect_id, (m, labels.get(m), expect_id)
+    assert set(labels) == set(parent)
