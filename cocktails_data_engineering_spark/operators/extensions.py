@@ -1,0 +1,229 @@
+"""Engine extensions beyond the reference's surface: the operators the
+build brief names that Spark lacks natively — as-of join, range join —
+plus the scale techniques (skew salting, deterministic sampling) every
+100 TB pipeline leans on.  Each is built as a composition of DataFrame
+ops (brief's option (a)) — no UDFs — and each is DuckDB-oracle-checked.
+
+Timestamps are compared as epoch MICROSECONDS (bigint) everywhere: the
+fixture stores ns, Spark's native resolution is µs, so both engines
+truncate to µs before any comparison or output (no format-string pitfalls,
+no ns-vs-µs tie surprises).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tables import load
+
+# epoch-µs of the (ns-precision) oracle timestamp
+_US = "(epoch_ns({col}) // 1000)"
+
+
+# ---------------------------------------------------------------------------
+# As-of join (merge-style, no per-row subquery)
+# ---------------------------------------------------------------------------
+@register(
+    "asof_join_last_signup",
+    oracle=f"""
+SELECT p.event_id, p.user_id,
+       {_US.format(col='p.ts')} AS purchase_us,
+       (SELECT MAX({_US.format(col='s.ts')})
+        FROM events s
+        WHERE s.user_id = p.user_id AND s.event_type = 'signup'
+          AND {_US.format(col='s.ts')} <= {_US.format(col='p.ts')}) AS last_signup_us
+FROM events p
+WHERE p.event_type = 'purchase'
+""",
+)
+def asof_join_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every purchase, the most recent signup of the same
+    user at-or-before it.
+
+    Spark has no ASOF JOIN; the scalable formulation is the union-merge:
+    interleave both streams sorted by (user, time) and carry the last
+    signup time forward with an ignoreNulls window ``last`` — one shuffle
+    on user_id, linear scan per partition, no per-row probe.  (The oracle
+    uses the equivalent correlated MAX subquery.)  Signups sort before
+    purchases at equal timestamps so the join is inclusive.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("us"),
+        F.lit(0).alias("kind"),
+        F.col("us").alias("s_us"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("us"),
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("long").alias("s_us"),
+        "event_id",
+    )
+    merged = signups.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        merged.withColumn("last_signup_us", F.last("s_us", ignorenulls=True).over(w))
+        .filter(F.col("kind") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("us").alias("purchase_us"),
+            "last_signup_us",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range (interval) join via time-bucketing
+# ---------------------------------------------------------------------------
+RANGE_US = 300 * 1_000_000  # 5 minutes
+
+
+@register(
+    "range_join_recent_activity",
+    oracle=f"""
+SELECT e.event_id, e.user_id,
+       (SELECT COUNT(*)
+        FROM events a
+        WHERE a.user_id = e.user_id
+          AND {_US.format(col='a.ts')} >= {_US.format(col='e.ts')} - {RANGE_US}
+          AND {_US.format(col='a.ts')} <  {_US.format(col='e.ts')}) AS n_recent
+FROM events e
+WHERE e.event_type = 'error'
+""",
+)
+def range_join_recent_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: per error event, how many same-user events happened in
+    the 5 minutes before it.
+
+    The naive plan (equi-join on user + range filter) is a per-user
+    cartesian product — quadratic in events-per-user.  The scale shape
+    used here buckets time into range-width windows and joins each error
+    to its own and the previous bucket only: every qualifying pair is in
+    one of those two buckets, and join fan-out is bounded by bucket
+    population, not user history length.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    activity = ev.select(
+        "user_id", F.col("us").alias("a_us"), (F.col("us") / RANGE_US).cast("long").alias("bucket")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.col("us").alias("e_us"),
+        (F.col("us") / RANGE_US).cast("long").alias("bucket"),
+    )
+    probe = errors.select(
+        "event_id", "user_id", "e_us",
+        F.explode(F.array(F.col("bucket") - 1, F.col("bucket"))).alias("bucket"),
+    )
+    counts = (
+        probe.join(activity, ["user_id", "bucket"])
+        .filter(
+            (F.col("a_us") >= F.col("e_us") - RANGE_US) & (F.col("a_us") < F.col("e_us"))
+        )
+        .groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("n_recent"))
+    )
+    return (
+        errors.join(counts, "event_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce("n_recent", F.lit(0)).alias("n_recent"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skew-salted aggregation (two-phase)
+# ---------------------------------------------------------------------------
+N_SALTS = 16
+TOPK_WORDS = 20
+
+
+@register(
+    "salted_topk_words",
+    oracle=f"""
+SELECT word, COUNT(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+WHERE word <> ''
+GROUP BY word
+ORDER BY n DESC, word
+LIMIT {TOPK_WORDS}
+""",
+)
+def salted_topk_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k word count via explicit two-phase salting: aggregate on
+    (word, salt) first — {N_SALTS}-way splitting any hot key across
+    reducers — then combine partials per word.
+
+    Identical result to the direct groupBy (the oracle IS the unsalted
+    SQL); the point is the plan: when one key holds 10% of 100 TB, the
+    salted first phase keeps every reducer bounded.  AQE's skew handling
+    covers joins; salting is the aggregation-side counterpart.
+    """
+    docs = load(spark, sf_dir, "documents")
+    words = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .withColumn("salt", (F.col("doc_id") % N_SALTS).cast("int"))
+    )
+    partial = words.groupBy("word", "salt").agg(F.count(F.lit(1)).alias("pn"))
+    return (
+        partial.groupBy("word")
+        .agg(F.sum("pn").alias("n"))
+        .orderBy(F.col("n").desc(), "word")
+        .limit(TOPK_WORDS)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash split (train/test sampling)
+# ---------------------------------------------------------------------------
+_HEX = "0123456789abcdef"
+
+# first hex nibble of md5 of the stringified doc_id, 0..15
+_ORACLE_NIBBLE = f"(strpos('{_HEX}', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)"
+
+
+@register(
+    "train_test_split_stats",
+    oracle=f"""
+SELECT CASE WHEN {_ORACLE_NIBBLE} < 13 THEN 'train' ELSE 'test' END AS split,
+       lang,
+       COUNT(*) AS n_docs,
+       SUM(n_chars) AS total_chars
+FROM documents
+GROUP BY 1, 2
+ORDER BY split, lang
+""",
+)
+def train_test_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~81/19 train/test split by content-independent hash
+    of the document id (md5 nibble < 13), with per-split per-language
+    profile — the reproducible sampling every training pipeline needs
+    (same row → same split on any cluster, any partitioning, any run).
+    """
+    docs = load(spark, sf_dir, "documents")
+    nibble = F.instr(
+        F.lit(_HEX), F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    ) - 1
+    split = F.when(nibble < 13, "train").otherwise("test")
+    return (
+        docs.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("split", "lang")
+    )
