@@ -276,3 +276,122 @@ def crawl_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# The full spider run (O14 + O5 + O12 end-to-end): BFS crawl from a root
+# producing the reference's two output tables — `indexing` edges and
+# `unique_links` vertices (web_spider_oo.py:91-138).
+# ---------------------------------------------------------------------------
+CRAWL_DEPTH = 2  # reference pen_depth ∈ {1,2,4}; 2 exercises the loop fully
+
+# Recursive min-depth walk over the synthetic site, expanding only through
+# 200-status pages; shared by both spider-run oracles.
+_SQL_WALK = f"""
+site AS (
+  SELECT doc_id, {_SQL_URL} AS url, {_SQL_STATUS} AS status
+  FROM documents
+),
+walk(doc_id, depth) AS (
+  SELECT CAST(1 AS BIGINT), 0
+  UNION ALL
+  SELECT (7 * w.doc_id + ks.k) % {SITE_MOD}, w.depth + 1
+  FROM walk w
+  JOIN site p ON p.doc_id = w.doc_id AND p.status = 200
+  CROSS JOIN (SELECT unnest([1, 2]) AS k) ks
+  WHERE w.depth < {CRAWL_DEPTH}
+),
+mindepth AS (SELECT doc_id, MIN(depth) AS depth FROM walk GROUP BY doc_id)
+"""
+
+
+def _spider_run(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Level-synchronous crawl from ``{ROOT}p1`` through the REAL fetch +
+    extract + clean machinery, faithful to run_spider's semantics:
+
+    - visited-set dedup before fetch (O5): a URL is attempted once, at its
+      minimum depth;
+    - non-200 pages are recorded but never expanded (O4);
+    - edges are per-page (SURVEY quirk Q1: docstring semantics);
+    - the final vertex set includes the last frontier's unvisited children
+      (quirk Q4, replicated deliberately);
+    - per-round eager localCheckpoint fences the non-deterministic fetch
+      and truncates the iterative lineage (O14's loop done Spark-style).
+
+    Returns (edges(pen_depth, parent_link, child_link), unique_links(url)).
+    """
+    # Root p1: a 200-status page (p0 is one of the synthetic 404s).
+    root = spark.createDataFrame([(f"{ROOT_SITE}p1",)], "url string")
+    frontier = root
+    visited = spark.createDataFrame([], "url string")
+    edge_frames = []
+
+    for depth in range(CRAWL_DEPTH):
+        frontier = frontier.join(visited, "url", "left_anti").localCheckpoint(eager=True)
+        visited = visited.union(frontier).localCheckpoint(eager=True)
+        fetched = fetch_pages(frontier).localCheckpoint(eager=True)
+        ok = fetched.filter(F.col("status_code") == 200)
+        links = (
+            ok.select(
+                F.col("url").alias("parent_link"),
+                F.explode(extract_hrefs(F.col("html"))).alias("href"),
+            )
+            .filter(linkops.keep_link(F.col("href")) & linkops.is_relative(F.col("href")))
+            .select(
+                "parent_link",
+                linkops.resolve_relative(F.col("href"), ROOT_SITE).alias("child_link"),
+            )
+            .distinct()
+        )
+        edge_frames.append(
+            links.select(
+                F.lit(depth).alias("pen_depth"), "parent_link", "child_link"
+            )
+        )
+        frontier = links.select(F.col("child_link").alias("url")).distinct()
+
+    edges = edge_frames[0]
+    for f in edge_frames[1:]:
+        edges = edges.union(f)
+    # Q4: unvisited last-frontier children still join the vertex table.
+    unique_links = visited.union(frontier.join(visited, "url", "left_anti")).select("url")
+    return edges.localCheckpoint(eager=True), unique_links.localCheckpoint(eager=True)
+
+
+@register(
+    "crawl_spider_edges",
+    oracle=f"""
+WITH RECURSIVE {_SQL_WALK}
+SELECT m.depth AS pen_depth, s.url AS parent_link,
+       '{ROOT_SITE}p' || CAST((7 * m.doc_id + ks.k) % {SITE_MOD} AS VARCHAR) AS child_link
+FROM mindepth m
+JOIN site s ON s.doc_id = m.doc_id AND s.status = 200
+CROSS JOIN (SELECT unnest([1, 2]) AS k) ks
+WHERE m.depth < {CRAWL_DEPTH}
+""",
+)
+def crawl_spider_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ``indexing`` table from a depth-{d} crawl of the
+    synthetic site (run_spider end-to-end, web_spider_oo.py:91-138)."""
+    edges, _ = _spider_run(spark, sf_dir)
+    return edges
+
+
+@register(
+    "crawl_spider_unique_links",
+    oracle=f"""
+WITH RECURSIVE {_SQL_WALK}
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY url) - 1 AS BIGINT) AS link_id, url AS link_name
+FROM (SELECT DISTINCT s.url FROM mindepth m JOIN site s ON s.doc_id = m.doc_id) t
+""",
+)
+def crawl_spider_unique_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ``unique_links`` table (web_spider_oo.py:321-326)
+    from the same crawl: every URL attempted or discovered (including the
+    last frontier — quirk Q4), dense IDs in URL sort order (quirk Q3's
+    deterministic replacement) via the two-phase assigner."""
+    from .relational import assign_dense_ids
+
+    _, unique = _spider_run(spark, sf_dir)
+    named = unique.select(F.col("url").alias("link_name"))
+    return assign_dense_ids(named, "link_name").select("link_id", "link_name")
