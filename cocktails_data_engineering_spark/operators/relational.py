@@ -758,6 +758,31 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "listagg_sources_by_lang",
+    oracle="""
+SELECT lang, COUNT(*) AS n_docs,
+       string_agg(DISTINCT source, ',' ORDER BY source) AS sources
+FROM documents
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def listagg_sources_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String aggregation (LISTAGG family): deterministic sorted
+    collect_set → concat per group.  Map-side combine applies to the set
+    collection; the sort is per-group over the distinct values only."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.concat_ws(",", F.array_sort(F.collect_set("source"))).alias("sources"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
     "percentile_quantiles",
     oracle="""
 SELECT l_returnflag,

@@ -155,6 +155,33 @@ def stream_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
 
 
+@register(
+    "stream_exact_dedup",
+    oracle=r"""
+SELECT DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+FROM documents
+""",
+)
+def stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: ``dropDuplicates`` on the normalized
+    fingerprint over a document STREAM — the incremental-ingest dedup a
+    crawler needs (each micro-batch keeps only fingerprints never seen in
+    any earlier batch; state = one key per distinct doc).  Run to
+    completion, the surviving key set equals batch DISTINCT — the oracle.
+    """
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    fingerprinted = stream.select(
+        F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))).alias("fingerprint")
+    )
+    deduped = fingerprinted.dropDuplicates(["fingerprint"])
+    return _run_to_memory(deduped, "append")
+
+
 def run_foreach_batch(plan: DataFrame, output_mode: str = "complete") -> list[pd.DataFrame]:
     """Drive a streaming plan through foreachBatch (the reference's
     per-parent incremental-append hook, web_spider_oo.py:305-308) and
