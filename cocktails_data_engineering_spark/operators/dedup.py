@@ -26,8 +26,12 @@ the self-join; AQE's skew-join handles moderate skew automatically.
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_VIEW_COUNTER = itertools.count()
 
 from ..registry import register
 from ..sources.tables import load, load_spread
@@ -203,6 +207,25 @@ _SPARK_STACK = "stack({n}, {args})".format(
 )
 
 
+def minhash_candidates_from(shingled: DataFrame) -> DataFrame:
+    """Candidate pairs from an existing (doc_id, shingle) table — lets
+    callers that also need the shingles (the Jaccard verifier) compute
+    them once."""
+    spark = shingled.sparkSession
+    hashed = shingled.select("doc_id", _x_col().alias("x"))
+    view = f"minhash_hashed_{next(_VIEW_COUNTER)}"
+    hashed.createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+WITH mins AS (SELECT doc_id, {_SPARK_MINS} FROM {view} GROUP BY doc_id),
+bands AS (SELECT doc_id, {_SPARK_STACK} AS (band_id, band_key) FROM mins)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+    )
+
+
 def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_a, doc_b) near-duplicate candidate pairs via 128-perm MinHash
     banded 32×4.
@@ -214,19 +237,7 @@ def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate is authored as ONE SQL string (the DataFrame form costs
     ~650 py4j round trips in plan construction alone).
     """
-    shingled = _shingles(load_spread(spark, sf_dir, "documents"))
-    hashed = shingled.select("doc_id", _x_col().alias("x"))
-    view = f"minhash_hashed_{abs(hash(sf_dir)) % 10**8}"
-    hashed.createOrReplaceTempView(view)
-    return spark.sql(
-        f"""
-WITH mins AS (SELECT doc_id, {_SPARK_MINS} FROM {view} GROUP BY doc_id),
-bands AS (SELECT doc_id, {_SPARK_STACK} AS (band_id, band_key) FROM mins)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b
-  ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-"""
-    )
+    return minhash_candidates_from(_shingles(load_spread(spark, sf_dir, "documents")))
 
 
 @register("minhash_near_dedup", oracle=f"WITH {_ORACLE_CANDIDATES} SELECT * FROM cands")
@@ -271,10 +282,11 @@ def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     division in double — exact across engines, no rounding needed.
     """
     docs = load_spread(spark, sf_dir, "documents")
-    # Materialize once: shingled feeds three plan branches (counts + both
-    # join sides) — without the checkpoint the shingle pipeline runs 3×.
+    # Materialize once: shingled feeds four plan branches (the candidate
+    # generator, counts, and both join sides) — without the checkpoint
+    # the shingle pipeline runs 4×.
     shingled = _shingles(docs).localCheckpoint(eager=True)
-    cands = minhash_candidates(spark, sf_dir)
+    cands = minhash_candidates_from(shingled)
     counts = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = shingled.alias("sa")
     sb = shingled.alias("sb")
@@ -485,54 +497,32 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.filter(F.split("text", " "), lambda w: w != "")).alias("word")
     )
     hashed = toks.select("doc_id", _hex16(F.col("word")).alias("hv"))
-    bits_range = (
-        hashed.sparkSession.range(SIMHASH_BITS).select(F.col("id").cast("int").alias("b"))
+    view = f"simhash_hashed_{next(_VIEW_COUNTER)}"
+    hashed.createOrReplaceTempView(view)
+    # ONE wide aggregate instead of a 16× bit-index row fan-out: each bit's
+    # balance is a conditional SUM column (map-side combined), then the
+    # signature assembles arithmetically and bands stack to rows.
+    bit_sums = ", ".join(
+        f"CASE WHEN SUM(CASE WHEN (hv DIV {1 << b}) % 2 = 1 THEN 1 ELSE -1 END) >= 0"
+        f" THEN {1 << b} ELSE 0 END AS p{b}"
+        for b in range(SIMHASH_BITS)
     )
-    # F.shiftright/F.shiftleft require a Python-int bit count; the SQL form
-    # accepts a column, so variable shifts go through F.expr.
-    bits = (
-        hashed.crossJoin(F.broadcast(bits_range))
-        .groupBy("doc_id", "b")
-        .agg(
-            F.when(
-                F.sum(
-                    F.when(F.expr("shiftright(hv, b)").bitwiseAND(1) == 1, 1).otherwise(-1)
-                )
-                >= 0,
-                1,
-            )
-            .otherwise(0)
-            .alias("bit")
-        )
-    )
-    sigs = bits.groupBy("doc_id").agg(
-        F.sum(F.expr("shiftleft(bit, b)")).cast("bigint").alias("simhash")
-    )
+    sig = " + ".join(f"p{b}" for b in range(SIMHASH_BITS))
     n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
-    band_range = sigs.sparkSession.range(n_bands).select(F.col("id").cast("int").alias("band"))
-    bands = sigs.crossJoin(F.broadcast(band_range)).select(
-        "doc_id",
-        "simhash",
-        "band",
-        F.expr(f"shiftright(simhash, band * {SIMHASH_BAND_BITS})")
-        .bitwiseAND(2**SIMHASH_BAND_BITS - 1)
-        .alias("band_val"),
+    mask = 2**SIMHASH_BAND_BITS - 1
+    stack = ", ".join(
+        f"{band}, (simhash DIV {1 << (band * SIMHASH_BAND_BITS)}) % {mask + 1}"
+        for band in range(n_bands)
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .filter(hamming <= HAMMING_MAX)
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            hamming.cast("int").alias("hamming"),
-        )
-        .distinct()
+    return spark.sql(
+        f"""
+WITH balances AS (SELECT doc_id, {bit_sums} FROM {view} GROUP BY doc_id),
+sigs AS (SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM balances),
+bands AS (SELECT doc_id, simhash, stack({n_bands}, {stack}) AS (band, band_val) FROM sigs)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(a.simhash ^ b.simhash) AS INT) AS hamming
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+WHERE bit_count(a.simhash ^ b.simhash) <= {HAMMING_MAX}
+"""
     )
