@@ -1,0 +1,79 @@
+"""Crawl/fetch layer semantics: retry policy actually retries, politeness
+delay actually paces, extraction handles edge-case HTML, and the transport
+is genuinely injectable."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from cocktails_data_engineering_spark.operators.crawl import (
+    FetchResult,
+    extract_hrefs,
+    fetch_pages,
+)
+
+
+def _scripted(script: dict):
+    """Zero-arg transport factory returning scripted status sequences per
+    URL.  The class is function-local on purpose: cloudpickle then ships
+    it by value, so Spark workers don't need to import this test module.
+    """
+
+    class ScriptedTransport:
+        def __init__(self) -> None:
+            self.attempts: dict[str, int] = {}
+
+        def get(self, url: str) -> FetchResult:
+            n = self.attempts.get(url, 0)
+            self.attempts[url] = n + 1
+            seq = script.get(url, [200])
+            status = seq[min(n, len(seq) - 1)]
+            body = f'<a href="/x{n}">v</a>' if status == 200 else ""
+            return FetchResult(status=status, body=body)
+
+    return ScriptedTransport
+
+
+def test_retry_resolves_5xx_and_gives_up_after_budget(spark):
+    script = {
+        "http://t/p1": [200],
+        "http://t/p2": [503, 503, 200],       # recovers within budget
+        "http://t/p3": [503, 503, 503, 503, 503, 503, 503],  # never recovers
+        "http://t/p4": [404],                  # 404 is NOT retried
+    }
+    urls = spark.createDataFrame([(u,) for u in script], "url string").coalesce(1)
+    rows = {
+        r.url: r.status_code
+        for r in fetch_pages(urls, transport_factory=_scripted(script)).collect()
+    }
+    assert rows["http://t/p1"] == 200
+    assert rows["http://t/p2"] == 200  # retried through to success
+    assert rows["http://t/p3"] == 503  # budget exhausted, last status reported
+    assert rows["http://t/p4"] == 404  # client errors pass straight through
+
+
+def test_politeness_delay_paces_requests(spark):
+    urls = spark.createDataFrame([(f"http://t/p{i}",) for i in range(4)], "url string").coalesce(1)
+    t0 = time.monotonic()
+    fetch_pages(urls, transport_factory=_scripted({}), delay_s=0.1).collect()
+    elapsed = time.monotonic() - t0
+    assert elapsed >= 0.3  # 3 inter-request sleeps for 4 urls in one partition
+
+
+def test_extract_hrefs_edge_cases(spark):
+    cases = [
+        (1, '<a href="/a">x</a><a href="/a">dup</a>'),  # duplicates preserved (dedup is downstream)
+        (2, "<a>no href</a>"),
+        (3, None),
+        (4, ""),
+        (5, '<A HREF="/upper">x</A><a href="">empty</a>'),  # regex is case-sensitive lowercase
+    ]
+    df = spark.createDataFrame(cases, "id long, html string")
+    out = {r.id: r.hrefs for r in df.select("id", extract_hrefs(F.col("html")).alias("hrefs")).collect()}
+    assert out[1] == ["/a", "/a"]
+    assert out[2] == []
+    assert out[3] == []
+    assert out[4] == []
+    assert out[5] == [""]  # empty href extracted; blocklist drops it downstream
