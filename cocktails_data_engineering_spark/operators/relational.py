@@ -806,3 +806,174 @@ def percentile_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-join analytics (TPC-H Q3/Q5 shapes) + subquery + ntile
+# ---------------------------------------------------------------------------
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+SELECT l_orderkey,
+       {oracle_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-07-01'
+  AND l_shipdate  > TIMESTAMP '1998-07-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join, filtered both sides, revenue agg,
+    global top-10.
+
+    Plan notes: both date filters push into the scans; customer is the
+    small side (broadcast under AQE); TakeOrderedAndProject caps the
+    sort at k rows.  Revenue accumulates in DECIMAL (order-independent).
+    """
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-07-01").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-07-01").cast("timestamp")
+    )
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle=f"""
+SELECT n_name, {oracle_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '2000-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join (fact + 5 dims/semi-dims) with the
+    local-supplier constraint (customer and supplier in the same nation).
+
+    Plan notes: supplier/nation/region broadcast; the only fact-table
+    shuffle is the join to orders; Catalyst orders the joins from the
+    filtered region outward.
+    """
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("2000-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    supp = F.broadcast(load(spark, sf_dir, "supplier"))
+    nation = load_dim(spark, sf_dir, "nation")
+    region = load_dim(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supp, (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+@register(
+    "above_avg_balance_customers",
+    oracle="""
+WITH nation_avg AS (
+  SELECT c_nationkey,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS nation_avg
+  FROM customer GROUP BY c_nationkey
+)
+SELECT c_custkey, c_name, c_acctbal, ROUND(nation_avg, 6) AS nation_avg
+FROM customer JOIN nation_avg USING (c_nationkey)
+WHERE c_acctbal > nation_avg
+""",
+)
+def above_avg_balance_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery shape: customers above their nation's average
+    balance.  The per-nation average is a tiny aggregate broadcast back
+    against the full table; the average is computed through exact DECIMAL
+    so the > comparison cannot flip on last-ulp differences between
+    engines."""
+    cust = load(spark, sf_dir, "customer")
+    nation_avg = (
+        cust.groupBy("c_nationkey")
+        .agg(
+            (F.sum(F.col("c_acctbal").cast(DEC)).cast("double") / F.count(F.lit(1))).alias(
+                "nation_avg"
+            )
+        )
+    )
+    return (
+        cust.join(F.broadcast(nation_avg), "c_nationkey")
+        .filter(F.col("c_acctbal") > F.col("nation_avg"))
+        .select(
+            "c_custkey", "c_name", "c_acctbal", F.round("nation_avg", 6).alias("nation_avg")
+        )
+    )
+
+
+@register(
+    "window_ntile_quartiles",
+    oracle="""
+WITH bucketed AS (
+  SELECT o_orderpriority, o_totalprice,
+         NTILE(4) OVER (PARTITION BY o_orderpriority
+                        ORDER BY o_totalprice, o_orderkey) AS quartile
+  FROM orders
+)
+SELECT o_orderpriority, quartile, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_price
+FROM bucketed
+GROUP BY o_orderpriority, quartile
+ORDER BY o_orderpriority, quartile
+""",
+)
+def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE quartile profile per order priority (deterministic via the
+    o_orderkey tiebreak in the window order)."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select(
+            "o_orderpriority", "o_totalprice", F.ntile(4).over(w).alias("quartile")
+        )
+        .groupBy("o_orderpriority", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(F.col("o_totalprice").cast(DEC)).cast("double") / F.count(F.lit(1))).alias(
+                "avg_price"
+            ),
+        )
+        .orderBy("o_orderpriority", "quartile")
+    )
