@@ -244,3 +244,52 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+NEAR_DUP_COS = 0.5  # fixture embeddings are near-random; real corpora use ~0.95
+
+
+@register(
+    "embedding_near_dup_pairs",
+    oracle=f"""
+WITH vecs AS ({_ORACLE_VECS}),
+flat AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.norm AS na, b.norm AS nb,
+         unnest(a.emb) AS xa, unnest(b.emb) AS xb
+  FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT vec_a, vec_b,
+         ROUND(SUM(xa * xb) / (ANY_VALUE(na) * ANY_VALUE(nb)), 6) AS cosine
+  FROM flat GROUP BY vec_a, vec_b
+)
+SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= {NEAR_DUP_COS}
+""",
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the vector-space member of
+    the dedup family): all pairs with cosine ≥ {tau}.
+
+    At fixture scale the all-pairs join is exact and cheap and lets the
+    oracle verify values bit-for-bit; at 100 TB this operator composes
+    the sign-LSH bucketing of ann_cosine_lsh as its candidate generator
+    (identical plan shape to minhash_near_dedup → ngram_jaccard_dedup:
+    bucketed candidates, exact verify) and feeds dedup finalization
+    (connected_components) exactly like the text dedup pipeline.
+    """
+    # Materialize once: both join sides read the same normalized table.
+    vecs = _vectors(spark, sf_dir).localCheckpoint(eager=True)
+    a = vecs.select(
+        F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"), F.col("norm").alias("na")
+    )
+    b = vecs.select(
+        F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"), F.col("norm").alias("nb")
+    )
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    cosine = F.round(
+        _dot(F.col("emb_a"), F.col("emb_b")) / (F.col("na") * F.col("nb")), 6
+    )
+    return (
+        pairs.select("vec_a", "vec_b", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= NEAR_DUP_COS)
+    )
