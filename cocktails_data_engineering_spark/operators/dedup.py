@@ -9,9 +9,9 @@ pipelines:
   32 bits of md5(shingle) (bit-identical in Spark and DuckDB, so the whole
   pipeline is oracle-checkable); the 128 permutations are linear maps over
   it, computed as codegen'd arithmetic — ONE string hash per shingle.
-- **SimHash**: 16-bit signature from per-token md5 bits, banded 4×4 for the
-  pigeonhole prefilter (hamming ≤ 3 ⇒ at least one band equal), then exact
-  hamming verification with xor + bit_count.
+- **SimHash**: 48-bit signature from per-token md5 bits, banded 12×4 for
+  the pigeonhole prefilter (hamming ≤ 3 ⇒ at least one band equal), then
+  exact hamming verification with xor + bit_count.
 - **n-gram Jaccard**: exact shingle-set Jaccard computed ONLY for LSH
   candidate pairs — the verification stage of the dedup pipeline.
 - **finalization**: connected components over candidate pairs (min-label
@@ -423,35 +423,38 @@ def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
-SIMHASH_BITS = 16
+# 48-bit signatures: the widest width whose shift/sum arithmetic stays
+# safely inside signed int64 on BOTH engines (production simhash is 64-bit;
+# 48 keeps the same collision behavior class while staying oracle-exact).
+# 12 bands × 4 bits: hamming ≤ 3 ⇒ ≥ 9 bands untouched ⇒ candidate found.
+SIMHASH_BITS = 48
 SIMHASH_BAND_BITS = 4
 HAMMING_MAX = 3
 
-# Portable hex→int for the first 4 md5 hex chars (16 bits): both engines
-# index the char in a constant hex alphabet.  DuckDB twin below.
+_SIMHASH_HEX_CHARS = SIMHASH_BITS // 4  # leading md5 hex chars used
+
+# Portable hex→int for the leading md5 hex chars: both engines index the
+# char in a constant hex alphabet (no conv() dependency).  DuckDB twin below.
 _HEX = "0123456789abcdef"
 
 
-def _hex16(col):
-    """First 16 bits of md5(col) as an int, via alphabet indexing —
-    identical in any engine with strpos/instr (no conv() dependency)."""
+def _hexn(col):
+    """First SIMHASH_BITS bits of md5(col) as an int64, via alphabet
+    indexing — identical in any engine with strpos/instr."""
     h = F.md5(col)
-    parts = [
-        (F.instr(F.lit(_HEX), F.substring(h, i + 1, 1)) - 1) * (16 ** (3 - i))
-        for i in range(4)
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out + p
+    out = None
+    for i in range(_SIMHASH_HEX_CHARS):
+        part = (F.instr(F.lit(_HEX), F.substring(h, i + 1, 1)) - 1).cast("bigint") * (
+            16 ** (_SIMHASH_HEX_CHARS - 1 - i)
+        )
+        out = part if out is None else out + part
     return out
 
 
-_ORACLE_HEX16 = (
-    "((strpos('{hx}', substr(md5(word), 1, 1)) - 1) * 4096 + "
-    "(strpos('{hx}', substr(md5(word), 2, 1)) - 1) * 256 + "
-    "(strpos('{hx}', substr(md5(word), 3, 1)) - 1) * 16 + "
-    "(strpos('{hx}', substr(md5(word), 4, 1)) - 1))"
-).format(hx=_HEX)
+_ORACLE_HEXN = "(" + " + ".join(
+    f"(strpos('{_HEX}', substr(md5(word), {i + 1}, 1)) - 1) * {16 ** (_SIMHASH_HEX_CHARS - 1 - i)}"
+    for i in range(_SIMHASH_HEX_CHARS)
+) + ")"
 
 
 @register(
@@ -461,7 +464,7 @@ WITH toks AS (
   SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS word
   FROM documents
 ),
-hashed AS (SELECT doc_id, {_ORACLE_HEX16} AS hv FROM toks),
+hashed AS (SELECT doc_id, {_ORACLE_HEXN} AS hv FROM toks),
 bits AS (
   SELECT doc_id, b,
          CASE WHEN SUM(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) >= 0
@@ -483,20 +486,20 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
 """,
 )
 def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dedup: 16-bit token-frequency simhash, 4×4-bit band
+    """SimHash near-dedup: 48-bit token-frequency simhash, 12×4-bit band
     prefilter (pigeonhole: hamming ≤ 3 ⇒ some band equal), exact hamming
     via xor + bit_count.
 
-    Scale: signature build is one explode + two aggregations; the pair
-    join is band-bucketed.  Production simhash uses 64 bits — the 16-bit
-    width here keeps the oracle's integers small while exercising the
-    identical plan.
+    Scale: signature build is ONE wide aggregate (48 conditional-SUM
+    columns, map-side combined — no bit-index row fan-out); the pair
+    join is band-bucketed.  48 bits is the widest width whose arithmetic
+    stays inside signed int64 in both engines (production uses 64).
     """
     docs = load_spread(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.filter(F.split("text", " "), lambda w: w != "")).alias("word")
     )
-    hashed = toks.select("doc_id", _hex16(F.col("word")).alias("hv"))
+    hashed = toks.select("doc_id", _hexn(F.col("word")).alias("hv"))
     view = f"simhash_hashed_{next(_VIEW_COUNTER)}"
     hashed.createOrReplaceTempView(view)
     # ONE wide aggregate instead of a 16× bit-index row fan-out: each bit's

@@ -32,8 +32,12 @@ def bfs_min_depth(edges: DataFrame, roots: DataFrame, max_depth: int) -> DataFra
     Scale: each round is one shuffle-join frontier⋈edges (frontier is
     usually small → AQE flips it to broadcast); ``localCheckpoint()``
     truncates the plan so lineage doesn't grow with depth — without it,
-    round N replays rounds 0..N-1.  Guarded for max_depth=0 (reference
-    quirk Q5: pen_depth=0 crashes the reference; we return just roots).
+    round N replays rounds 0..N-1.  On a multi-executor cluster prefer
+    reliable ``checkpoint()`` (set ``spark.sparkContext.setCheckpointDir``
+    to durable storage): localCheckpoint blocks live with executors and a
+    lost executor kills the job mid-iteration.  Guarded for max_depth=0
+    (reference quirk Q5: pen_depth=0 crashes the reference; we return
+    just roots).
     """
     frontier = roots.select(F.col("node")).distinct().localCheckpoint(eager=True)
     visited = frontier.select("node", F.lit(0).alias("depth"))
