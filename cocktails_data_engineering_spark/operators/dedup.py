@@ -31,10 +31,10 @@ import itertools
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_VIEW_COUNTER = itertools.count()
-
 from ..registry import register
 from ..sources.tables import load, load_spread
+
+_VIEW_COUNTER = itertools.count()
 
 # 128 minhash permutations in 32 bands of 4: candidate threshold
 # (1/32)^(1/4) ≈ 0.42 — catches every planted ≥0.8-Jaccard duplicate with
