@@ -117,6 +117,30 @@ def read_binary_store(spark: SparkSession, path: str, glob: str | None = None) -
     return reader.load(path)
 
 
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines export — the interchange format LLM training pipelines
+    ship; one JSON object per line, splittable when compressed with a
+    splittable codec."""
+    df.write.mode(mode).json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSON-lines source.  ALWAYS pass a schema in production — schema
+    inference reads the data twice and can silently widen types."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema=None, header: bool = True) -> DataFrame:
+    """CSV source with explicit schema (no inference pass at scale)."""
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.csv(path)
+
+
 @register("jdbc_roundtrip")  # side-effectful smoke — rows-only check
 def jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sink round trip (O15): write the edge table through a sink, read it

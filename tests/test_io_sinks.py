@@ -75,3 +75,24 @@ def test_binaryfile_source(spark, tmp_path):
     assert [r[0] for r in rows] == ["a.pdf", "b.pdf"]
     assert rows[0][2] == b"%PDF-1.4 contents-a"
     assert rows[1][1] == len(b"%PDF-1.4 contents-bb")
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    from cocktails_data_engineering_spark.sources.io import read_jsonl, write_jsonl
+
+    df = spark.createDataFrame(
+        [(1, "hello", 0.5), (2, "world", 1.5)], "doc_id long, text string, score double"
+    )
+    out = str(tmp_path / "docs_jsonl")
+    write_jsonl(df, out)
+    back = read_jsonl(spark, out, schema="doc_id long, text string, score double")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_csv_reader(spark, tmp_path):
+    from cocktails_data_engineering_spark.sources.io import read_csv
+
+    p = tmp_path / "in.csv"
+    p.write_text("id,name\n1,alpha\n2,beta\n")
+    df = read_csv(spark, str(p), schema="id int, name string")
+    assert sorted(map(tuple, df.collect())) == [(1, "alpha"), (2, "beta")]
