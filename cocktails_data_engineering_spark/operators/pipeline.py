@@ -1,0 +1,150 @@
+"""Composed pipelines — the end-to-end shapes users actually run, built
+from the operator layers below and oracle-checked as single queries.
+
+- :func:`training_corpus_pipeline` is the flagship LLM-data use case this
+  engine exists for: quality-gate the corpus, then remove near-duplicate
+  cluster members, and ship the kept set.  It composes the C4-style
+  quality filter (operators/text_analysis), MinHash-LSH candidate
+  generation + connected-components finalization (operators/dedup) in one
+  plan.
+- :func:`merge_upsert_orders` is the CDC/merge pattern — the grown-up
+  version of the reference's append-only SQL staging
+  (``scripts/spiders/web_spider_oo.py:343-350``): apply a change set
+  (updates + inserts) to a snapshot via full-outer-join + coalesce, the
+  engine-agnostic MERGE INTO.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tables import load
+from .dedup import _ORACLE_CANDIDATES, connected_components, minhash_candidates
+
+# Quality gate (must stay in lockstep with text_analysis.quality_score):
+# ≥ 20 tokens and a sane stopword ratio.
+_STOPS = ("the", "a", "of", "and", "to", "in", "is")
+
+
+@register(
+    "training_corpus_pipeline",
+    oracle=f"""
+WITH RECURSIVE {_ORACLE_CANDIDATES},
+edges AS (SELECT doc_a AS u, doc_b AS v FROM cands
+          UNION SELECT doc_b, doc_a FROM cands),
+reach(node, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r
+),
+drop_set AS (SELECT node FROM reach GROUP BY node HAVING node <> MIN(r)),
+quality AS (
+  SELECT doc_id, lang, source,
+         len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tokens,
+         len(list_filter(string_split(text, ' '),
+             w -> w IN ('the','a','of','and','to','in','is'))) AS n_stopwords
+  FROM documents
+)
+SELECT doc_id, lang, source, n_tokens
+FROM quality
+WHERE n_tokens >= 20
+  AND CAST(n_stopwords AS DOUBLE) / n_tokens BETWEEN 0.01 AND 0.5
+  AND doc_id NOT IN (SELECT node FROM drop_set)
+""",
+)
+def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline: quality gate → near-dup
+    removal → kept corpus.
+
+    Scale shape: the quality gate is pure codegen'd expressions applied at
+    the scan; the drop set (non-canonical near-dup cluster members) comes
+    from the banded-LSH + connected-components pipeline and is tiny
+    relative to the corpus, so the final removal is a broadcast-able
+    left-anti join.  One pass over the documents plus the dedup machinery
+    — no operator in the chain is all-pairs or single-partition.
+    """
+    docs = load(spark, sf_dir, "documents")
+
+    toks = F.filter(F.split("text", " "), lambda w: w != "")
+    stops = _STOPS
+
+    def _stop_pred(ws):
+        return lambda w: w.isin(*ws)
+
+    quality = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(F.split("text", " "), _stop_pred(stops))).alias("n_stopwords"),
+    )
+    ratio = F.col("n_stopwords").cast("double") / F.col("n_tokens")
+    gated = quality.filter((F.col("n_tokens") >= 20) & ratio.between(0.01, 0.5))
+
+    clusters = connected_components(minhash_candidates(spark, sf_dir))
+    drop = clusters.filter(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias("doc_id")
+    )
+    return gated.join(drop, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "n_tokens"
+    )
+
+
+@register(
+    "merge_upsert_orders",
+    oracle="""
+WITH changes AS (
+  -- updates: 10% of existing orders get a repriced total
+  SELECT o_orderkey, o_totalprice * 1.1 AS o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  -- inserts: brand-new keys above the current max
+  SELECT o_orderkey + 10000000, 100.0 AS o_totalprice, 'N' AS o_orderstatus
+  FROM orders WHERE o_orderkey % 1000 = 1
+)
+SELECT COALESCE(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+       COALESCE(c.o_totalprice, b.o_totalprice) AS o_totalprice,
+       COALESCE(c.o_orderstatus, b.o_orderstatus) AS o_orderstatus
+FROM (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders) b
+FULL OUTER JOIN changes c USING (o_orderkey)
+""",
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO expressed engine-agnostically: snapshot ⟗ change-set,
+    change wins (update), unmatched change inserts, unmatched base rows
+    carry forward.
+
+    Scale: one full-outer shuffle join on the key — the same cost as any
+    keyed rewrite of the snapshot; table formats with merge-on-read defer
+    this cost, but the logical semantics are exactly this plan.
+    """
+    base = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    updates = base.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    inserts = base.filter(F.col("o_orderkey") % 1000 == 1).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        F.lit(100.0).alias("o_totalprice"),
+        F.lit("N").alias("o_orderstatus"),
+    )
+    changes = updates.unionByName(inserts)
+    b = base.alias("b")
+    c = changes.alias("c")
+    return (
+        b.join(c, F.col("b.o_orderkey") == F.col("c.o_orderkey"), "full_outer")
+        .select(
+            F.coalesce(F.col("c.o_orderkey"), F.col("b.o_orderkey")).alias("o_orderkey"),
+            F.coalesce(F.col("c.o_totalprice"), F.col("b.o_totalprice")).alias(
+                "o_totalprice"
+            ),
+            F.coalesce(F.col("c.o_orderstatus"), F.col("b.o_orderstatus")).alias(
+                "o_orderstatus"
+            ),
+        )
+    )
