@@ -210,3 +210,60 @@ def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     if media.rdd.getNumPartitions() < n:
         media = media.repartition(n)
     return extract_features(media)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_md5", T.StringType()),
+    ]
+)
+
+
+@register(
+    "video_frame_sample",
+    oracle=f"""
+WITH media AS (
+  SELECT doc_id, {_SQL_MODALITY} AS modality, text, {_SQL_HV16} AS hv
+  FROM documents
+),
+videos AS (SELECT doc_id, text, 1 + hv % 10 AS n_frames FROM media WHERE modality = 'video')
+SELECT doc_id,
+       CAST(unnest(range(0, n_frames)) AS INT) AS frame_idx,
+       md5(text || '|' || CAST(unnest(range(0, n_frames)) AS VARCHAR)) AS frame_md5
+FROM videos
+""",
+)
+def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling — the one-to-many decode shape: each video object
+    expands to its sampled frames inside ``mapInPandas`` (a real decoder
+    emits frame tensors here; the deterministic fake emits md5 frame ids
+    so DuckDB can verify the expansion and batch plumbing exactly).
+
+    Scale: output rows = Σ frames; the pandas UDF streams Arrow batches,
+    so a 2-hour video never materializes as one Python object — frames
+    yield incrementally per batch.
+    """
+    media = media_table(spark, sf_dir).filter(F.col("modality") == "video")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_doc, out_idx, out_md5 = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                hv = int(hashlib.md5(payload).hexdigest()[:4], 16)
+                for i in range(1 + hv % 10):
+                    out_doc.append(doc_id)
+                    out_idx.append(i)
+                    out_md5.append(
+                        hashlib.md5(payload + b"|" + str(i).encode()).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(out_doc, dtype="int64"),
+                    "frame_idx": pd.array(out_idx, dtype="Int32"),
+                    "frame_md5": out_md5,
+                }
+            )
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)
