@@ -521,18 +521,15 @@ def assign_dense_ids(df: DataFrame, key: str, id_name: str = "link_id") -> DataF
     )
     local_w = Window.partitionBy("_pid").orderBy(key)
     local = parts.withColumn("_local", F.row_number().over(local_w) - 1)
+    counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    # Cumulative offsets via a triangular self-join over the O(partitions)
+    # count table — no global window anywhere in the plan.
+    a = counts.alias("a")
+    b = counts.alias("b")
     offsets = (
-        local.groupBy("_pid")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .select(
-            "_pid",
-            (
-                F.sum("_n").over(
-                    Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-                )
-            ).alias("_offset"),
-        )
-        .fillna({"_offset": 0})
+        a.join(b, F.col("b._pid") < F.col("a._pid"), "left")
+        .groupBy(F.col("a._pid").alias("_pid"))
+        .agg(F.coalesce(F.sum("b._n"), F.lit(0)).alias("_offset"))
     )
     return local.join(F.broadcast(offsets), "_pid").select(
         (F.col("_local") + F.col("_offset")).alias(id_name), key
