@@ -1,0 +1,224 @@
+"""Corpus profiling and weighting operators: TF-IDF term scoring, numeric
+histograms, single-pass column profiles, and stratified deterministic
+sampling.
+
+The reference pipeline stores crawled text and defers all analysis
+(``/root/reference/README.md:2``); these are the data-profiling steps a
+training-data pipeline runs over that store before filtering decisions.
+Everything is pure Catalyst — explode / groupBy / window / one-pass
+aggregates — with the shuffle structure called out per operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.numerics import dsum, oracle_dsum
+from ..registry import register
+from ..sources.tables import load
+
+_HEX = "0123456789abcdef"
+_ORACLE_NIBBLE = f"(strpos('{_HEX}', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)"
+
+_WORDS_SQL = (
+    "SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents"
+)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF: the canonical corpus term-weighting pipeline
+# ---------------------------------------------------------------------------
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+WITH words AS (SELECT * FROM ({_WORDS_SQL}) w WHERE word <> ''),
+tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM words GROUP BY doc_id, word),
+dfreq AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY word),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.word, tf.tf,
+         ROUND(ln(CAST(n_docs AS DOUBLE) / df), 6) AS idf
+  FROM tf JOIN dfreq USING (word) CROSS JOIN n
+)
+SELECT doc_id, word, tf, ROUND(tf * idf, 6) AS tfidf
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tf * idf DESC, word) AS rk
+      FROM scored) s
+WHERE rk <= 3
+""",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the classic term-weighting
+    pipeline (term frequency × inverse document frequency).
+
+    Plan shape: one explode, then two aggregations over the same exploded
+    frame — per-(doc, word) term counts and per-word document frequencies
+    — joined back on word, ranked per doc.  Both aggs combine map-side
+    before their shuffles, and the corpus size joins in as a broadcast
+    one-row aggregate.  At 100 TB the word join is the wide operation;
+    its key space is the vocabulary, which AQE re-splits if skewed (stop
+    words are exactly the skewed keys).  IDF is rounded to 6 decimals
+    *before* the tf×idf product on both engines, so last-ulp ``ln``
+    differences can't reorder the ranking.
+    """
+    docs = load(spark, sf_dir, "documents")
+    words = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = words.groupBy("word").agg(F.count_distinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "word")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "idf", F.round(F.log(F.col("n_docs").cast("double") / F.col("df")), 6)
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        (F.col("tf") * F.col("idf")).desc(), "word"
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "word", "tf", F.round(F.col("tf") * F.col("idf"), 6).alias("tfidf"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width numeric histogram
+# ---------------------------------------------------------------------------
+@register(
+    "histogram_extendedprice",
+    oracle=f"""
+SELECT CAST(FLOOR(l_extendedprice / 5000) AS BIGINT) * 5000 AS bin_start,
+       COUNT(*) AS n,
+       {oracle_dsum('l_extendedprice')} AS bin_revenue
+FROM lineitem
+GROUP BY 1
+ORDER BY bin_start
+""",
+)
+def histogram_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of line-item prices (bin width 5000) — the
+    distribution-profiling primitive behind skew detection and outlier
+    caps.
+
+    Scale: the bin id is a pure projection, so this is a single partial+
+    final hash aggregate on ~dozens of groups; shuffle volume is the bin
+    count per task regardless of input size.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            (F.floor(F.col("l_extendedprice") / 5000).cast("long") * 5000).alias(
+                "bin_start"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("l_extendedprice")).alias("bin_revenue"),
+        )
+        .orderBy("bin_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Single-pass column profile (ANALYZE-style)
+# ---------------------------------------------------------------------------
+@register(
+    "profile_orders_columns",
+    oracle="""
+SELECT 'o_custkey' AS column_name, COUNT(*) AS n_rows,
+       COUNT(*) - COUNT(o_custkey) AS n_nulls,
+       COUNT(DISTINCT o_custkey) AS n_distinct,
+       CAST(MIN(o_custkey) AS DOUBLE) AS min_num,
+       CAST(MAX(o_custkey) AS DOUBLE) AS max_num
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+       COUNT(DISTINCT o_orderpriority), NULL, NULL
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+       COUNT(DISTINCT o_orderstatus), NULL, NULL
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+       COUNT(DISTINCT o_totalprice), MIN(o_totalprice), MAX(o_totalprice)
+FROM orders
+ORDER BY column_name
+""",
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile (rows / nulls / distinct / min / max
+    for four orders columns) computed in ONE scan.
+
+    The oracle reads the table four times for clarity; the Spark plan
+    computes all sixteen aggregates in a single pass and unpivots the
+    one-row result with ``stack`` — at 100 TB the difference is 4 scans
+    vs 1.  The multiple exact COUNT(DISTINCT)s expand the input (one
+    replica per distinct aggregate), which is the documented cost of
+    exactness; swap in approx_count_distinct when ±2 % is acceptable.
+    """
+    orders = load(spark, sf_dir, "orders")
+    one = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_custkey").alias("nn_custkey"),
+        F.count_distinct("o_custkey").alias("nd_custkey"),
+        F.min("o_custkey").cast("double").alias("min_custkey"),
+        F.max("o_custkey").cast("double").alias("max_custkey"),
+        F.count("o_orderpriority").alias("nn_priority"),
+        F.count_distinct("o_orderpriority").alias("nd_priority"),
+        F.count("o_orderstatus").alias("nn_status"),
+        F.count_distinct("o_orderstatus").alias("nd_status"),
+        F.count("o_totalprice").alias("nn_totalprice"),
+        F.count_distinct("o_totalprice").alias("nd_totalprice"),
+        F.min("o_totalprice").alias("min_totalprice"),
+        F.max("o_totalprice").alias("max_totalprice"),
+    )
+    return (
+        one.select(
+            F.expr(
+                """stack(4,
+                  'o_custkey',      n_rows, n_rows - nn_custkey,    nd_custkey,    min_custkey,           max_custkey,
+                  'o_orderpriority',n_rows, n_rows - nn_priority,   nd_priority,   CAST(NULL AS DOUBLE),  CAST(NULL AS DOUBLE),
+                  'o_orderstatus',  n_rows, n_rows - nn_status,     nd_status,     CAST(NULL AS DOUBLE),  CAST(NULL AS DOUBLE),
+                  'o_totalprice',   n_rows, n_rows - nn_totalprice, nd_totalprice, min_totalprice,        max_totalprice
+                ) AS (column_name, n_rows, n_nulls, n_distinct, min_num, max_num)"""
+            )
+        )
+        .orderBy("column_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stratified deterministic sampling
+# ---------------------------------------------------------------------------
+@register(
+    "stratified_sample_docs",
+    oracle=f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE {_ORACLE_NIBBLE} < 4
+""",
+)
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~25 % document sample (md5 nibble of doc_id < 4) —
+    the reproducible downsampling step before expensive per-doc work.
+
+    Content-independent and partition-independent: the same row lands in
+    the sample on any cluster layout, any run — unlike ``df.sample``,
+    whose output depends on partitioning.  The predicate is a pure
+    projection (no shuffle); at 100 TB this is a map-only 4× data cut.
+    Uniform hashing keeps per-language proportions (the strata) intact
+    in expectation without a per-stratum pass.
+    """
+    docs = load(spark, sf_dir, "documents")
+    nibble = (
+        F.instr(F.lit(_HEX), F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1))
+        - 1
+    )
+    return docs.filter(nibble < 4).select("doc_id", "lang", "source", "n_chars")

@@ -680,6 +680,42 @@ def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sliding_window_agg",
+    oracle=f"""
+SELECT strftime(date_trunc('hour', ts) - off * INTERVAL 1 HOUR,
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {oracle_dsum('value')} AS sum_value
+FROM events CROSS JOIN (SELECT unnest([0, 1]) AS off) offsets
+GROUP BY 1, 2
+""",
+)
+def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) event-time window: 2-hour windows advancing
+    every hour, so each event lands in exactly two overlapping windows.
+
+    ``F.window(ts, '2 hours', '1 hour')`` expands each row into its
+    window memberships before the aggregate — duplication factor =
+    window/slide = 2, then partial aggregation collapses map-side, so
+    shuffle volume stays at |windows × types| per task.  The oracle
+    makes the same expansion explicit with a 2-element unnest.  The
+    streaming twin is streaming/events.stream_sliding_window_agg.
+    """
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value")).alias("sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
     "sessionize_lag_gaps",
     oracle="""
 WITH flagged AS (
@@ -937,6 +973,99 @@ def above_avg_balance_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "c_custkey", "c_name", "c_acctbal", F.round("nation_avg", 6).alias("nation_avg")
         )
+    )
+
+
+@register(
+    "window_value_functions",
+    oracle="""
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+       FIRST_VALUE(o_totalprice) OVER w AS cheapest_in_priority,
+       LAST_VALUE(o_totalprice)  OVER w AS priciest_in_priority,
+       NTH_VALUE(o_totalprice, 2) OVER w AS second_cheapest
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+)
+def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window value functions — first_value / last_value / nth_value over
+    an explicit unbounded frame (the default frame would truncate
+    last_value at the current row; both engines get the full frame
+    spelled out).  Deterministic via the o_orderkey tiebreak."""
+    orders = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.first("o_totalprice").over(w).alias("cheapest_in_priority"),
+        F.last("o_totalprice").over(w).alias("priciest_in_priority"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_cheapest"),
+    )
+
+
+@register(
+    "window_percent_rank_cume",
+    oracle="""
+SELECT o_orderkey, o_orderpriority,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       ROUND(CUME_DIST()    OVER w, 6) AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+""",
+)
+def window_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-position window functions: percent_rank and cume_dist of
+    each order's price within its priority class.  The o_orderkey
+    tiebreak makes both rank distributions deterministic; rounding to 6
+    decimals absorbs the engines' division-order differences."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
+    "grouping_sets_priority_status",
+    oracle="""
+SELECT o_orderpriority, o_orderstatus,
+       GROUPING(o_orderpriority) AS g_priority,
+       GROUPING(o_orderstatus)   AS g_status,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+ORDER BY g_priority, g_status, o_orderpriority, o_orderstatus
+""",
+)
+def grouping_sets_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form under rollup/cube): the
+    two single-column marginals plus the grand total in ONE pass —
+    Spark expands each input row once per set, partial-aggregates
+    map-side, and distinguishes "aggregated-away" from a genuine NULL
+    key with grouping() flags (exactly the SQL-standard semantics the
+    oracle states)."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .agg(
+            F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("g_priority", "g_status", "o_orderpriority", "o_orderstatus")
     )
 
 

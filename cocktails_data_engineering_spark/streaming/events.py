@@ -105,6 +105,76 @@ def stream_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(tumbling_plan(events), "complete")
 
 
+@register(
+    "stream_sliding_window_agg",
+    oracle=f"""
+SELECT strftime(date_trunc('hour', ts) - off * INTERVAL 1 HOUR,
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {oracle_dsum('value')} AS sum_value
+FROM events CROSS JOIN (SELECT unnest([0, 1]) AS off) offsets
+GROUP BY 1, 2
+""",
+)
+def stream_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (2-hour window, 1-hour hop) watermarked aggregation over
+    the event STREAM, run to completion with availableNow — the streaming
+    twin of relational.sliding_window_agg, checked against the same
+    2-offset-unnest oracle.  State per key is bounded by the watermark;
+    each event updates exactly window/slide = 2 windows."""
+    events = read_events_stream(spark, sf_dir)
+    plan = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value")).alias("sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return _run_to_memory(plan, "complete")
+
+
+@register(
+    "stream_static_join_enrich",
+    oracle=f"""
+WITH ltv AS (
+  SELECT user_id, {oracle_dsum('value')} AS ltv
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+)
+SELECT e.user_id, COUNT(*) AS n_errors, MAX(l.ltv) AS ltv
+FROM events e JOIN ltv l ON e.user_id = l.user_id
+WHERE e.event_type = 'error'
+GROUP BY e.user_id
+""",
+)
+def stream_static_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the error-event STREAM joined to a
+    static per-user lifetime-purchase-value dimension (computed once,
+    batch), then aggregated per user.
+
+    This is the canonical streaming-ingest enrichment shape: the static
+    side is planned per micro-batch as an ordinary broadcast hash join
+    (no streaming state for the join itself); only the downstream count
+    keeps state.  Users with no purchase history drop out via the inner
+    join — the oracle says the same in SQL."""
+    static_ltv = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(dsum(F.col("value")).alias("ltv"))
+    )
+    errors = read_events_stream(spark, sf_dir).filter(F.col("event_type") == "error")
+    joined = errors.join(F.broadcast(static_ltv), "user_id")
+    plan = joined.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_errors"), F.max("ltv").alias("ltv")
+    )
+    return _run_to_memory(plan, "complete")
+
+
 STATE_SCHEMA = T.StructType([T.StructField("n", T.LongType())])
 COUNT_SCHEMA = T.StructType(
     [

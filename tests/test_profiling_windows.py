@@ -1,0 +1,61 @@
+"""Semantic invariants for the profiling / sliding-window / grouping-set
+operators — properties the DuckDB differential check can't state."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cocktails_data_engineering_spark.operators import profiling, relational
+from cocktails_data_engineering_spark.sources.tables import load
+
+
+def test_sliding_window_counts_each_event_twice(spark, sf_dir):
+    """window/slide = 2 ⇒ total window membership is exactly 2× events."""
+    n_events = load(spark, sf_dir, "events").count()
+    total = (
+        relational.sliding_window_agg(spark, sf_dir)
+        .agg(F.sum("n_events").alias("s"))
+        .collect()[0]["s"]
+    )
+    assert total == 2 * n_events
+
+
+def test_tfidf_at_most_three_terms_per_doc_and_positive(spark, sf_dir):
+    rows = profiling.tfidf_top_terms(spark, sf_dir).collect()
+    per_doc: dict[int, int] = {}
+    for r in rows:
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + 1
+        assert r["tf"] >= 1
+        assert r["tfidf"] >= 0.0  # idf >= 0 since df <= n_docs
+    assert per_doc and max(per_doc.values()) <= 3
+    # every document with at least one token is represented
+    n_docs = load(spark, sf_dir, "documents").filter(F.trim("text") != "").count()
+    assert len(per_doc) == n_docs
+
+
+def test_grouping_sets_cardinality(spark, sf_dir):
+    """Rows = |priorities| + |statuses| + 1 grand total, flags disjoint."""
+    orders = load(spark, sf_dir, "orders")
+    n_pri = orders.select("o_orderpriority").distinct().count()
+    n_sta = orders.select("o_orderstatus").distinct().count()
+    rows = relational.grouping_sets_priority_status(spark, sf_dir).collect()
+    assert len(rows) == n_pri + n_sta + 1
+    grand = [r for r in rows if r["g_priority"] == 1 and r["g_status"] == 1]
+    assert len(grand) == 1 and grand[0]["n_orders"] == orders.count()
+
+
+def test_stratified_sample_is_subset_and_deterministic(spark, sf_dir):
+    ids1 = {r["doc_id"] for r in profiling.stratified_sample_docs(spark, sf_dir).collect()}
+    ids2 = {r["doc_id"] for r in profiling.stratified_sample_docs(spark, sf_dir).collect()}
+    assert ids1 == ids2  # content-independent hash ⇒ identical across runs
+    all_ids = {r["doc_id"] for r in load(spark, sf_dir, "documents").select("doc_id").collect()}
+    assert ids1 <= all_ids
+    assert 0 < len(ids1) < len(all_ids)
+
+
+def test_profile_matches_direct_aggregates(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    prof = {r["column_name"]: r for r in profiling.profile_orders_columns(spark, sf_dir).collect()}
+    assert prof["o_custkey"]["n_distinct"] == orders.select("o_custkey").distinct().count()
+    assert prof["o_totalprice"]["max_num"] == orders.agg(F.max("o_totalprice")).collect()[0][0]
+    assert all(r["n_rows"] == orders.count() for r in prof.values())
