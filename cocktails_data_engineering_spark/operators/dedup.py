@@ -325,6 +325,10 @@ def connected_components(pairs: DataFrame) -> DataFrame:
     shallow, so 2-3 rounds in practice.  Each round is one shuffle join +
     one aggregate; lineage is truncated per round.
     """
+    # Materialize the pair list once: the symmetric union below consumes it
+    # twice, and without the checkpoint the whole upstream candidate
+    # pipeline (shingle → minhash → band join) would execute twice.
+    pairs = pairs.select("doc_a", "doc_b").localCheckpoint(eager=True)
     edges = (
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))

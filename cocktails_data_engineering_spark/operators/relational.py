@@ -54,11 +54,14 @@ ORDER BY l_returnflag, l_linestatus
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pricing summary report: the flagship scan→filter→agg→sort query.
 
-    Scale: single shuffle (partial+final hash agg on 6 groups); the shipdate
-    filter and 7-column projection push into the parquet scan, so at 100 TB
-    only the needed columns are read.
+    Scale: partial+final hash agg on 6 groups; the shipdate filter and
+    7-column projection push into the parquet scan (through the spread
+    repartition), so at 100 TB only the needed columns are read.  The
+    seven DECIMAL accumulations are compute-heavy, so the scan is spread
+    across the session's parallelism when the input has too few splits
+    (no-op on real multi-split inputs — see tables.load_spread).
     """
-    li = load(spark, sf_dir, "lineitem")
+    li = load_spread(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
