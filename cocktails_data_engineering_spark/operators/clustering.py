@@ -1,0 +1,201 @@
+"""K-means clustering over the embeddings table — the iterative-ML
+operator class (Lloyd's algorithm) expressed as DataFrame transformations.
+
+The reference has no ML surface; this supplies the embedding-clustering
+step an LLM-data pipeline runs for corpus analysis / IVF index building
+(the coarse quantizer of an IVF ANN index IS a k-means codebook — this
+composes with operators/similarity.py's ANN path).
+
+Determinism rules (the whole point of the implementation):
+
+- **Init is content-independent**: the k seed centroids are the vectors
+  whose ``md5(vec_id)`` sort first — reproducible on any engine, any
+  partitioning (same trick as extensions.train_test_split_stats).
+- **Distances fold sequentially** over the array (``zip_with`` +
+  ``aggregate``) and are rounded to 6 decimals before the argmin, with
+  the centroid id as tiebreak — last-ulp sum differences cannot flip an
+  assignment.
+- **Centroid updates accumulate in DECIMAL(18,12)** per dimension and
+  round to 6 decimals, so the next round's inputs are bit-identical
+  across engines and partitionings.
+
+Scale notes: centroids (k × dim doubles) always broadcast; the
+assignment is a map-side cross join (no shuffle of the vectors); the
+update shuffles (k × dim) partial sums per task — independent of row
+count.  Rounds are driver-loop iterations with per-round
+``localCheckpoint`` (same pattern as graph.bfs_min_depth /
+dedup.connected_components).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tables import load_spread
+
+K = 4
+DIM = 64
+N_ROUNDS = 5
+_DEC = "decimal(18,12)"
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_spread(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+
+
+def _init_centroids(vecs: DataFrame) -> DataFrame:
+    """The K vectors whose md5(vec_id) sort first, as (cid, cemb)."""
+    seeds = (
+        vecs.select("vec_id", F.md5(F.col("vec_id").cast("string")).alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(K)
+        .select("vec_id")
+    )
+    return vecs.join(F.broadcast(seeds), "vec_id").select(
+        F.col("vec_id").alias("cid"), F.col("emb").alias("cemb")
+    )
+
+
+def _assign(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest centroid per vector: (vec_id, emb, cid, d2)."""
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with("emb", "cemb", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    return (
+        vecs.crossJoin(F.broadcast(centroids))
+        .select("vec_id", "emb", "cid", d2.alias("d2"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+
+
+def _update(assigned: DataFrame) -> DataFrame:
+    """Recompute centroids: per-dimension DECIMAL mean, rounded to 6."""
+    per_dim = (
+        assigned.select("cid", F.posexplode("emb").alias("pos", "x"))
+        .groupBy("cid", "pos")
+        .agg(
+            F.round(
+                F.sum(F.col("x").cast(_DEC)).cast("double") / F.count(F.lit(1)), 6
+            ).alias("c")
+        )
+    )
+    return per_dim.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("cemb")
+    )
+
+
+# DuckDB twin of one Lloyd round, as reusable SQL fragments.  Parallel
+# unnest in one SELECT zips lists by position; lists are 1-indexed.
+_ORACLE_VECS = """
+vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+init AS (
+  SELECT vec_id AS cid, emb AS cemb
+  FROM vecs ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4
+)"""
+
+
+def _oracle_round(cent_cte: str, prefix: str) -> str:
+    return f"""
+{prefix}_flat AS (
+  SELECT v.vec_id, c.cid, unnest(v.emb) AS vx, unnest(c.cemb) AS cx
+  FROM vecs v, {cent_cte} c
+),
+{prefix}_d AS (
+  SELECT vec_id, cid, ROUND(SUM((vx - cx) * (vx - cx)), 6) AS d2
+  FROM {prefix}_flat GROUP BY vec_id, cid
+),
+{prefix}_a AS (
+  SELECT vec_id, cid, d2
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+        FROM {prefix}_d) t
+  WHERE rk = 1
+)"""
+
+
+_ORACLE_CENT1 = """
+cent1_dim AS (
+  SELECT a.cid, i,
+         ROUND(CAST(SUM(CAST(v.emb[i] AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*), 6) AS c
+  FROM r0_a a JOIN vecs v USING (vec_id)
+  CROSS JOIN generate_series(1, 64) t(i)
+  GROUP BY a.cid, i
+),
+cent1 AS (SELECT cid, list(c ORDER BY i) AS cemb FROM cent1_dim GROUP BY cid)"""
+
+
+@register(
+    "kmeans_assign_embeddings",
+    oracle=f"""
+WITH {_ORACLE_VECS},
+{_oracle_round('init', 'r0').lstrip()},
+{_ORACLE_CENT1.lstrip()},
+{_oracle_round('cent1', 'r1').lstrip()}
+SELECT vec_id, cid AS cluster_id, d2 AS dist2 FROM r1_a
+""",
+)
+def kmeans_assign_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full Lloyd round, oracle-checked end-to-end: deterministic
+    seeding → assignment → DECIMAL centroid update → re-assignment.
+    Returns each vector's cluster and (rounded) squared distance after
+    the update — every arithmetic step above is engine-stable, so DuckDB
+    reproduces the exact assignment."""
+    vecs = _vectors(spark, sf_dir)
+    cents0 = _init_centroids(vecs)
+    a0 = _assign(vecs, cents0)
+    cents1 = _update(a0)
+    a1 = _assign(vecs, cents1)
+    return a1.select(
+        "vec_id", F.col("cid").alias("cluster_id"), F.col("d2").alias("dist2")
+    )
+
+
+def lloyd(vecs: DataFrame, n_rounds: int = N_ROUNDS) -> tuple[DataFrame, list[float]]:
+    """Run n_rounds of Lloyd's algorithm; return (final assignment,
+    per-round inertia).  Driver-loop with per-round checkpoints — the
+    inertia list doubles as the convergence trace tests assert on."""
+    centroids = _init_centroids(vecs).localCheckpoint(eager=True)
+    inertia: list[float] = []
+    assigned = None
+    for _ in range(n_rounds):
+        assigned = _assign(vecs, centroids).localCheckpoint(eager=True)
+        inertia.append(assigned.agg(F.sum("d2")).collect()[0][0])
+        centroids = _update(assigned).localCheckpoint(eager=True)
+    return assigned, inertia
+
+
+@register(
+    "kmeans_embeddings",
+    oracle=None,  # iterative driver loop — rows-only; tests assert convergence
+)
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{K}-means over embeddings, {N_ROUNDS} Lloyd rounds: per-cluster
+    size and mean squared distance.  Rows-only by design (the driver
+    loop isn't single-statement SQL); tests/test_clustering.py asserts
+    the inertia trace is non-increasing and the result is run-stable."""
+    assigned, _ = lloyd(_vectors(spark, sf_dir))
+    return (
+        assigned.groupBy(F.col("cid").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.avg("d2"), 6).alias("mean_dist2"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -15,6 +15,7 @@ _OPERATOR_MODULES = (
     "cocktails_data_engineering_spark.operators.relational",
     "cocktails_data_engineering_spark.operators.tpch",
     "cocktails_data_engineering_spark.operators.profiling",
+    "cocktails_data_engineering_spark.operators.clustering",
     "cocktails_data_engineering_spark.operators.link_pipeline",
     "cocktails_data_engineering_spark.operators.graph",
     "cocktails_data_engineering_spark.operators.text_analysis",

@@ -1,0 +1,25 @@
+"""Convergence and determinism of the k-means operator (rows-only query —
+these assertions are its correctness contract)."""
+
+from __future__ import annotations
+
+from cocktails_data_engineering_spark.operators import clustering
+
+
+def test_lloyd_inertia_non_increasing(spark, sf_dir):
+    vecs = clustering._vectors(spark, sf_dir)
+    _, inertia = clustering.lloyd(vecs, n_rounds=4)
+    assert len(inertia) == 4
+    for earlier, later in zip(inertia, inertia[1:]):
+        # rounding distances to 6 decimals can cost at most ~n * 1e-6
+        assert later <= earlier + 1e-3
+    assert inertia[-1] < inertia[0]  # it actually improved
+
+
+def test_kmeans_summary_deterministic_and_complete(spark, sf_dir):
+    r1 = clustering.kmeans_embeddings(spark, sf_dir).collect()
+    r2 = clustering.kmeans_embeddings(spark, sf_dir).collect()
+    assert [tuple(r) for r in r1] == [tuple(r) for r in r2]
+    assert 1 <= len(r1) <= clustering.K
+    n_vecs = clustering._vectors(spark, sf_dir).count()
+    assert sum(r["n_members"] for r in r1) == n_vecs
