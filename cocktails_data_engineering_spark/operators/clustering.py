@@ -181,6 +181,76 @@ def lloyd(vecs: DataFrame, n_rounds: int = N_ROUNDS) -> tuple[DataFrame, list[fl
     return assigned, inertia
 
 
+@register("ivf_cosine_topk")  # approximate by design → rows-only + recall test
+def ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest-neighbor search: the k-means codebook as
+    coarse quantizer (2 Lloyd rounds), exact cosine only within the
+    query's ``nprobe=2`` nearest inverted lists.
+
+    This is the second ANN family next to similarity.ann_cosine_lsh:
+    LSH prunes by random-hyperplane bucket collision; IVF prunes by
+    learned partition.  Plan shape: centroids always broadcast (k×dim
+    doubles); list assignment is a map-side cross join; the probe joins
+    the (tiny, broadcast) query table against candidates ON the list id
+    — so the pair join is restricted to co-listed vectors, never Q·N.
+    At 100 TB the inverted lists are the partitioning scheme: cluster
+    by list id at write time and each query touches nprobe partitions.
+    Recall vs the exact cosine_topk baseline is asserted in tests.
+    """
+    from .similarity import TOP_K, _dot, _norm, _vectors as _simvecs
+
+    NPROBE = 2
+    vecs = _vectors(spark, sf_dir)
+    cents = _init_centroids(vecs).localCheckpoint(eager=True)
+    for _ in range(2):  # 2 Lloyd rounds build the codebook
+        assigned = _assign(vecs, cents).localCheckpoint(eager=True)
+        cents = _update(assigned).localCheckpoint(eager=True)
+
+    lists = _assign(vecs, cents).select("vec_id", F.col("cid").alias("list_id"))
+
+    scored_vecs = _simvecs(spark, sf_dir)  # vec_id, label, emb, norm
+    inv = scored_vecs.join(lists, "vec_id")
+
+    queries = scored_vecs.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    # nprobe nearest lists per query (distance to centroid, same metric
+    # as assignment), via the assignment helper on the query vectors
+    q_vec = queries.select(F.col("query_id").alias("vec_id"), F.col("q_emb").alias("emb"))
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with("emb", "cemb", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    probes = (
+        q_vec.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cid", d2.alias("d2"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= NPROBE)
+        .select(F.col("vec_id").alias("query_id"), F.col("cid").alias("list_id"))
+    )
+
+    cands = inv.join(
+        F.broadcast(probes.join(queries, "query_id")), "list_id"
+    ).filter(F.col("vec_id") != F.col("query_id"))
+    score = F.round(
+        _dot(F.col("q_emb"), F.col("emb")) / (F.col("q_norm") * F.col("norm")), 6
+    )
+    scored = cands.select("query_id", "vec_id", score.alias("score"))
+    wq = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(wq).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", "score", "rank")
+    )
+
+
 @register(
     "kmeans_embeddings",
     oracle=None,  # iterative driver loop — rows-only; tests assert convergence

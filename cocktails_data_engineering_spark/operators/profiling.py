@@ -195,6 +195,84 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Bigram language-model scoring
+# ---------------------------------------------------------------------------
+@register(
+    "bigram_lm_doc_score",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t
+  FROM documents
+),
+big AS (
+  SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+  FROM toks WHERE len(t) >= 2
+),
+c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM big GROUP BY w1, w2),
+c1 AS (SELECT w1, COUNT(*) AS n1 FROM big GROUP BY w1),
+scored AS (
+  SELECT big.doc_id,
+         ROUND(ln(CAST(n2 AS DOUBLE) / n1), 6) AS logp
+  FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       ROUND(CAST(SUM(CAST(logp AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*), 6)
+         AS avg_logprob
+FROM scored GROUP BY doc_id
+""",
+)
+def bigram_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model fluency score: train corpus bigram
+    probabilities P(w2|w1) = C(w1,w2)/C(w1·), then score each document by
+    its mean log-probability — the model-based quality signal (a cheap
+    stand-in for perplexity filtering) next to the rule-based
+    quality_score.
+
+    Plan shape: one explode into bigram instances feeds the two count
+    aggregations AND the scoring join (all partial-aggregated before
+    their shuffles); both count tables are vocabulary-sized, joined on
+    their natural keys.  Per-bigram log-probs round to 6 decimals before
+    the DECIMAL mean, so ``ln`` last-ulp differences can't leak into the
+    result.  At 100 TB: identical shape to TF-IDF — AQE handles the
+    stop-bigram skew.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda w: w != "")
+    big = (
+        docs.select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice("t", 1, F.size("t") - 1),
+                    F.slice("t", 2, F.size("t") - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.w1", "bg.w2")
+    )
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    logp = F.round(F.log(F.col("n2").cast("double") / F.col("n1")), 6)
+    return (
+        big.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .select("doc_id", logp.alias("logp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("logp").cast("decimal(18,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Stratified deterministic sampling
 # ---------------------------------------------------------------------------
 @register(

@@ -16,6 +16,29 @@ def test_lloyd_inertia_non_increasing(spark, sf_dir):
     assert inertia[-1] < inertia[0]  # it actually improved
 
 
+def test_ivf_recall_vs_exact(spark, sf_dir):
+    """IVF top-k must recover a decent fraction of the exact top-k (the
+    fixture's 64-dim word-soup embeddings cluster weakly, so the bar is
+    deliberately conservative), and every IVF hit must carry the same
+    score the exact path assigns (same rounding, same arithmetic)."""
+    from cocktails_data_engineering_spark.operators.similarity import cosine_topk
+
+    exact = {
+        (r["query_id"], r["vec_id"]): r["score"]
+        for r in cosine_topk(spark, sf_dir).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"]): r["score"]
+        for r in clustering.ivf_cosine_topk(spark, sf_dir).collect()
+    }
+    assert approx, "IVF returned nothing"
+    hits = set(exact) & set(approx)
+    recall = len(hits) / len(exact)
+    assert recall >= 0.3, f"recall {recall:.2f}"
+    for key in hits:
+        assert exact[key] == approx[key]
+
+
 def test_kmeans_summary_deterministic_and_complete(spark, sf_dir):
     r1 = clustering.kmeans_embeddings(spark, sf_dir).collect()
     r2 = clustering.kmeans_embeddings(spark, sf_dir).collect()
