@@ -195,6 +195,80 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Malformed-input robustness (PERMISSIVE JSON parsing)
+# ---------------------------------------------------------------------------
+@register(
+    "json_parse_robustness",
+    oracle="""
+WITH base AS (
+  SELECT props FROM events
+  UNION ALL
+  SELECT * FROM (VALUES ('{broken'), ('not json at all'), ('{"k": 42}')) v(props)
+)
+SELECT COUNT(*) AS n_total,
+       SUM(CASE WHEN json_valid(props) THEN 1 ELSE 0 END) AS n_valid,
+       SUM(CASE WHEN json_valid(props) THEN 0 ELSE 1 END) AS n_corrupt,
+       SUM(CASE WHEN json_valid(props)
+                 AND json_extract_string(props, 'k') IS NOT NULL
+                THEN 1 ELSE 0 END) AS n_with_k
+FROM base
+""",
+)
+def json_parse_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record accounting: PERMISSIVE ``from_json`` turns corrupt
+    inputs into NULL structs instead of failing the job — the ingest
+    contract any 100 TB pipeline needs (a handful of bad rows must never
+    kill a stage).  The fixture's props are all well-formed, so two
+    known-bad literals are unioned in to prove the corrupt path; the
+    oracle classifies the same rows with ``json_valid``.
+    """
+    ev = load(spark, sf_dir, "events").select("props")
+    bad = spark.createDataFrame(
+        [("{broken",), ("not json at all",), ('{"k": 42}',)], "props string"
+    )
+    base = ev.unionByName(bad)
+    # PERMISSIVE parsing yields an all-null struct for corrupt input; the
+    # explicit _corrupt_record column is what actually flags it.
+    parsed = F.from_json(
+        "props",
+        "k INT, _corrupt_record STRING",
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+    )
+    corrupt = F.col("p._corrupt_record").isNotNull()
+    return base.select(parsed.alias("p")).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(~corrupt, 1).otherwise(0)).alias("n_valid"),
+        F.sum(F.when(corrupt, 1).otherwise(0)).alias("n_corrupt"),
+        F.sum(F.when(F.col("p.k").isNotNull(), 1).otherwise(0)).alias("n_with_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sketch-based percentiles
+# ---------------------------------------------------------------------------
+@register("approx_percentile_prices")  # sketch ⇒ rows-only; error bound in tests
+def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles of order totals per priority via the
+    percentile_approx sketch (accuracy 10000) — the single-pass,
+    fixed-memory companion to the exact percentile_quantiles: sketches
+    merge associatively across partitions, so at 100 TB this costs one
+    map-side sketch per task + a tiny merge, versus the exact
+    operator's full sort.  tests/test_profiling_windows.py bounds the
+    sketch error against the exact values."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.percentile_approx(
+                "o_totalprice", [0.25, 0.5, 0.75, 0.95], 10000
+            ).alias("approx_quantiles"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Bigram language-model scoring
 # ---------------------------------------------------------------------------
 @register(

@@ -53,6 +53,27 @@ def test_stratified_sample_is_subset_and_deterministic(spark, sf_dir):
     assert 0 < len(ids1) < len(all_ids)
 
 
+def test_approx_percentile_within_tolerance_of_exact(spark, sf_dir):
+    """Sketch quantiles must land within 2% rank error of exact ones
+    (accuracy=10000 guarantees 1/10000; the loose bound keeps the test
+    robust at tiny scale factors)."""
+    orders = load(spark, sf_dir, "orders")
+    approx = {
+        r["o_orderpriority"]: r["approx_quantiles"]
+        for r in profiling.approx_percentile_prices(spark, sf_dir).collect()
+    }
+    for prio, quantiles in approx.items():
+        prices = sorted(
+            r["o_totalprice"]
+            for r in orders.filter(F.col("o_orderpriority") == prio).collect()
+        )
+        n = len(prices)
+        for q, got in zip([0.25, 0.5, 0.75, 0.95], quantiles):
+            lo = prices[max(0, int((q - 0.02) * n) - 1)]
+            hi = prices[min(n - 1, int((q + 0.02) * n))]
+            assert lo <= got <= hi, (prio, q, got, lo, hi)
+
+
 def test_profile_matches_direct_aggregates(spark, sf_dir):
     orders = load(spark, sf_dir, "orders")
     prof = {r["column_name"]: r for r in profiling.profile_orders_columns(spark, sf_dir).collect()}
