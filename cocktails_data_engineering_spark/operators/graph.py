@@ -138,3 +138,97 @@ def connected_reachable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank (fixed-iteration, engine-stable arithmetic)
+# ---------------------------------------------------------------------------
+PR_ITERS = 3
+PR_DAMPING = 0.85
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled PR_ITERS PageRank iterations as chained CTEs.
+
+    Arithmetic contract (mirrored exactly by the Spark plan): per-edge
+    contributions round to 12 decimals, accumulate in DECIMAL(18,12)
+    (order-independent), and each iteration's rank rounds to 9 decimals
+    — so both engines carry bit-identical ranks into the next round.
+    Dangling-node mass is dropped (documented variant; both sides agree).
+    """
+    parts = [
+        """WITH e AS (SELECT DISTINCT o_custkey % 30 AS src, o_orderkey % 30 AS dst FROM orders),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+n AS (SELECT COUNT(*) AS n_nodes FROM nodes),
+outd AS (SELECT src, COUNT(*) AS out_deg FROM e GROUP BY src),
+r0 AS (SELECT node, ROUND(1.0 / n_nodes, 9) AS rank FROM nodes CROSS JOIN n)"""
+    ]
+    prev = "r0"
+    for i in range(1, PR_ITERS + 1):
+        parts.append(
+            f"""c{i} AS (
+  SELECT e.dst, ROUND(r.rank / o.out_deg, 12) AS contrib
+  FROM e JOIN {prev} r ON r.node = e.src JOIN outd o ON o.src = e.src
+),
+s{i} AS (
+  SELECT dst, CAST(SUM(CAST(contrib AS DECIMAL(18,12))) AS DOUBLE) AS in_sum
+  FROM c{i} GROUP BY dst
+),
+r{i} AS (
+  SELECT nodes.node,
+         ROUND((1 - {PR_DAMPING}) / n_nodes + {PR_DAMPING} * COALESCE(s{i}.in_sum, 0.0), 9) AS rank
+  FROM nodes CROSS JOIN n LEFT JOIN s{i} ON s{i}.dst = nodes.node
+)"""
+        )
+        prev = f"r{i}"
+    return ",\n".join(parts) + f"\nSELECT node, rank FROM {prev}"
+
+
+@register("pagerank_crawl_graph", oracle=_pagerank_oracle())
+def pagerank_crawl_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the derived link graph, PR_ITERS fixed iterations
+    (damping 0.85) — the canonical iterative graph algorithm a crawl
+    index feeds (ranking crawled pages by link structure).
+
+    Spark shape per iteration: contributions = edges ⋈ ranks ⋈ out-degrees
+    (one shuffle on src), DECIMAL-summed per destination (one shuffle on
+    dst, partial map-side), then a left join back to the node set for
+    dangling destinations.  Ranks round to 9 decimals per round and
+    contributions to 12 BEFORE the order-independent DECIMAL sum, so any
+    partitioning — 8 local threads or 1000 executors — produces the
+    identical result the unrolled-CTE oracle computes.  The driver loop
+    checkpoints per round (lineage truncation, same as bfs_min_depth).
+    """
+    e = derived_edges(spark, sf_dir).localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.count()
+    outd = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    ranks = nodes.select("node", F.round(F.lit(1.0) / n_nodes, 9).alias("rank"))
+
+    for _ in range(PR_ITERS):
+        contrib = (
+            e.join(ranks, ranks.node == e.src)
+            .join(outd, "src")
+            .select("dst", F.round(F.col("rank") / F.col("out_deg"), 12).alias("contrib"))
+        )
+        in_sum = contrib.groupBy("dst").agg(
+            F.sum(F.col("contrib").cast("decimal(18,12)")).cast("double").alias("in_sum")
+        )
+        ranks = (
+            nodes.join(in_sum, nodes.node == in_sum.dst, "left")
+            .select(
+                "node",
+                F.round(
+                    (1 - PR_DAMPING) / n_nodes
+                    + PR_DAMPING * F.coalesce("in_sum", F.lit(0.0)),
+                    9,
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -175,6 +175,28 @@ def stream_static_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(plan, "complete")
 
 
+@register("stream_session_window_agg")  # session merging is Spark-native → rows-only
+def stream_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (5-minute gap) per user over the event
+    STREAM — the stateful session-merging operator: open sessions live in
+    state, extend/merge as events arrive, and close once the watermark
+    passes the gap.  Run to completion with availableNow; pytest asserts
+    the result equals the batch session_window_agg row-for-row (the
+    streaming twin of tests' lag-gap cross-check)."""
+    events = read_events_stream(spark, sf_dir)
+    plan = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "user_id",
+            "n_events",
+        )
+    )
+    return _run_to_memory(plan, "complete")
+
+
 STATE_SCHEMA = T.StructType([T.StructField("n", T.LongType())])
 COUNT_SCHEMA = T.StructType(
     [

@@ -37,3 +37,16 @@ def test_stateful_counts_match_groupby(spark, sf_dir):
         .withColumnRenamed("count", "n_events").toPandas()
     )
     pd.testing.assert_frame_equal(stream_counts, batch_counts)
+
+
+def test_stream_session_window_matches_batch(spark, sf_dir):
+    """The streaming session-window result (availableNow, run to
+    completion) must equal the batch session_window_agg exactly."""
+    from cocktails_data_engineering_spark.operators.relational import session_window_agg
+    from cocktails_data_engineering_spark.streaming.events import (
+        stream_session_window_agg,
+    )
+
+    batch = {tuple(r) for r in session_window_agg(spark, sf_dir).collect()}
+    stream = {tuple(r) for r in stream_session_window_agg(spark, sf_dir).collect()}
+    assert stream == batch
