@@ -307,3 +307,137 @@ def q22_wealthy_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q2-flavored argmin-per-group: join back to the per-group minimum
+# ---------------------------------------------------------------------------
+@register(
+    "cheapest_supplier_per_part",
+    oracle="""
+WITH priced AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(l_extendedprice / l_quantity) AS unit_price
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+ranked AS (
+  SELECT l_partkey, l_suppkey, ROUND(unit_price, 6) AS unit_price,
+         ROW_NUMBER() OVER (PARTITION BY l_partkey
+                            ORDER BY unit_price, l_suppkey) AS rk
+  FROM priced
+)
+SELECT r.l_partkey, s.s_name, r.unit_price
+FROM ranked r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE rk = 1
+""",
+)
+def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2's essential shape (argmin per group): the supplier with
+    the lowest observed unit price for every part.
+
+    Plan: per-(part, supplier) MIN aggregate (one shuffle, map-side
+    partials), then a row_number window on the aggregated (small) frame
+    — never a self-join of the fact against a per-group MIN subquery,
+    which would scan twice.  Supplier resolves via broadcast.  Unit
+    price is a double division identical in both engines; rounding only
+    at output (the rank orders on the raw double on both sides).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    supp = F.broadcast(load(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    priced = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_partkey").orderBy("unit_price", "l_suppkey")
+    return (
+        priced.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("l_partkey", "s_name", F.round("unit_price", 6).alias("unit_price"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Left-outer aggregate: keep empty groups
+# ---------------------------------------------------------------------------
+@register(
+    "customer_order_counts_left",
+    oracle="""
+SELECT c_custkey, c_mktsegment,
+       COUNT(o_orderkey) AS n_orders,
+       COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 0.0)
+         AS total_spend
+FROM customer
+LEFT JOIN orders ON o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+GROUP BY c_custkey, c_mktsegment
+""",
+)
+def customer_order_counts_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer aggregate: urgent-order count and spend per customer,
+    KEEPING customers with none (count 0, spend 0.0) — the outer-join
+    null-handling contract (COUNT skips nulls, SUM of no rows coalesces
+    to zero) stated identically in both engines.  The priority filter
+    lives in the JOIN CONDITION, not a WHERE (a WHERE would silently
+    turn the left join inner — the classic outer-join bug, tested here
+    against the oracle)."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        cust.join(
+            orders,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("o_orderpriority") == "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast(DEC)).cast("double"), F.lit(0.0)
+            ).alias("total_spend"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Date arithmetic: shipping latency
+# ---------------------------------------------------------------------------
+@register(
+    "order_ship_latency",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(date_diff('day', o_orderdate, l_shipdate) AS DECIMAL(18,6)))
+            AS DOUBLE) / COUNT(*) AS avg_latency_days,
+       MAX(date_diff('day', o_orderdate, l_shipdate)) AS max_latency_days
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def order_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic over the order→ship timeline: average and maximum
+    days from order to line-item shipment per priority.  ``datediff`` on
+    day-truncated timestamps matches DuckDB's ``date_diff('day', ...)``
+    exactly (both fixture columns are midnight-aligned); the mean goes
+    through DECIMAL so group order can't shift the double."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    lat = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("o_orderpriority", lat.alias("lat"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            (F.sum(F.col("lat").cast(DEC)).cast("double") / F.count(F.lit(1))).alias(
+                "avg_latency_days"
+            ),
+            F.max("lat").alias("max_latency_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
