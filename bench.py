@@ -1,17 +1,25 @@
 """Benchmark harness — the driver's per-round feedback loop.
 
 Runs every registered query at ``$SPARK_GRAFT_SF_DIR`` (default
-``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
-JSON line::
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]``.  The FINAL
+stdout line is ONE compact JSON object (kept well under 2000 chars — the
+driver captures only a bounded tail)::
 
-    {"metric": "...", "value": <total_sec>, "unit": "sec",
-     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+    {"metric": "...", "value": <headline_sec>, "unit": "sec",
+     "queries": {<headline queries only>}, "sf": 0.1,
+     "total_all_queries_sec": ..., "n_queries": ..., "failed": [...]}
+
+The full per-query timing map (every registered query) is written to
+``BENCH_DETAIL.json`` next to this script and also printed as an earlier
+stdout line for the log.
 
 Each query is forced through the noop datasource sink so the full plan
 executes (a bare ``count()`` lets Catalyst prune projections); timings are
 wall-clock per query on a shared warmed SparkSession, matching how a real
 deployment would run a query mix.  Failures are recorded as ``null`` and
-never abort the run — the driver needs the line either way.
+never abort the run — but a failed HEADLINE query makes ``value`` null
+(with the culprits listed in ``failed``) rather than silently summing it
+as 0.0 and looking faster.
 """
 
 from __future__ import annotations
@@ -103,20 +111,48 @@ def main() -> None:
             timings[name] = None
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
 
-    headline = round(sum(timings.get(n) or 0.0 for n in HEADLINE), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total wall-clock over the fixed SURVEY §2.3 headline set "
-                f"({len(HEADLINE)} queries, noop sink); per-query timings cover every "
-                "registered query",
-                "value": headline,
-                "unit": "sec",
-                "queries": timings,
-                "sf": _sf_of(sf_dir),
-            }
-        )
-    )
+    failed = sorted(n for n, t in timings.items() if t is None)
+    failed_headline = [n for n in HEADLINE if timings.get(n) is None]
+    ran = [t for t in timings.values() if t is not None]
+    headline: float | None
+    if failed_headline:
+        headline = None  # a broken headline query must read as a failure, not a speedup
+    else:
+        headline = round(sum(timings[n] for n in HEADLINE), 3)
+
+    detail = {
+        "sf": _sf_of(sf_dir),
+        "headline_sec": headline,
+        "total_all_queries_sec": round(sum(ran), 3),
+        "n_queries": len(timings),
+        "n_failed": len(failed),
+        "failed": failed,
+        "queries": timings,
+    }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
+    except OSError as exc:
+        print(f"bench: could not write {detail_path}: {exc}", file=sys.stderr)
+    # Full map on an EARLY stdout line (for the log); the final line stays compact.
+    print(json.dumps(detail, sort_keys=True))
+
+    summary = {
+        "metric": f"headline wall-clock, fixed {len(HEADLINE)}-query SURVEY core set, noop sink",
+        "value": headline,
+        "unit": "sec",
+        "queries": {n: timings.get(n) for n in HEADLINE},
+        "sf": _sf_of(sf_dir),
+        "total_all_queries_sec": round(sum(ran), 3),
+        "n_queries": len(timings),
+        "failed": failed[:20],
+    }
+    line = json.dumps(summary)
+    if len(line) > 1900:  # hard guard: the driver keeps only a 2000-char tail
+        summary.pop("queries")
+        line = json.dumps(summary)
+    print(line)
     spark.stop()
 
 

@@ -201,16 +201,16 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_parse_robustness",
     oracle="""
 WITH base AS (
-  SELECT props FROM events
+  SELECT props FROM events WHERE props IS NOT NULL
   UNION ALL
   SELECT * FROM (VALUES ('{broken'), ('not json at all'), ('{"k": 42}')) v(props)
 )
 SELECT COUNT(*) AS n_total,
-       SUM(CASE WHEN json_valid(props) THEN 1 ELSE 0 END) AS n_valid,
-       SUM(CASE WHEN json_valid(props) THEN 0 ELSE 1 END) AS n_corrupt,
-       SUM(CASE WHEN json_valid(props)
+       CAST(SUM(CASE WHEN json_valid(props) THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+       CAST(SUM(CASE WHEN json_valid(props) THEN 0 ELSE 1 END) AS BIGINT) AS n_corrupt,
+       CAST(SUM(CASE WHEN json_valid(props)
                  AND json_extract_string(props, 'k') IS NOT NULL
-                THEN 1 ELSE 0 END) AS n_with_k
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_with_k
 FROM base
 """,
 )
@@ -222,7 +222,14 @@ def json_parse_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
     known-bad literals are unioned in to prove the corrupt path; the
     oracle classifies the same rows with ``json_valid``.
     """
-    ev = load(spark, sf_dir, "events").select("props")
+    # NULL props are excluded on BOTH sides: Spark's from_json(NULL) yields a
+    # null struct (counted valid) while DuckDB's json_valid(NULL) is NULL
+    # (counted corrupt) — the contract here is "classify non-null strings".
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("props")
+        .filter(F.col("props").isNotNull())
+    )
     bad = spark.createDataFrame(
         [("{broken",), ("not json at all",), ('{"k": 42}',)], "props string"
     )

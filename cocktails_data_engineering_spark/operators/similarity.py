@@ -246,39 +246,107 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-NEAR_DUP_COS = 0.5  # fixture embeddings are near-random; real corpora use ~0.95
+# Fixture embeddings are near-random (real corpora use ~0.95); 0.4 keeps a
+# few dozen true pairs at sf0.01 so the oracle hashes real rows, not ∅.
+NEAR_DUP_COS = 0.4
+EMB_DIM = 64  # fixture embedding width (FIXTURES.md §B embeddings)
 
 
-@register(
-    "embedding_near_dup_pairs",
-    oracle=f"""
-WITH vecs AS ({_ORACLE_VECS}),
-flat AS (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.norm AS na, b.norm AS nb,
-         unnest(a.emb) AS xa, unnest(b.emb) AS xb
-  FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
-),
-scored AS (
-  SELECT vec_a, vec_b,
-         ROUND(SUM(xa * xb) / (ANY_VALUE(na) * ANY_VALUE(nb)), 6) AS cosine
-  FROM flat GROUP BY vec_a, vec_b
-)
-SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= {NEAR_DUP_COS}
-""",
-)
-def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (the vector-space member of
-    the dedup family): all pairs with cosine ≥ {tau}.
+def _plane_values(n_planes: int, dim: int) -> list[list[float]]:
+    """Hyperplane components in [-1, 1) derived from md5("hp|h|i") — the
+    SAME derivation as :func:`_hyperplanes` and as the DuckDB oracle's
+    planes CTE.  int(first-4-hex, 16) / 32768 - 1 is exact binary
+    arithmetic (power-of-two denominator), so Python, Spark and DuckDB
+    produce bit-identical doubles from the same md5 hex."""
+    import hashlib
 
-    At fixture scale the all-pairs join is exact and cheap and lets the
-    oracle verify values bit-for-bit; at 100 TB this operator composes
-    the sign-LSH bucketing of ann_cosine_lsh as its candidate generator
-    (identical plan shape to minhash_near_dedup → ngram_jaccard_dedup:
-    bucketed candidates, exact verify) and feeds dedup finalization
-    (connected_components) exactly like the text dedup pipeline.
-    """
-    # Materialize once: both join sides read the same normalized table.
-    vecs = _vectors(spark, sf_dir).localCheckpoint(eager=True)
+    return [
+        [
+            int(hashlib.md5(f"hp|{h}|{i}".encode()).hexdigest()[:4], 16) / 32768.0 - 1.0
+            for i in range(dim)
+        ]
+        for h in range(n_planes)
+    ]
+
+
+def _sig_col(dim: int) -> Column:
+    """16-bit sign-LSH signature of ``emb`` as ONE map-side projection:
+    per plane, a sequential zip_with/aggregate fold (deterministic,
+    partition-order independent), rounded to 6 decimals before the sign
+    test so both engines agree at the boundary; bits packed via
+    shiftleft.  Planes are constant literals — no join, no shuffle, full
+    whole-stage codegen."""
+    terms = []
+    for h, plane in enumerate(_plane_values(N_PLANES, dim)):
+        arr = ",".join(f"CAST('{v!r}' AS DOUBLE)" for v in plane)
+        terms.append(
+            f"shiftleft(CAST(round(aggregate(zip_with(emb, array({arr}),"
+            f" (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x), 6) >= 0"
+            f" AS INT), {h})"
+        )
+    return F.expr("(" + " + ".join(terms) + ")").cast("int")
+
+
+def lsh_candidate_pairs(vecs: DataFrame, dim: int = EMB_DIM) -> DataFrame:
+    """(vec_a < vec_b) candidate pairs sharing ≥1 sign-LSH band bucket.
+
+    The only shuffle is the equi-join on (band, band_val) — cost is
+    Σ bucket² per band, never N².  At 100 TB, N_PLANES/BAND_BITS widen
+    with corpus size (more planes → smaller buckets) without changing
+    the plan shape."""
+    sig = vecs.select("vec_id", _sig_col(dim).alias("sig"))
+    n_bands = N_PLANES // BAND_BITS
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.expr(f"shiftright(sig, {b * BAND_BITS})")
+                .bitwiseAND(2**BAND_BITS - 1)
+                .alias("band_val"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = sig.select("vec_id", F.explode(band_structs).alias("bb")).select(
+        "vec_id", "bb.band", "bb.band_val"
+    )
+    a = bands.select(F.col("vec_id").alias("vec_a"), "band", "band_val")
+    b = bands.select(F.col("vec_id").alias("vec_b"), "band", "band_val")
+    return (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+
+
+def near_dup_pairs_lsh(vecs: DataFrame, tau: float, dim: int = EMB_DIM) -> DataFrame:
+    """Sign-LSH candidates + exact cosine verify ≥ tau — the 100 TB shape
+    (mirror of minhash_near_dedup → ngram_jaccard_dedup: bucketed
+    candidates, exact verify on candidates only)."""
+    vecs = vecs.localCheckpoint(eager=True)  # sig scan + two verify joins reuse it
+    cand = lsh_candidate_pairs(vecs, dim)
+    va = vecs.select(
+        F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"), F.col("norm").alias("na")
+    )
+    vb = vecs.select(
+        F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"), F.col("norm").alias("nb")
+    )
+    cosine = F.round(
+        _dot(F.col("emb_a"), F.col("emb_b")) / (F.col("na") * F.col("nb")), 6
+    )
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select("vec_a", "vec_b", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= tau)
+    )
+
+
+def near_dup_pairs_allpairs(vecs: DataFrame, tau: float) -> DataFrame:
+    """Exact all-pairs ground truth (O(N²) BroadcastNestedLoopJoin) —
+    NOT registered; fixture-scale only, used by the containment pytest
+    to measure the LSH composition's recall."""
     a = vecs.select(
         F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"), F.col("norm").alias("na")
     )
@@ -291,5 +359,71 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         pairs.select("vec_a", "vec_b", cosine.alias("cosine"))
-        .filter(F.col("cosine") >= NEAR_DUP_COS)
+        .filter(F.col("cosine") >= tau)
     )
+
+
+# DuckDB reproduces the ENTIRE LSH pipeline — planes from md5, rounded
+# projections, sign bits, band buckets — so the oracle value-checks the
+# exact candidate set the Spark plan produces, not a looser superset.
+_N_BANDS = N_PLANES // BAND_BITS
+_ORACLE_MD5 = "md5('hp|' || hs.range || '|' || isq.range)"
+_ORACLE_PLANE_R = " + ".join(
+    f"(strpos('{_HEX}', substr({_ORACLE_MD5}, {p + 1}, 1)) - 1) * {16 ** (3 - p)}"
+    for p in range(4)
+)
+
+
+@register(
+    "embedding_near_dup_pairs",
+    oracle=f"""
+WITH vecs AS ({_ORACLE_VECS}),
+planes AS (
+  SELECT CAST(hs.range AS INT) AS h, CAST(isq.range AS INT) AS i,
+         ({_ORACLE_PLANE_R}) / 32768.0 - 1.0 AS r
+  FROM range({N_PLANES}) hs, range({EMB_DIM}) isq
+),
+proj AS (
+  SELECT v.vec_id, p.h, ROUND(SUM(v.emb[p.i + 1] * p.r), 6) AS pr
+  FROM vecs v CROSS JOIN planes p
+  GROUP BY v.vec_id, p.h
+),
+sigs AS (
+  SELECT vec_id, CAST(SUM(CASE WHEN pr >= 0 THEN 1 << h ELSE 0 END) AS INT) AS sig
+  FROM proj GROUP BY vec_id
+),
+bands AS (
+  SELECT s.vec_id, CAST(b.range AS INT) AS band,
+         (s.sig >> CAST(b.range * {BAND_BITS} AS INT)) & {2**BAND_BITS - 1} AS band_val
+  FROM sigs s, range({_N_BANDS}) b
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_val = b.band_val AND a.vec_id < b.vec_id
+),
+flat AS (
+  SELECT c.vec_a, c.vec_b, va.norm AS na, vb.norm AS nb,
+         unnest(va.emb) AS xa, unnest(vb.emb) AS xb
+  FROM cand c
+  JOIN vecs va ON va.vec_id = c.vec_a
+  JOIN vecs vb ON vb.vec_id = c.vec_b
+),
+scored AS (
+  SELECT vec_a, vec_b,
+         ROUND(SUM(xa * xb) / (ANY_VALUE(na) * ANY_VALUE(nb)), 6) AS cosine
+  FROM flat GROUP BY vec_a, vec_b
+)
+SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= {NEAR_DUP_COS}
+""",
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the vector-space member of
+    the dedup family), in the 100 TB shape: sign-LSH band buckets
+    generate candidates (the only shuffle is an equi-join on
+    (band, band_val) — no N² nested-loop anywhere), exact cosine verify
+    keeps pairs ≥ {tau}.  The oracle reproduces the identical
+    deterministic LSH filter in DuckDB, so this is a full value-hash
+    check, not rows-only; recall vs the all-pairs ground truth is
+    asserted separately in tests/test_similarity.py."""
+    return near_dup_pairs_lsh(_vectors(spark, sf_dir), NEAR_DUP_COS)
