@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..checkpointing import materialize
 from ..registry import register
 from ..sources.tables import load_spread
 
@@ -171,13 +172,13 @@ def lloyd(vecs: DataFrame, n_rounds: int = N_ROUNDS) -> tuple[DataFrame, list[fl
     """Run n_rounds of Lloyd's algorithm; return (final assignment,
     per-round inertia).  Driver-loop with per-round checkpoints — the
     inertia list doubles as the convergence trace tests assert on."""
-    centroids = _init_centroids(vecs).localCheckpoint(eager=True)
+    centroids = _init_centroids(vecs).transform(materialize)
     inertia: list[float] = []
     assigned = None
     for _ in range(n_rounds):
-        assigned = _assign(vecs, centroids).localCheckpoint(eager=True)
+        assigned = _assign(vecs, centroids).transform(materialize)
         inertia.append(assigned.agg(F.sum("d2")).collect()[0][0])
-        centroids = _update(assigned).localCheckpoint(eager=True)
+        centroids = _update(assigned).transform(materialize)
     return assigned, inertia
 
 
@@ -201,10 +202,10 @@ def ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     NPROBE = 2
     vecs = _vectors(spark, sf_dir)
-    cents = _init_centroids(vecs).localCheckpoint(eager=True)
+    cents = _init_centroids(vecs).transform(materialize)
     for _ in range(2):  # 2 Lloyd rounds build the codebook
-        assigned = _assign(vecs, cents).localCheckpoint(eager=True)
-        cents = _update(assigned).localCheckpoint(eager=True)
+        assigned = _assign(vecs, cents).transform(materialize)
+        cents = _update(assigned).transform(materialize)
 
     lists = _assign(vecs, cents).select("vec_id", F.col("cid").alias("list_id"))
 

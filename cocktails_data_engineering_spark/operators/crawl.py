@@ -43,6 +43,7 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 from ..functions import linkops
+from ..checkpointing import materialize
 from ..registry import register
 from ..sources.tables import load
 
@@ -155,29 +156,52 @@ FETCH_SCHEMA = T.StructType(
 )
 
 
+def politeness_delay_rng(seed: int, partition_id: int) -> "random.Random":
+    """Seeded per-partition RNG for politeness jitter: deterministic for a
+    given (seed, partition), independent across partitions — so tests can
+    reproduce draws while a 1000-task fetch stage doesn't sleep in
+    lockstep."""
+    import random
+
+    return random.Random(f"{seed}|{partition_id}")
+
+
 def fetch_pages(
     urls: DataFrame,
     transport_factory: Callable[[], object] = SyntheticSiteTransport,
     delay_s: float = 0.0,
+    delay_range_s: "tuple[float, float] | None" = None,
     backoff_s: float = 0.0,
+    jitter_seed: int = 0,
 ) -> DataFrame:
     """Fetch every ``url`` through an injectable transport (O1-O3).
 
     One transport per partition (session construction, O2); retry with
-    exponential backoff on 5xx (O3); ``delay_s`` politeness sleep between
-    requests (O1 — the reference sleeps 40-90 s; tests pass 0).  Callers
-    should first ``repartition(n, domain)`` so per-domain politeness holds
+    exponential backoff on 5xx (O3); politeness sleep between requests
+    (O1).  The reference draws a fresh ``randint(40, 90)`` seconds per
+    request (web_spider_oo.py:231-232,246) — pass
+    ``delay_range_s=(40, 90)`` for that behavior (uniform draw from a
+    seeded per-partition RNG, so runs are reproducible); ``delay_s``
+    keeps the fixed-delay form.  Tests pass 0/None.  Callers should
+    first ``repartition(n, domain)`` so per-domain politeness holds
     cluster-wide; :func:`crawl_edges` does.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        rng = politeness_delay_rng(jitter_seed, ctx.partitionId() if ctx else 0)
         transport = transport_factory()
         first = True
         for pdf in batches:
             rows = []
             for url in pdf["url"]:
-                if not first and delay_s:
-                    time.sleep(delay_s)
+                if not first:
+                    if delay_range_s is not None:
+                        time.sleep(rng.uniform(*delay_range_s))
+                    elif delay_s:
+                        time.sleep(delay_s)
                 first = False
                 result = transport.get(url)
                 for attempt in range(1, MAX_RETRIES + 1):
@@ -262,7 +286,7 @@ def crawl_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     urls = pages(spark, sf_dir).select("url")
     # Per-domain politeness partitioning: one domain → one partition.
     urls = urls.repartition(8, F.expr("parse_url(url, 'HOST')"))
-    fetched = fetch_pages(urls).localCheckpoint(eager=True)  # fence non-determinism
+    fetched = fetch_pages(urls).transform(materialize)  # fence non-determinism
     ok = fetched.filter(F.col("status_code") == 200)
     links = ok.select(
         F.col("url").alias("parent_link"),
@@ -327,9 +351,9 @@ def _spider_run(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
     edge_frames = []
 
     for depth in range(CRAWL_DEPTH):
-        frontier = frontier.join(visited, "url", "left_anti").localCheckpoint(eager=True)
-        visited = visited.union(frontier).localCheckpoint(eager=True)
-        fetched = fetch_pages(frontier).localCheckpoint(eager=True)
+        frontier = frontier.join(visited, "url", "left_anti").transform(materialize)
+        visited = visited.union(frontier).transform(materialize)
+        fetched = fetch_pages(frontier).transform(materialize)
         ok = fetched.filter(F.col("status_code") == 200)
         links = (
             ok.select(
@@ -355,7 +379,7 @@ def _spider_run(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
         edges = edges.union(f)
     # Q4: unvisited last-frontier children still join the vertex table.
     unique_links = visited.union(frontier.join(visited, "url", "left_anti")).select("url")
-    return edges.localCheckpoint(eager=True), unique_links.localCheckpoint(eager=True)
+    return edges.transform(materialize), unique_links.transform(materialize)
 
 
 @register(

@@ -31,6 +31,7 @@ import itertools
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..checkpointing import materialize
 from ..registry import register
 from ..sources.tables import load, load_spread
 
@@ -285,7 +286,7 @@ def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialize once: shingled feeds four plan branches (the candidate
     # generator, counts, and both join sides) — without the checkpoint
     # the shingle pipeline runs 4×.
-    shingled = _shingles(docs).localCheckpoint(eager=True)
+    shingled = _shingles(docs).transform(materialize)
     cands = minhash_candidates_from(shingled)
     counts = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = shingled.alias("sa")
@@ -328,16 +329,16 @@ def connected_components(pairs: DataFrame) -> DataFrame:
     # Materialize the pair list once: the symmetric union below consumes it
     # twice, and without the checkpoint the whole upstream candidate
     # pipeline (shingle → minhash → band join) would execute twice.
-    pairs = pairs.select("doc_a", "doc_b").localCheckpoint(eager=True)
+    pairs = pairs.select("doc_a", "doc_b").transform(materialize)
     edges = (
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     labels = edges.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("cluster_id")
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
 
     while True:
         nbr_min = (
@@ -353,7 +354,7 @@ def connected_components(pairs: DataFrame) -> DataFrame:
                     "cluster_id"
                 ),
             )
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         changed = (
             new_labels.alias("n")

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..checkpointing import materialize
 from ..registry import register
 from ..sources.tables import load
 
@@ -30,16 +31,16 @@ def bfs_min_depth(edges: DataFrame, roots: DataFrame, max_depth: int) -> DataFra
     visited-set dedup), expand via the edge list, union into visited.
 
     Scale: each round is one shuffle-join frontier⋈edges (frontier is
-    usually small → AQE flips it to broadcast); ``localCheckpoint()``
-    truncates the plan so lineage doesn't grow with depth — without it,
-    round N replays rounds 0..N-1.  On a multi-executor cluster prefer
-    reliable ``checkpoint()`` (set ``spark.sparkContext.setCheckpointDir``
-    to durable storage): localCheckpoint blocks live with executors and a
-    lost executor kills the job mid-iteration.  Guarded for max_depth=0
+    usually small → AQE flips it to broadcast); per-round
+    :func:`..checkpointing.materialize` truncates the plan so lineage
+    doesn't grow with depth — without it, round N replays rounds 0..N-1.
+    Set ``spark.graft.checkpointDir`` to durable storage on a real
+    cluster and every round checkpoints reliably (localCheckpoint blocks
+    die with a lost executor).  Guarded for max_depth=0
     (reference quirk Q5: pen_depth=0 crashes the reference; we return
     just roots).
     """
-    frontier = roots.select(F.col("node")).distinct().localCheckpoint(eager=True)
+    frontier = roots.select(F.col("node")).distinct().transform(materialize)
     visited = frontier.select("node", F.lit(0).alias("depth"))
 
     for depth in range(1, max_depth + 1):
@@ -48,12 +49,12 @@ def bfs_min_depth(edges: DataFrame, roots: DataFrame, max_depth: int) -> DataFra
             .select(F.col("dst").alias("node"))
             .distinct()
         )
-        frontier = children.join(visited, "node", "left_anti").localCheckpoint(eager=True)
+        frontier = children.join(visited, "node", "left_anti").transform(materialize)
         if not frontier.take(1):
             break
         visited = visited.union(frontier.select("node", F.lit(depth).alias("depth")))
 
-    return visited.localCheckpoint(eager=True)
+    return visited.transform(materialize)
 
 
 def derived_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -199,12 +200,12 @@ def pagerank_crawl_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical result the unrolled-CTE oracle computes.  The driver loop
     checkpoints per round (lineage truncation, same as bfs_min_depth).
     """
-    e = derived_edges(spark, sf_dir).localCheckpoint(eager=True)
+    e = derived_edges(spark, sf_dir).transform(materialize)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     n_nodes = nodes.count()
     outd = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
@@ -229,6 +230,6 @@ def pagerank_crawl_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                     9,
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
     return ranks

@@ -54,12 +54,15 @@ _SQL_MODALITY = (
 )
 
 
-def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+def media_table(spark: SparkSession, sf_dir: str, spread: bool = False) -> DataFrame:
     """documents → (doc_id, modality, payload binary, n_bytes).
 
     The schema a real media lake has: opaque bytes + typed metadata.
+    ``spread=True`` routes the scan through :func:`tables.load_spread`
+    for compute-amplified consumers (pandas-UDF decode) — a no-op when
+    the input already has ≥cores splits.
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = (load_spread if spread else load)(spark, sf_dir, "documents")
     modality = (
         F.when(F.col("doc_id") % 4 == 0, "image")
         .when(F.col("doc_id") % 4 == 1, "audio")
@@ -203,13 +206,9 @@ def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over the media table through mapInPandas — the
     decode stage's plumbing (schema, batching, null typing) verified
     end-to-end against the SQL twin of the deterministic fake decode."""
-    media = media_table(spark, sf_dir)
-    # Spread before the pandas UDF: the single-row-group fixture scan would
-    # otherwise feed ONE Python worker (see tables.load_spread).
-    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    if media.rdd.getNumPartitions() < n:
-        media = media.repartition(n)
-    return extract_features(media)
+    # spread=True: the single-row-group fixture scan would otherwise feed
+    # ONE Python worker (see tables.load_spread).
+    return extract_features(media_table(spark, sf_dir, spread=True))
 
 
 FRAME_SCHEMA = T.StructType(

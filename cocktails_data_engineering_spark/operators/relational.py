@@ -763,11 +763,43 @@ def sessionize_lag_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessions.groupBy("user_id", "session_id").agg(F.count(F.lit(1)).alias("n_events"))
 
 
-@register("session_window_agg")  # no oracle: session_window is Spark-native
+@register(
+    "session_window_agg",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN prev_ts IS NULL OR ts - prev_ts >= INTERVAL 5 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM ordered
+),
+sessions AS (
+  SELECT user_id, ts,
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       user_id,
+       COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_id
+""",
+)
 def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Native session windows (5-minute gap) per user — rows-only check;
-    tests/test_session_windows.py asserts its session count equals a
-    lag-gap sessionization computed at the same 5-minute gap."""
+    """Native session windows (5-minute gap) per user.
+
+    The oracle reproduces session_window's merge rule with the lag-gap
+    idiom: per-event windows [ts, ts+gap) merge only when they OVERLAP,
+    so an event exactly gap after its predecessor starts a NEW session —
+    hence ``>= INTERVAL 5 MINUTE`` (not ``>``) in the oracle's
+    new-session flag; session start is the first event's ts.
+    tests/test_session_windows.py additionally cross-checks against an
+    independent batch sessionization."""
     ev = load(spark, sf_dir, "events")
     return (
         ev.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")

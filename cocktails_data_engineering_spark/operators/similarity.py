@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..checkpointing import materialize
 from ..registry import register
 from ..sources.tables import load_spread
 
@@ -324,7 +325,7 @@ def near_dup_pairs_lsh(vecs: DataFrame, tau: float, dim: int = EMB_DIM) -> DataF
     """Sign-LSH candidates + exact cosine verify ≥ tau — the 100 TB shape
     (mirror of minhash_near_dedup → ngram_jaccard_dedup: bucketed
     candidates, exact verify on candidates only)."""
-    vecs = vecs.localCheckpoint(eager=True)  # sig scan + two verify joins reuse it
+    vecs = vecs.transform(materialize)  # sig scan + two verify joins reuse it
     cand = lsh_candidate_pairs(vecs, dim)
     va = vecs.select(
         F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"), F.col("norm").alias("na")

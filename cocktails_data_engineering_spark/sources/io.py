@@ -52,6 +52,28 @@ class SinkConfig:
     def jdbc_url(self) -> str:
         return f"jdbc:postgresql://{self.host}:{self.port}/{self.database}"
 
+    @classmethod
+    def from_url(cls, url: str, **overrides) -> "SinkConfig":
+        """Config from a ``jdbc:postgresql://host:port/db`` URL (optionally
+        ``?user=...&password=...``) — so pointing ``SPARK_GRAFT_JDBC_URL``
+        at a remote database actually targets it instead of the localhost
+        defaults."""
+        from urllib.parse import parse_qs, urlparse
+
+        parsed = urlparse(url.removeprefix("jdbc:"))
+        qs = {k: v[-1] for k, v in parse_qs(parsed.query).items()}
+        kwargs = dict(
+            host=parsed.hostname or cls.host,
+            port=parsed.port or cls.port,
+            database=parsed.path.lstrip("/") or cls.database,
+        )
+        if parsed.username or "user" in qs:
+            kwargs["user"] = parsed.username or qs["user"]
+        if parsed.password or "password" in qs:
+            kwargs["password"] = parsed.password or qs["password"]
+        kwargs.update(overrides)
+        return cls(**kwargs)
+
     def qualified(self, table: str) -> str:
         return f"{self.schema}.{table}"
 
@@ -153,7 +175,7 @@ def jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     jdbc_url = os.environ.get("SPARK_GRAFT_JDBC_URL")
     if jdbc_url:
-        cfg = SinkConfig()
+        cfg = SinkConfig.from_url(jdbc_url)
         write_jdbc(edges, cfg, cfg.indexing_table, mode="overwrite")
         back = read_jdbc(spark, cfg, cfg.indexing_table)
         sink = "jdbc"

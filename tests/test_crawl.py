@@ -12,6 +12,7 @@ from cocktails_data_engineering_spark.operators.crawl import (
     FetchResult,
     extract_hrefs,
     fetch_pages,
+    politeness_delay_rng,
 )
 
 
@@ -60,6 +61,36 @@ def test_politeness_delay_paces_requests(spark):
     fetch_pages(urls, transport_factory=_scripted({}), delay_s=0.1).collect()
     elapsed = time.monotonic() - t0
     assert elapsed >= 0.3  # 3 inter-request sleeps for 4 urls in one partition
+
+
+def test_politeness_jitter_draws_in_range_and_deterministic():
+    """Reference fidelity: web_spider_oo.py draws randint(40, 90) per
+    request; our seeded per-partition RNG must stay in the configured
+    range, reproduce for a (seed, partition), and differ across
+    partitions."""
+    rng = politeness_delay_rng(seed=0, partition_id=0)
+    draws = [rng.uniform(40, 90) for _ in range(200)]
+    assert all(40 <= d <= 90 for d in draws)
+    again = politeness_delay_rng(seed=0, partition_id=0)
+    assert [again.uniform(40, 90) for _ in range(200)] == draws
+    other = politeness_delay_rng(seed=0, partition_id=1)
+    assert [other.uniform(40, 90) for _ in range(200)] != draws
+
+
+def test_politeness_jitter_paces_and_is_semantics_neutral(spark):
+    urls = spark.createDataFrame(
+        [(f"http://t/p{i}",) for i in range(4)], "url string"
+    ).coalesce(1)
+    t0 = time.monotonic()
+    rows = {
+        r.url: r.status_code
+        for r in fetch_pages(
+            urls, transport_factory=_scripted({}), delay_range_s=(0.05, 0.1)
+        ).collect()
+    }
+    elapsed = time.monotonic() - t0
+    assert elapsed >= 0.15  # 3 inter-request sleeps ≥ 0.05 each
+    assert set(rows.values()) == {200}  # delay changes pacing, not results
 
 
 def test_extract_hrefs_edge_cases(spark):

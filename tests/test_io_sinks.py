@@ -25,6 +25,19 @@ def test_sink_config_jdbc_options():
     assert "s3cret" not in repr(cfg)  # password never in logs
 
 
+def test_sink_config_from_url():
+    cfg = SinkConfig.from_url("jdbc:postgresql://db.remote:5433/spiderdata?user=crawler&password=pw")
+    assert cfg.host == "db.remote"
+    assert cfg.port == 5433
+    assert cfg.database == "spiderdata"
+    assert cfg.user == "crawler"
+    assert cfg.password == "pw"
+    assert cfg.jdbc_url == "jdbc:postgresql://db.remote:5433/spiderdata"
+    # defaults survive a bare URL
+    bare = SinkConfig.from_url("jdbc:postgresql://h/db")
+    assert (bare.port, bare.user, bare.schema) == (5432, "postgres", "raw")
+
+
 def test_text_document_sink_format(spark, tmp_path):
     docs = spark.createDataFrame(
         [

@@ -1,7 +1,7 @@
-"""session_window_agg has no SQL oracle (session_window is Spark-native);
-verify its semantics against an independent lag-gap sessionization at the
-same 5-minute gap: total session count and per-user event totals must
-agree."""
+"""session_window_agg semantics beyond the DuckDB oracle: an independent
+lag-gap sessionization at the same 5-minute gap (>= — per-event windows
+[ts, ts+gap) merge only when they overlap) must agree on total session
+count and per-user event totals."""
 
 from __future__ import annotations
 
@@ -20,7 +20,7 @@ def test_session_window_matches_lag_gap_sessionization(spark, sf_dir):
     gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
     flagged = ev.select(
         "user_id",
-        F.when(F.lag("ts").over(w).isNull() | (gap_us > 300 * 1_000_000), 1)
+        F.when(F.lag("ts").over(w).isNull() | (gap_us >= 300 * 1_000_000), 1)
         .otherwise(0)
         .alias("new_session"),
     )
