@@ -19,9 +19,11 @@ pipelines:
 
 Scale notes: every stage is explode → shuffle-on-key → aggregate; the only
 quadratic step is *within a bucket* (band bucket or shingle bucket), which
-is the point of LSH — bucket sizes stay bounded as the corpus grows.  At
-100 TB, add a salt to hot band buckets (identical boilerplate docs) before
-the self-join; AQE's skew-join handles moderate skew automatically.
+is the point of LSH — bucket sizes stay bounded as the corpus grows.  Hot
+band buckets (identical boilerplate docs) are capped: populations over
+HOT_BUCKET_CAP emit a linear star around the bucket's min doc instead of
+bucket² pairs (connectivity-preserving for the cluster finalizer); AQE's
+skew-join handles moderate residual skew automatically.
 """
 
 from __future__ import annotations
@@ -179,6 +181,13 @@ _ORACLE_BANDS = "\nUNION ALL\n".join(
     for b in range(N_BANDS)
 )
 
+# Hot-bucket control: a band bucket holding > HOT_BUCKET_CAP docs (10⁵
+# copies of one boilerplate page) would otherwise emit bucket² pairs.
+# Over-cap buckets emit a STAR around the bucket's min doc instead —
+# linear fan-out, identical within-bucket connectivity for the
+# connected-components finalizer.  Mirrored verbatim in the oracle.
+HOT_BUCKET_CAP = 32
+
 # Candidate-pair CTE chain reused by minhash_near_dedup, the Jaccard
 # verifier, and the cluster finalizer.
 _ORACLE_CANDIDATES = f"""
@@ -186,10 +195,23 @@ shingled AS ({_ORACLE_SHINGLES}),
 hashed AS (SELECT doc_id, {_ORACLE_X} AS x FROM shingled),
 mins AS (SELECT doc_id, {_ORACLE_MINS} FROM hashed GROUP BY doc_id),
 bands AS ({_ORACLE_BANDS}),
+sized AS (
+  SELECT doc_id, band_id, band_key,
+         COUNT(*) OVER (PARTITION BY band_id, band_key) AS bucket_n,
+         MIN(doc_id) OVER (PARTITION BY band_id, band_key) AS anchor
+  FROM bands
+),
 cands AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
-    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  SELECT DISTINCT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sized a JOIN sized b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    WHERE a.bucket_n <= {HOT_BUCKET_CAP}
+    UNION ALL
+    SELECT anchor AS doc_a, doc_id AS doc_b
+    FROM sized
+    WHERE bucket_n > {HOT_BUCKET_CAP} AND doc_id <> anchor
+  ) u
 )
 """
 
@@ -211,7 +233,13 @@ _SPARK_STACK = "stack({n}, {args})".format(
 def minhash_candidates_from(shingled: DataFrame) -> DataFrame:
     """Candidate pairs from an existing (doc_id, shingle) table — lets
     callers that also need the shingles (the Jaccard verifier) compute
-    them once."""
+    them once.
+
+    Hot-bucket control: the per-bucket window counts each (band_id,
+    band_key) population; buckets over HOT_BUCKET_CAP emit a star around
+    the bucket's min doc (linear, connectivity-preserving) instead of
+    bucket² pairs — the boilerplate-corpus guard.  The window shuffles on
+    the same key the self-join needs, so it costs no extra exchange."""
     spark = shingled.sparkSession
     hashed = shingled.select("doc_id", _x_col().alias("x"))
     view = f"minhash_hashed_{next(_VIEW_COUNTER)}"
@@ -219,10 +247,23 @@ def minhash_candidates_from(shingled: DataFrame) -> DataFrame:
     return spark.sql(
         f"""
 WITH mins AS (SELECT doc_id, {_SPARK_MINS} FROM {view} GROUP BY doc_id),
-bands AS (SELECT doc_id, {_SPARK_STACK} AS (band_id, band_key) FROM mins)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b
-  ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+bands AS (SELECT doc_id, {_SPARK_STACK} AS (band_id, band_key) FROM mins),
+sized AS (
+  SELECT doc_id, band_id, band_key,
+         COUNT(*) OVER (PARTITION BY band_id, band_key) AS bucket_n,
+         MIN(doc_id) OVER (PARTITION BY band_id, band_key) AS anchor
+  FROM bands
+)
+SELECT DISTINCT doc_a, doc_b FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sized a JOIN sized b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  WHERE a.bucket_n <= {HOT_BUCKET_CAP}
+  UNION ALL
+  SELECT anchor AS doc_a, doc_id AS doc_b
+  FROM sized
+  WHERE bucket_n > {HOT_BUCKET_CAP} AND doc_id <> anchor
+) u
 """
     )
 
@@ -482,12 +523,27 @@ bands AS (
   SELECT doc_id, simhash, band,
          (simhash >> (band * {SIMHASH_BAND_BITS})) & {2**SIMHASH_BAND_BITS - 1} AS band_val
   FROM sigs, (SELECT unnest(range(0, {SIMHASH_BITS // SIMHASH_BAND_BITS})) AS band)
+),
+sized AS (
+  SELECT doc_id, simhash, band, band_val,
+         COUNT(*) OVER (PARTITION BY band, band_val) AS bucket_n,
+         MIN(doc_id) OVER (PARTITION BY band, band_val) AS anchor
+  FROM bands
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash AS sa, b.simhash AS sb
+  FROM sized a JOIN sized b
+    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+  WHERE a.bucket_n <= {HOT_BUCKET_CAP}
+  UNION ALL
+  SELECT s.anchor AS doc_a, s.doc_id AS doc_b, g.simhash AS sa, s.simhash AS sb
+  FROM sized s JOIN sigs g ON g.doc_id = s.anchor
+  WHERE s.bucket_n > {HOT_BUCKET_CAP} AND s.doc_id <> s.anchor
 )
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-FROM bands a JOIN bands b
-  ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+SELECT DISTINCT doc_a, doc_b,
+       CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM pairs
+WHERE bit_count(xor(sa, sb)) <= {HAMMING_MAX}
 """,
 )
 def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -497,10 +553,16 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: signature build is ONE wide aggregate (48 conditional-SUM
     columns, map-side combined — no bit-index row fan-out); the pair
-    join is band-bucketed.  48 bits is the widest width whose arithmetic
+    join is band-bucketed with the same hot-bucket star cap as the
+    minhash pipeline.  48 bits is the widest width whose arithmetic
     stays inside signed int64 in both engines (production uses 64).
     """
-    docs = load_spread(spark, sf_dir, "documents")
+    return simhash_pairs(load_spread(spark, sf_dir, "documents"))
+
+
+def simhash_pairs(docs: DataFrame) -> DataFrame:
+    """SimHash candidate+verify pairs from any (doc_id, text) DataFrame."""
+    spark = docs.sparkSession
     toks = docs.select(
         "doc_id", F.explode(F.filter(F.split("text", " "), lambda w: w != "")).alias("word")
     )
@@ -526,11 +588,26 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"""
 WITH balances AS (SELECT doc_id, {bit_sums} FROM {view} GROUP BY doc_id),
 sigs AS (SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM balances),
-bands AS (SELECT doc_id, simhash, stack({n_bands}, {stack}) AS (band, band_val) FROM sigs)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(bit_count(a.simhash ^ b.simhash) AS INT) AS hamming
-FROM bands a JOIN bands b
-  ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
-WHERE bit_count(a.simhash ^ b.simhash) <= {HAMMING_MAX}
+bands AS (SELECT doc_id, simhash, stack({n_bands}, {stack}) AS (band, band_val) FROM sigs),
+sized AS (
+  SELECT doc_id, simhash, band, band_val,
+         COUNT(*) OVER (PARTITION BY band, band_val) AS bucket_n,
+         MIN(doc_id) OVER (PARTITION BY band, band_val) AS anchor
+  FROM bands
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash AS sa, b.simhash AS sb
+  FROM sized a JOIN sized b
+    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+  WHERE a.bucket_n <= {HOT_BUCKET_CAP}
+  UNION ALL
+  SELECT s.anchor AS doc_a, s.doc_id AS doc_b, g.simhash AS sa, s.simhash AS sb
+  FROM sized s JOIN sigs g ON g.doc_id = s.anchor
+  WHERE s.bucket_n > {HOT_BUCKET_CAP} AND s.doc_id <> s.anchor
+)
+SELECT DISTINCT doc_a, doc_b,
+       CAST(bit_count(sa ^ sb) AS INT) AS hamming
+FROM pairs
+WHERE bit_count(sa ^ sb) <= {HAMMING_MAX}
 """
     )

@@ -1,0 +1,68 @@
+"""Hot-bucket control in the LSH band joins: a boilerplate cluster (many
+copies of one page) must produce LINEAR candidate fan-out (star around the
+bucket's min doc), not bucket² pairs — while keeping the cluster fully
+connected for the connected-components finalizer."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cocktails_data_engineering_spark.operators.dedup import (
+    HOT_BUCKET_CAP,
+    _shingles,
+    connected_components,
+    minhash_candidates_from,
+    simhash_pairs,
+)
+
+N_BOILER = 3 * HOT_BUCKET_CAP  # decisively over the cap
+
+
+def _boilerplate_docs(spark):
+    """N_BOILER identical pages + a handful of unrelated docs."""
+    boiler = "breaking news subscribe to our newsletter terms privacy contact about careers sitemap"
+    rows = [(i, boiler) for i in range(N_BOILER)]
+    rows += [
+        (1000, "a completely different document about cocktails and data engineering pipelines"),
+        (1001, "spark catalyst optimizer chooses the physical plan for declarative queries here"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_minhash_hot_bucket_star_fanout(spark):
+    docs = _boilerplate_docs(spark)
+    pairs = minhash_candidates_from(_shingles(docs)).collect()
+    boiler_pairs = [(r.doc_a, r.doc_b) for r in pairs if r.doc_a < N_BOILER and r.doc_b < N_BOILER]
+    # linear star, not quadratic: N-1 pairs all anchored at min doc 0
+    assert len(boiler_pairs) == N_BOILER - 1
+    assert {a for a, _ in boiler_pairs} == {0}
+    assert {b for _, b in boiler_pairs} == set(range(1, N_BOILER))
+
+
+def test_minhash_hot_bucket_keeps_cluster_connected(spark):
+    docs = _boilerplate_docs(spark)
+    pairs = minhash_candidates_from(_shingles(docs))
+    labels = {
+        r.node: r.cluster_id for r in connected_components(pairs).collect()
+    }
+    assert {labels[i] for i in range(N_BOILER)} == {0}  # one component, min label
+
+
+def test_simhash_hot_bucket_star_fanout(spark):
+    docs = _boilerplate_docs(spark)
+    pairs = simhash_pairs(docs).collect()
+    boiler_pairs = [(r.doc_a, r.doc_b) for r in pairs if r.doc_a < N_BOILER and r.doc_b < N_BOILER]
+    assert len(boiler_pairs) == N_BOILER - 1
+    assert {a for a, _ in boiler_pairs} == {0}
+    # identical docs ⇒ identical signatures ⇒ hamming 0 on every star edge
+    assert all(r.hamming == 0 for r in pairs if r.doc_a == 0 and r.doc_b < N_BOILER)
+
+
+def test_cold_buckets_still_all_pairs(spark):
+    """Under the cap, semantics are unchanged: a small group of identical
+    docs yields every pair, not a star."""
+    n = 5
+    rows = [(i, "tiny duplicated page body with enough words to form shingles here") for i in range(n)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pairs = {(r.doc_a, r.doc_b) for r in minhash_candidates_from(_shingles(docs)).collect()}
+    assert pairs == {(a, b) for a in range(n) for b in range(n) if a < b}
