@@ -291,3 +291,80 @@ def run_foreach_batch(plan: DataFrame, output_mode: str = "complete") -> list[pd
     )
     q.awaitTermination()
     return collected
+
+
+@register(
+    "stream_stream_interval_join",
+    oracle="""
+SELECT p.user_id,
+       p.event_id AS purchase_event_id,
+       e.event_id AS error_event_id
+FROM events p
+JOIN events e
+  ON e.user_id = p.user_id
+ AND p.event_type = 'purchase' AND e.event_type = 'error'
+ AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 1 HOUR
+""",
+)
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with an event-time interval condition:
+    every error within one hour AFTER a purchase by the same user — the
+    funnel/attribution shape.
+
+    Both sides carry watermarks; the interval bound tells Spark exactly
+    how long to buffer each side's state (purchases are droppable once
+    the error-side watermark passes ts + 1 h, errors once the
+    purchase-side watermark passes ts) — without the bound, stream-stream
+    join state grows forever.  Run to completion with availableNow; the
+    oracle is the identical batch interval join."""
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    errors = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("user_id"),
+            F.col("event_id").alias("error_event_id"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "1 hour")
+    )
+    joined = purchases.join(
+        errors,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("e_ts") >= F.col("p_ts"))
+        & (F.col("e_ts") <= F.col("p_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("user_id", "purchase_event_id", "error_event_id")
+    return _run_to_memory(joined, "append")
+
+
+@register(
+    "stream_dedup_within_watermark",
+    oracle="""
+SELECT DISTINCT user_id, event_type FROM events
+""",
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with BOUNDED state: ``dropDuplicatesWithinWatermark``
+    keeps one row per (user_id, event_type) among events inside the
+    watermark horizon, then EVICTS the key — unlike plain dropDuplicates,
+    whose key state grows with every distinct key forever.  The right
+    dedup for at-least-once sources where duplicates arrive close
+    together (retries, replays).  On this backlog every event falls in
+    one availableNow pass, so the survivors equal batch DISTINCT — the
+    oracle; what the operator buys at 100 TB is the eviction."""
+    events = read_events_stream(spark, sf_dir).select("user_id", "event_type", "ts")
+    deduped = (
+        events.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return _run_to_memory(deduped, "append")
