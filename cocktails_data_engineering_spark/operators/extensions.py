@@ -227,3 +227,56 @@ def train_test_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
         .orderBy("split", "lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-salted equi-join (replicate-the-dim)
+# ---------------------------------------------------------------------------
+def salted_equi_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    fact_salt: F.Column,
+    n_salts: int = N_SALTS,
+) -> DataFrame:
+    """Equi-join where the FACT side is salted and the DIM side is
+    replicated ×``n_salts``: rows of a hot key spread across ``n_salts``
+    reducers instead of landing on one.
+
+    ``fact_salt`` must be a deterministic 0..n_salts-1 expression over
+    fact columns (e.g. ``pmod(hash(event_id), n_salts)``) so results are
+    reproducible.  Result set is IDENTICAL to the plain join — only the
+    partitioning changes.  Use when one key holds a disproportionate
+    share of the fact and the dim is too big to broadcast (a broadcast
+    join needs no salt; AQE skew-split handles moderate cases — explicit
+    salting is the heavy-skew fallback that works on any Spark).
+    """
+    salted_fact = fact.withColumn("_salt", fact_salt.cast("int"))
+    salts = F.array(*[F.lit(s) for s in range(n_salts)])
+    salted_dim = dim.withColumn("_salt", F.explode(salts))
+    return salted_fact.join(salted_dim, [key, "_salt"]).drop("_salt")
+
+
+@register(
+    "salted_join_event_enrich",
+    oracle="""
+SELECT e.event_id, e.user_id, u.n_user_events
+FROM events e
+JOIN (SELECT user_id, COUNT(*) AS n_user_events FROM events GROUP BY user_id) u
+  ON u.user_id = e.user_id
+WHERE e.event_type = 'error'
+""",
+)
+def salted_join_event_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error events enriched with each user's total activity through the
+    salted join: fact salt = pmod(hash(event_id), N_SALTS) (deterministic
+    per row), per-user dim replicated ×N_SALTS.  Oracle is the UNSALTED
+    SQL join — proving salting changes the shuffle layout, never the
+    result."""
+    ev = load(spark, sf_dir, "events")
+    dim = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_user_events"))
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "user_id")
+    salt = F.pmod(F.hash("event_id"), F.lit(N_SALTS))
+    return salted_equi_join(errors, dim, "user_id", salt).select(
+        "event_id", "user_id", "n_user_events"
+    )

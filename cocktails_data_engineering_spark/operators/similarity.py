@@ -11,11 +11,12 @@ similarity-search layer a training-data pipeline needs (SURVEY.md §2.3
   whole-stage codegen; scores are rounded to 6 decimals so the DuckDB
   oracle hash is ulp-proof.
 - **ann_cosine_lsh** — the scale path: random-hyperplane sign-LSH.  16
-  deterministic md5-derived hyperplanes → 16 sign bits → 4 bands of 4
+  deterministic md5-derived hyperplanes (compiled as literal arrays into
+  one map-side signature projection) → 16 sign bits → 4 bands of 4
   bits; candidates share a band bucket (pigeonhole), exact cosine is then
   computed on candidates only.  At 100 TB the brute-force Q·N join is
-  impossible; this plan's joins are all either broadcast (hyperplanes,
-  query signatures) or bucketed (band values), so cost is Σ bucket².
+  impossible; this plan's joins are all either broadcast (query
+  signatures) or bucketed (band values), so cost is Σ bucket².
 - **embedding_norm_stats** — per-label vector-norm profile (the sanity
   scan run before any similarity job).
 
@@ -128,58 +129,23 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hyperplanes(spark: SparkSession, dim: int) -> DataFrame:
-    """(h, i, r) — N_PLANES deterministic pseudo-random hyperplanes with
-    components in [-1, 1), derived from md5("hp|h|i") so any engine can
-    reproduce them bit-for-bit."""
-    h = spark.range(N_PLANES).select(F.col("id").cast("int").alias("h"))
-    i = spark.range(dim).select(F.col("id").cast("int").alias("i"))
-    key = F.md5(F.concat_ws("|", F.lit("hp"), F.col("h"), F.col("i")))
-    parts = [
-        (F.instr(F.lit(_HEX), F.substring(key, p + 1, 1)) - 1) * (16 ** (3 - p))
-        for p in range(4)
-    ]
-    hv = parts[0]
-    for p in parts[1:]:
-        hv = hv + p
-    return h.crossJoin(i).select("h", "i", (hv / F.lit(32768.0) - 1.0).alias("r"))
-
-
 @register("ann_cosine_lsh")  # approximate by design → rows-only check
 def ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate cosine top-k via random-hyperplane sign-LSH.
 
-    Pipeline: posexplode vectors → broadcast-join the 16×dim hyperplane
-    table → per-(vec, plane) partial-aggregated dot product → sign bit →
-    16-bit signature → 4 band values of 4 bits.  Query signatures
-    broadcast-join candidate band values; exact cosine runs only on the
-    candidate set.  No all-pairs step anywhere — the 100 TB shape.
+    Pipeline: 16-bit signature as ONE map-side projection (literal
+    md5-derived hyperplanes folded per plane — no join, no shuffle, full
+    codegen; see :func:`_sig_col`) → 4 band values of 4 bits via a
+    literal-array explode → query signatures broadcast-join candidate
+    band values → exact cosine only on the candidate set.  No all-pairs
+    step and no nested-loop join anywhere (asserted in
+    tests/test_plan_contracts.py) — the 100 TB shape.
 
     Recall vs cosine_topk is asserted in tests (the banded prefilter
     keeps every pair whose signatures agree on ≥1 band).
     """
     vecs = _vectors(spark, sf_dir)
-    dim = 64  # fixture embedding width (FIXTURES.md §B embeddings)
-    hp = _hyperplanes(spark, dim)
-
-    flat = vecs.select("vec_id", F.posexplode("emb").alias("i", "x"))
-    bits = (
-        flat.join(F.broadcast(hp), "i")
-        .groupBy("vec_id", "h")
-        .agg(F.when(F.sum(F.col("x") * F.col("r")) >= 0, 1).otherwise(0).alias("bit"))
-    )
-    sigs = bits.groupBy("vec_id").agg(
-        F.sum(F.expr("shiftleft(bit, h)")).cast("int").alias("sig")
-    )
-    n_bands = N_PLANES // BAND_BITS
-    band_range = spark.range(n_bands).select(F.col("id").cast("int").alias("band"))
-    bands = sigs.crossJoin(F.broadcast(band_range)).select(
-        "vec_id",
-        "band",
-        F.expr(f"shiftright(sig, band * {BAND_BITS})")
-        .bitwiseAND(2**BAND_BITS - 1)
-        .alias("band_val"),
-    )
+    bands = _band_table(vecs, EMB_DIM)
 
     q_bands = bands.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"), "band", "band_val"
@@ -255,8 +221,7 @@ EMB_DIM = 64  # fixture embedding width (FIXTURES.md §B embeddings)
 
 def _plane_values(n_planes: int, dim: int) -> list[list[float]]:
     """Hyperplane components in [-1, 1) derived from md5("hp|h|i") — the
-    SAME derivation as :func:`_hyperplanes` and as the DuckDB oracle's
-    planes CTE.  int(first-4-hex, 16) / 32768 - 1 is exact binary
+    SAME derivation the DuckDB oracle's planes CTE performs in SQL.  int(first-4-hex, 16) / 32768 - 1 is exact binary
     arithmetic (power-of-two denominator), so Python, Spark and DuckDB
     produce bit-identical doubles from the same md5 hex."""
     import hashlib
@@ -288,13 +253,10 @@ def _sig_col(dim: int) -> Column:
     return F.expr("(" + " + ".join(terms) + ")").cast("int")
 
 
-def lsh_candidate_pairs(vecs: DataFrame, dim: int = EMB_DIM) -> DataFrame:
-    """(vec_a < vec_b) candidate pairs sharing ≥1 sign-LSH band bucket.
-
-    The only shuffle is the equi-join on (band, band_val) — cost is
-    Σ bucket² per band, never N².  At 100 TB, N_PLANES/BAND_BITS widen
-    with corpus size (more planes → smaller buckets) without changing
-    the plan shape."""
+def _band_table(vecs: DataFrame, dim: int = EMB_DIM) -> DataFrame:
+    """(vec_id, band, band_val): the sign-LSH band bucket memberships of
+    every vector — signature as one map-side projection, bands via a
+    literal-array explode (constant ×n_bands fan-out, no join)."""
     sig = vecs.select("vec_id", _sig_col(dim).alias("sig"))
     n_bands = N_PLANES // BAND_BITS
     band_structs = F.array(
@@ -308,9 +270,19 @@ def lsh_candidate_pairs(vecs: DataFrame, dim: int = EMB_DIM) -> DataFrame:
             for b in range(n_bands)
         ]
     )
-    bands = sig.select("vec_id", F.explode(band_structs).alias("bb")).select(
+    return sig.select("vec_id", F.explode(band_structs).alias("bb")).select(
         "vec_id", "bb.band", "bb.band_val"
     )
+
+
+def lsh_candidate_pairs(vecs: DataFrame, dim: int = EMB_DIM) -> DataFrame:
+    """(vec_a < vec_b) candidate pairs sharing ≥1 sign-LSH band bucket.
+
+    The only shuffle is the equi-join on (band, band_val) — cost is
+    Σ bucket² per band, never N².  At 100 TB, N_PLANES/BAND_BITS widen
+    with corpus size (more planes → smaller buckets) without changing
+    the plan shape."""
+    bands = _band_table(vecs, dim)
     a = bands.select(F.col("vec_id").alias("vec_a"), "band", "band_val")
     b = bands.select(F.col("vec_id").alias("vec_b"), "band", "band_val")
     return (

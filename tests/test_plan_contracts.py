@@ -1,0 +1,77 @@
+"""Physical-plan contracts: the scale properties docs/PLAN_AUDIT.md claims
+are asserted here so a regression (a lost pushdown, a join that stops
+broadcasting, a nested-loop sneaking in) fails CI instead of surfacing at
+100 TB.  Checks read the AQE-final/initial physical plan string — coarse,
+but exactly what `.explain("formatted")` shows a human."""
+
+from __future__ import annotations
+
+import pytest
+
+from cocktails_data_engineering_spark.plans import queries as plans
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = plans.all_queries()[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q6_filters_reach_the_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q6_forecast_revenue")
+    assert "PushedFilters: [" in plan
+    # the shipdate range must be pushed, not evaluated post-scan only
+    assert "GreaterThanOrEqual(l_shipda" in plan or "GreaterThanOrEqual(l_shipdate" in plan
+    # projection pruned: no column outside the 4 the query touches
+    assert "l_returnflag" not in plan
+
+
+def test_q1_projection_pruned(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    assert "PushedFilters: [" in plan
+    assert "l_partkey" not in plan  # untouched column never read
+
+
+def test_star_join_broadcasts_every_dim(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "broadcast_join_dims")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_never_global_sorts(spark, sf_dir):
+    for name in ("sort_limit_topk", "q3_shipping_priority", "q10_returned_item_revenue"):
+        plan = _plan(spark, sf_dir, name)
+        assert "TakeOrderedAndProject" in plan, name
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "minhash_near_dedup",
+        "simhash_dedup",
+        "embedding_near_dup_pairs",
+        "ann_cosine_lsh",
+        "ngram_jaccard_dedup",
+    ],
+)
+def test_lsh_family_has_no_quadratic_join(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    assert "BroadcastNestedLoopJoin" not in plan, name
+    assert "CartesianProduct" not in plan, name
+
+
+def test_semi_anti_decorrelation(spark, sf_dir):
+    q4 = _plan(spark, sf_dir, "q4_priority_late_ship")
+    assert "LeftSemi" in q4
+    q22 = _plan(spark, sf_dir, "q22_wealthy_inactive")
+    assert "LeftAnti" in q22
+    q21 = _plan(spark, sf_dir, "q21_waiting_suppliers")
+    assert "LeftSemi" in q21 and "LeftAnti" in q21
+
+
+def test_no_row_at_a_time_python_udf(spark, sf_dir):
+    """Python in plans only as Arrow-batched stages (ArrowEvalPython /
+    FlatMapGroupsInPandas / MapInPandas) — a BatchEvalPython node is the
+    row-at-a-time slow path and must never appear."""
+    for name in ("extract_links_udf", "media_feature_extract", "crawl_pipeline_e2e"):
+        plan = _plan(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name
