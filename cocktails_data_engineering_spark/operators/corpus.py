@@ -1,0 +1,301 @@
+"""Training-corpus preparation operators: chunking, line-level boilerplate
+removal, rare-token accounting, and sequence packing.
+
+The reference stores each crawled page as one opaque text file
+(``scripts/spiders/web_spider_oo.py:352-359``); a training-data pipeline
+needs the next steps — splitting documents into model-sized windows,
+stripping boilerplate repeated across pages, pruning noise vocabulary, and
+packing documents into fixed-capacity sequences.  Everything here is pure
+Catalyst (split / slice / posexplode / window / aggregate): no Python in
+the hot path, every shuffle keyed on content hashes or small group keys.
+
+Scale notes (100 TB):
+- Chunking multiplies rows but is map-only (posexplode, no shuffle).
+- Boilerplate detection shuffles once on line text (the CCNet shape:
+  hash-partition lines, count document frequency, join back).  Line text
+  is bounded (CHUNK words) so the shuffle key is small; at real scale the
+  join key would be ``xxhash64(line_text)`` — we keep the raw text here
+  so the DuckDB oracle stays byte-identical, and the hash variant is a
+  one-line swap.
+- Rare-token accounting shuffles on word (bounded by vocabulary, with
+  map-side partial aggregation) and joins the exploded tokens back on
+  word — both sides hash-partitioned on the same key.
+- Packing uses a running sum window per source; partitions are
+  independent across sources, so the window parallelizes per source and
+  never materializes a global order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tables import load
+
+# Overlapping training-window chunking: 32-token windows, stride 24
+# (25% overlap), the causal-LM data-prep shape.
+CHUNK_SIZE = 32
+CHUNK_STRIDE = 24
+
+# Line-level boilerplate: fixed 10-token "lines" (the fixture text has no
+# newlines); a line occurring in >= BOILERPLATE_MIN_DOCS distinct documents
+# is treated as template boilerplate and dropped (CCNet / RefinedWeb rule).
+LINE_SIZE = 10
+BOILERPLATE_MIN_DOCS = 3
+
+# Tokens seen fewer than RARE_MIN times corpus-wide count as noise.
+RARE_MIN = 3
+
+# Sequence packing capacity (tokens per packed bin).
+PACK_CAPACITY = 512
+
+
+def _tokens(col: str = "text"):
+    """Whitespace tokens with empties dropped — matches the established
+    ``string_split(text, ' ')`` ↔ ``F.split(text, ' ')`` oracle parity."""
+    return F.filter(F.split(col, " "), lambda w: w != "")
+
+
+@register(
+    "chunk_documents_stride",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, t, unnest(generate_series(0, len(t) - 1, {CHUNK_STRIDE})) AS chunk_start
+  FROM toks
+  WHERE len(t) >= 1
+)
+SELECT doc_id,
+       CAST(chunk_start / {CHUNK_STRIDE} AS INT) AS chunk_idx,
+       CAST(chunk_start AS INT) AS chunk_start,
+       CAST(len(list_slice(t, chunk_start + 1, chunk_start + {CHUNK_SIZE})) AS INT)
+           AS n_chunk_tokens,
+       array_to_string(list_slice(t, chunk_start + 1, chunk_start + {CHUNK_SIZE}), ' ')
+           AS chunk_text
+FROM starts
+""",
+)
+def chunk_documents_stride(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split each document into overlapping fixed-size token windows
+    (size {CHUNK_SIZE}, stride {CHUNK_STRIDE}) — the training-window
+    chunker.
+
+    Scale: map-only.  ``sequence`` + ``posexplode`` expand each document
+    into ~n_tokens/stride rows with no shuffle; the expansion factor is
+    bounded by size/stride (≈1.33×) in tokens.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", _tokens().alias("t")).filter(F.size("t") >= 1)
+    starts = toks.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.sequence(F.lit(0), F.size("t") - 1, F.lit(CHUNK_STRIDE))
+        ).alias("chunk_start"),
+    )
+    chunk = F.slice("t", F.col("chunk_start") + 1, CHUNK_SIZE)
+    return starts.select(
+        "doc_id",
+        (F.col("chunk_start") / CHUNK_STRIDE).cast("int").alias("chunk_idx"),
+        F.col("chunk_start").cast("int"),
+        F.size(chunk).cast("int").alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+@register(
+    "line_dedup_boilerplate",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, t, unnest(generate_series(0, len(t) - 1, {LINE_SIZE})) AS s
+  FROM toks
+  WHERE len(t) >= 1
+),
+lines AS (
+  SELECT doc_id,
+         CAST(s / {LINE_SIZE} AS INT) AS line_idx,
+         array_to_string(list_slice(t, s + 1, s + {LINE_SIZE}), ' ') AS line_text
+  FROM starts
+),
+freq AS (
+  SELECT line_text, COUNT(DISTINCT doc_id) AS doc_freq
+  FROM lines GROUP BY line_text
+)
+SELECT l.doc_id,
+       CAST(COUNT(*) AS INT) AS n_lines,
+       CAST(SUM(CASE WHEN f.doc_freq < {BOILERPLATE_MIN_DOCS} THEN 1 ELSE 0 END) AS INT)
+           AS n_kept_lines,
+       COALESCE(
+         string_agg(
+           CASE WHEN f.doc_freq < {BOILERPLATE_MIN_DOCS} THEN l.line_text END,
+           ' ' ORDER BY l.line_idx),
+         '') AS kept_text
+FROM lines l JOIN freq f USING (line_text)
+GROUP BY l.doc_id
+""",
+)
+def line_dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate removal (CCNet/RefinedWeb rule): segment each
+    document into fixed {LINE_SIZE}-token lines, drop every line that occurs
+    in ≥ {BOILERPLATE_MIN_DOCS} distinct documents, and reconstruct the
+    kept text in original order.
+
+    Scale: one shuffle on line content to count document frequency
+    (map-side partial aggregation applies), one hash join back on the
+    same key — the same co-partitioned two-pass shape as exact dedup.
+    At petabyte scale the join key becomes ``xxhash64(line_text)``; the
+    raw-text key is kept here so the oracle is byte-identical.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", _tokens().alias("t")).filter(F.size("t") >= 1)
+    lines = toks.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.size("t") - 1, F.lit(LINE_SIZE))
+        ).alias("s"),
+        "t",
+    ).select(
+        "doc_id",
+        (F.col("s") / LINE_SIZE).cast("int").alias("line_idx"),
+        F.array_join(F.slice("t", F.col("s") + 1, LINE_SIZE), " ").alias("line_text"),
+    )
+    freq = lines.groupBy("line_text").agg(
+        F.countDistinct("doc_id").alias("doc_freq")
+    )
+    keep = F.col("doc_freq") < BOILERPLATE_MIN_DOCS
+    kept_struct = F.when(keep, F.struct("line_idx", "line_text"))
+    return (
+        lines.join(freq, "line_text")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_lines"),
+            F.sum(keep.cast("int")).cast("int").alias("n_kept_lines"),
+            # collect_list skips the NULLs when() produces for dropped lines;
+            # array_sort orders by line_idx (first struct field) to restore
+            # document order without a global sort.
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda x: x.line_text,
+                ),
+                " ",
+            ).alias("kept_text"),
+        )
+    )
+
+
+@register(
+    "rare_token_stats",
+    oracle=f"""
+WITH words AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS word
+  FROM documents
+),
+freq AS (
+  SELECT word, COUNT(*) AS n FROM words GROUP BY word
+)
+SELECT w.doc_id,
+       CAST(COUNT(*) AS INT) AS n_tokens,
+       CAST(SUM(CASE WHEN f.n < {RARE_MIN} THEN 1 ELSE 0 END) AS INT) AS n_rare_tokens,
+       CAST(COUNT(DISTINCT CASE WHEN f.n < {RARE_MIN} THEN w.word END) AS INT)
+           AS n_rare_distinct,
+       ROUND(CAST(SUM(CASE WHEN f.n < {RARE_MIN} THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS rare_ratio
+FROM words w JOIN freq f USING (word)
+GROUP BY w.doc_id
+""",
+)
+def rare_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document rare-vocabulary accounting: tokens whose corpus-wide
+    frequency is < {RARE_MIN} are noise; report their count / distinct
+    count / ratio per document (the vocabulary-pruning signal).
+
+    Scale: the frequency table aggregates with map-side combine (shuffle
+    volume = |vocab| per task); the exploded tokens then hash-join the
+    frequency table on the same key, so both shuffles co-partition on
+    ``word`` and the per-doc re-aggregation combines map-side.
+    """
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(_tokens()).alias("word"))
+    freq = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    rare = F.col("n") < RARE_MIN
+    return (
+        words.join(freq, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_tokens"),
+            F.sum(rare.cast("int")).cast("int").alias("n_rare_tokens"),
+            F.countDistinct(F.when(rare, F.col("word"))).cast("int").alias(
+                "n_rare_distinct"
+            ),
+            F.round(
+                F.sum(rare.cast("int")).cast("double") / F.count(F.lit(1)), 6
+            ).alias("rare_ratio"),
+        )
+    )
+
+
+@register(
+    "pack_sequences_bins",
+    oracle=f"""
+WITH sized AS (
+  SELECT source, doc_id,
+         len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tokens
+  FROM documents
+),
+binned AS (
+  SELECT source, doc_id, n_tokens,
+         CAST((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) - 1)
+              // {PACK_CAPACITY} AS INT) AS bin_id
+  FROM sized
+)
+SELECT source, bin_id,
+       CAST(COUNT(*) AS INT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM binned
+GROUP BY source, bin_id
+""",
+)
+def pack_sequences_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (contiguous-fill approximation): within each
+    source, stream documents in doc_id order and cut a new bin whenever
+    the running token count crosses {PACK_CAPACITY} — the deterministic,
+    order-preserving stand-in for greedy bin packing (which is inherently
+    sequential and not worth a global order at scale).
+
+    Scale: the running-sum window partitions by ``source``, so sources
+    pack independently in parallel and no global ordering exists; the
+    final per-bin rollup combines map-side.
+    """
+    docs = load(spark, sf_dir, "documents")
+    sized = docs.select(
+        "source", "doc_id", F.size(_tokens()).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # Explicit floor division: DuckDB CAST(double AS INT) rounds-to-nearest
+    # while Spark's cast truncates, so a bare `/` + cast would disagree.
+    binned = sized.withColumn(
+        "bin_id",
+        F.floor((F.sum("n_tokens").over(w) - 1) / PACK_CAPACITY).cast("int"),
+    )
+    return binned.groupBy("source", "bin_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

@@ -19,10 +19,12 @@ _OPERATOR_MODULES = (
     "cocktails_data_engineering_spark.operators.link_pipeline",
     "cocktails_data_engineering_spark.operators.graph",
     "cocktails_data_engineering_spark.operators.text_analysis",
+    "cocktails_data_engineering_spark.operators.corpus",
     "cocktails_data_engineering_spark.operators.dedup",
     "cocktails_data_engineering_spark.operators.similarity",
     "cocktails_data_engineering_spark.operators.crawl",
     "cocktails_data_engineering_spark.operators.extensions",
+    "cocktails_data_engineering_spark.operators.warehouse",
     "cocktails_data_engineering_spark.operators.pipeline",
     "cocktails_data_engineering_spark.operators.multimodal",
     "cocktails_data_engineering_spark.streaming.events",

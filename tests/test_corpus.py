@@ -1,0 +1,86 @@
+"""Structural properties of the corpus-preparation operators (the oracle
+parity test already checks exact values; these pin the semantic contracts
+that matter even if constants change)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cocktails_data_engineering_spark.operators import corpus
+
+
+def test_chunks_cover_every_token(spark, sf_dir):
+    """Union of chunk windows covers [0, n_tokens) for every document, and
+    consecutive chunks overlap by exactly size-stride (except the tail)."""
+    chunks = corpus.chunk_documents_stride(spark, sf_dir)
+    per_doc = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.max(F.col("chunk_start") + F.col("n_chunk_tokens")).alias("covered"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.max("chunk_start").alias("last_start"),
+        )
+        .collect()
+    )
+    docs = corpus.load(spark, sf_dir, "documents")
+    n_tokens = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", F.size(corpus._tokens()).alias("n")
+        ).collect()
+    }
+    assert per_doc, "no chunks produced"
+    for r in per_doc:
+        n = n_tokens[r["doc_id"]]
+        assert r["covered"] == n, f"doc {r['doc_id']}: covered {r['covered']} != {n}"
+        # starts are 0, stride, 2*stride, ... <= n-1
+        assert r["last_start"] == ((n - 1) // corpus.CHUNK_STRIDE) * corpus.CHUNK_STRIDE
+
+
+def test_boilerplate_kept_subset_and_drops_something(spark, sf_dir):
+    out = corpus.line_dedup_boilerplate(spark, sf_dir)
+    rows = out.collect()
+    assert rows
+    dropped_total = sum(r["n_lines"] - r["n_kept_lines"] for r in rows)
+    assert dropped_total > 0, "threshold never fires — boilerplate rule is vacuous"
+    docs_text = {
+        r["doc_id"]: r["text"]
+        for r in corpus.load(spark, sf_dir, "documents").collect()
+    }
+    for r in rows[:50]:
+        assert 0 <= r["n_kept_lines"] <= r["n_lines"]
+        # kept text is a subsequence of the original token stream
+        kept = r["kept_text"].split() if r["kept_text"] else []
+        orig = docs_text[r["doc_id"]].split()
+        it = iter(orig)
+        assert all(tok in it for tok in kept), f"doc {r['doc_id']}: kept_text reordered"
+
+
+def test_packing_bins_contiguous_and_bounded(spark, sf_dir):
+    out = corpus.pack_sequences_bins(spark, sf_dir).collect()
+    by_source: dict[str, list] = {}
+    for r in out:
+        by_source.setdefault(r["source"], []).append(r)
+    assert by_source
+    for source, bins in by_source.items():
+        bins.sort(key=lambda r: r["bin_id"])
+        assert [b["bin_id"] for b in bins] == list(range(len(bins))), source
+        # bin_id = floor((cum-1)/cap) means the cumulative token count at
+        # the END of bin i must land inside (i*cap, (i+1)*cap]
+        cum = 0
+        cap = corpus.PACK_CAPACITY
+        for b in bins:
+            cum += b["sum_tokens"]
+            assert b["bin_id"] * cap < cum <= (b["bin_id"] + 1) * cap, (source, b)
+        # doc ranges must not interleave across bins
+        for a, b in zip(bins, bins[1:]):
+            assert a["last_doc"] < b["first_doc"], source
+
+
+def test_rare_ratio_bounds(spark, sf_dir):
+    rows = corpus.rare_token_stats(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_rare_tokens"] <= r["n_tokens"]
+        assert 0.0 <= r["rare_ratio"] <= 1.0
+        assert r["n_rare_distinct"] <= r["n_rare_tokens"]
