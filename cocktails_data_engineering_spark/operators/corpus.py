@@ -50,6 +50,11 @@ RARE_MIN = 3
 # Sequence packing capacity (tokens per packed bin).
 PACK_CAPACITY = 512
 
+# Contamination screen: eval membership + n-gram size + flag threshold.
+EVAL_MOD = 41
+CONTAM_NGRAM = 5
+CONTAM_FLAG_RATIO = 0.2
+
 
 def _tokens(col: str = "text"):
     """Whitespace tokens with empties dropped — matches the established
@@ -298,4 +303,226 @@ def pack_sequences_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Eval-set contamination screen (train/test n-gram overlap)
+# ---------------------------------------------------------------------------
+@register(
+    "eval_contamination_overlap",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(range(1, len(t) - {CONTAM_NGRAM - 2}),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])
+         )) AS gram
+  FROM toks WHERE len(t) >= {CONTAM_NGRAM}
+),
+train_grams AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % {EVAL_MOD} <> 0
+),
+eval_hits AS (
+  SELECT g.doc_id, g.gram, CASE WHEN tg.gram IS NULL THEN 0 ELSE 1 END AS hit
+  FROM grams g LEFT JOIN train_grams tg USING (gram)
+  WHERE g.doc_id % {EVAL_MOD} = 0
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS INT) AS n_ngrams,
+       CAST(SUM(hit) AS INT) AS n_overlapping,
+       ROUND(CAST(SUM(hit) AS DOUBLE) / COUNT(*), 6) AS overlap_ratio,
+       CAST(CASE WHEN CAST(SUM(hit) AS DOUBLE) / COUNT(*) >= {CONTAM_FLAG_RATIO}
+            THEN 1 ELSE 0 END AS INT) AS is_contaminated
+FROM eval_hits GROUP BY doc_id
+""",
+)
+def eval_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination screen: every {CONTAM_NGRAM}-token n-gram of
+    each EVAL document (``doc_id % {EVAL_MOD} = 0``) is probed against the
+    distinct n-gram set of the TRAIN split; eval documents whose overlap
+    ratio reaches {CONTAM_FLAG_RATIO} are flagged — the decontamination
+    gate every benchmark-clean training corpus needs.
+
+    Scale: the train n-gram set is distinct-aggregated FIRST (map-side
+    combine collapses within-partition repeats), then the probe is one
+    hash join co-partitioned on the n-gram; at petabyte scale the join
+    key becomes ``xxhash64(gram)`` (the raw text key keeps the DuckDB
+    oracle byte-identical).  The eval side is a tiny fraction of the
+    corpus by construction, so the join's streamed side is the train set
+    and the per-doc rollup is metadata-sized.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", _tokens().alias("t")).filter(
+        F.size("t") >= CONTAM_NGRAM
+    )
+    t = F.col("t")
+    grams_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - CONTAM_NGRAM),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, i + k + 1) for k in range(CONTAM_NGRAM)]
+            ),
+        )
+    )
+    grams = toked.select("doc_id", F.explode(grams_arr).alias("gram"))
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    train_grams = grams.filter(~is_eval).select("gram").distinct()
+    tg = train_grams.withColumn("hit", F.lit(1))
+    hits = (
+        grams.filter(is_eval)
+        .join(tg, "gram", "left")
+        .select("doc_id", F.coalesce("hit", F.lit(0)).alias("hit"))
+    )
+    ratio = F.sum("hit").cast("double") / F.count(F.lit(1))
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_ngrams"),
+        F.sum("hit").cast("int").alias("n_overlapping"),
+        F.round(ratio, 6).alias("overlap_ratio"),
+        F.when(ratio >= CONTAM_FLAG_RATIO, 1).otherwise(0).cast("int").alias(
+            "is_contaminated"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Within-document repetition (duplicate-line fraction)
+# ---------------------------------------------------------------------------
+@register(
+    "doc_repetition_stats",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t
+  FROM documents
+),
+lines AS (
+  SELECT doc_id,
+         array_to_string(list_slice(t, s + 1, s + {LINE_SIZE}), ' ') AS line_text
+  FROM (SELECT doc_id, t, unnest(generate_series(0, len(t) - 1, {LINE_SIZE})) AS s
+        FROM toks WHERE len(t) >= 1)
+),
+per_line AS (
+  SELECT doc_id, line_text, COUNT(*) AS n FROM lines GROUP BY doc_id, line_text
+)
+SELECT doc_id,
+       CAST(SUM(n) AS INT) AS n_lines,
+       CAST(COUNT(*) AS INT) AS n_distinct_lines,
+       ROUND(1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(n), 6) AS dup_line_ratio,
+       CAST(MAX(n) AS INT) AS top_line_repeats
+FROM per_line GROUP BY doc_id
+""",
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition audit (the RefinedWeb/MassiveText
+    duplicate-line fraction): segment each document into fixed
+    {LINE_SIZE}-token lines and report how many lines are repeats of an
+    earlier line in the SAME document — high ratios indicate templated or
+    looping text that inflates a training corpus.
+
+    Scale: both aggregations key on ``doc_id`` (first with ``line_text``
+    appended), so the second is a map-side-combinable rollup of the first
+    with no reshuffle — one shuffle total, partitioned by document.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", _tokens().alias("t")).filter(F.size("t") >= 1)
+    lines = toked.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.size("t") - 1, F.lit(LINE_SIZE))
+        ).alias("s"),
+        "t",
+    ).select(
+        "doc_id",
+        F.array_join(F.slice("t", F.col("s") + 1, LINE_SIZE), " ").alias("line_text"),
+    )
+    per_line = lines.groupBy("doc_id", "line_text").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return per_line.groupBy("doc_id").agg(
+        F.sum("n").cast("int").alias("n_lines"),
+        F.count(F.lit(1)).cast("int").alias("n_distinct_lines"),
+        F.round(
+            F.lit(1.0) - F.count(F.lit(1)).cast("double") / F.sum("n"), 6
+        ).alias("dup_line_ratio"),
+        F.max("n").cast("int").alias("top_line_repeats"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing accounting
+# ---------------------------------------------------------------------------
+_EMAIL_RE = "[a-z0-9]+@[a-z0-9.]+[a-z]"
+_PHONE_RE = "[0-9]+-[0-9]+"
+
+
+@register(
+    "pii_scrub_stats",
+    oracle=f"""
+WITH aug AS (
+  SELECT source,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or call 0' || CAST(doc_id % 10 AS VARCHAR)
+              || '-' || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0') AS text
+  FROM documents
+),
+scrubbed AS (
+  SELECT source, text,
+         len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+         len(regexp_extract_all(text, '{_PHONE_RE}')) AS n_phones,
+         regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                        '{_PHONE_RE}', '<PHONE>', 'g') AS clean
+  FROM aug
+)
+SELECT source,
+       CAST(COUNT(*) AS INT) AS n_docs,
+       CAST(SUM(n_emails) AS INT) AS total_emails,
+       CAST(SUM(n_phones) AS INT) AS total_phones,
+       CAST(SUM(length(text)) AS BIGINT) AS chars_in,
+       CAST(SUM(length(clean)) AS BIGINT) AS chars_out
+FROM scrubbed GROUP BY source
+""",
+)
+def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing accounting: count and redact email- and phone-shaped
+    spans per source, reporting before/after character volumes — the
+    audit trail a compliance-scrubbed corpus release needs.  The fixture
+    text contains no PII, so a deterministic synthetic contact line is
+    appended to every document first (same union-in-known-bad pattern as
+    ``json_parse_robustness``) and the oracle builds the identical line.
+
+    Scale: map-only regex work (JVM codegen, no Python) followed by one
+    metadata-sized rollup per source; regex cost is linear in bytes and
+    embarrassingly parallel.
+    """
+    docs = load(spark, sf_dir, "documents")
+    aug = docs.select(
+        "source",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or call 0"),
+            (F.col("doc_id") % 10).cast("string"),
+            F.lit("-"),
+            F.lpad(((F.col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    scrubbed = aug.select(
+        "source",
+        "text",
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_PHONE_RE), 0)).alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+        ).alias("clean"),
+    )
+    return scrubbed.groupBy("source").agg(
+        F.count(F.lit(1)).cast("int").alias("n_docs"),
+        F.sum("n_emails").cast("int").alias("total_emails"),
+        F.sum("n_phones").cast("int").alias("total_phones"),
+        F.sum(F.length("text")).cast("bigint").alias("chars_in"),
+        F.sum(F.length("clean")).cast("bigint").alias("chars_out"),
     )

@@ -1,0 +1,361 @@
+"""Warehouse-maintenance operators: SCD Type-2 dimension build, snapshot
+diffing (CDC), incremental aggregate merge, zone-map statistics, and
+partition-skew diagnostics.
+
+The reference appends raw crawl rows to warehouse tables
+(``scripts/spiders/web_spider_oo.py:343-350`` — ``if_exists="append"`` into
+``raw.indexing``) and leaves every downstream warehouse concern to the
+"Django + PostGIS web app" future (``README.md:2``).  A production version
+of that warehouse needs the table-maintenance layer this module provides:
+tracking how a re-crawled page's attributes change over time (SCD2),
+diffing consecutive crawl snapshots (CDC), keeping aggregates fresh
+without full recompute (incremental merge), and the file/partition
+statistics that make a 100 TB table scannable (zone maps, skew audits).
+
+Scale notes (100 TB):
+- SCD2 runs two windows both partitioned by the entity key — per-entity
+  parallelism, no global order, state bounded by one entity's history.
+- Snapshot diff is one full-outer join co-partitioned on the snapshot
+  key; classification is a projection.  No second shuffle: the class
+  rollup aggregates map-side first.
+- Incremental merge is THE reason partial aggregation exists: per-batch
+  partial states are mergeable (count/sum in exact DECIMAL), so the
+  merge shuffles K×groups rows instead of rescanning N rows.
+- Zone maps aggregate min/max/count per partition key with map-side
+  combine — the output is metadata-sized (rows = #partitions).
+- Skew stats aggregate once on the bucket key, then join the K-row
+  result against its own 1-row total — both post-aggregation sides are
+  metadata-sized, so the diagnostic never reshuffles the fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.numerics import dsum, oracle_dsum
+from ..registry import register
+from ..sources.tables import load
+
+# Snapshot-diff simulation knobs (deterministic, mirrored in the oracle):
+# every 97th order is deleted, every 13th surviving order gets a +10.00
+# price correction, every 89th order re-appears as a brand-new key.
+DEL_MOD = 97
+CHG_MOD = 13
+ADD_MOD = 89
+ADD_KEY_OFFSET = 100_000_000
+CHG_PRICE_DELTA = 10.0  # exactly representable in binary double
+
+# Skew diagnostic: simulated shuffle-bucket count.
+N_BUCKETS = 32
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 dimension build (gaps-and-islands → validity intervals)
+# ---------------------------------------------------------------------------
+@register(
+    "scd2_user_state",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+islands AS (
+  SELECT user_id, event_type, ts,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM ordered
+),
+runs AS (
+  SELECT user_id,
+         CAST(island AS INT) AS version,
+         MIN(event_type) AS state,
+         MIN(ts) AS valid_from,
+         CAST(COUNT(*) AS INT) AS n_events
+  FROM islands GROUP BY user_id, island
+)
+SELECT user_id, version, state,
+       strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(lead(valid_from) OVER (PARTITION BY user_id ORDER BY version),
+                '%Y-%m-%d %H:%M:%S') AS valid_to,
+       CAST(CASE WHEN lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+                 IS NULL THEN 1 ELSE 0 END AS INT) AS is_current,
+       n_events
+FROM runs
+""",
+)
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build: collapse each user's event stream into
+    validity intervals of its ``event_type`` state (gaps-and-islands), one
+    row per state run with ``valid_from``/``valid_to``/``is_current`` —
+    the slowly-changing-dimension shape a re-crawling warehouse needs to
+    answer "what did we believe about this page, when".
+
+    Scale: both windows partition by ``user_id`` (the entity key), so the
+    build parallelizes per entity and per-task state is one entity's
+    history; the run rollup between them combines map-side on the same
+    key, so the whole build is ONE shuffle of the events by entity.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    chg = F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0)
+    islands = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias(
+            "island"
+        ),
+    )
+    runs = islands.groupBy("user_id", "island").agg(
+        F.min("event_type").alias("state"),
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).cast("int").alias("n_events"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("island")
+    nxt = F.lead("valid_from").over(wv)
+    # Timestamps are emitted as strings (the repo-wide convention: the
+    # driver's collect path renders TimestampType in the PROCESS timezone,
+    # so raw timestamps would hash differently under a non-UTC driver).
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return runs.select(
+        "user_id",
+        F.col("island").cast("int").alias("version"),
+        "state",
+        F.date_format("valid_from", fmt).alias("valid_from"),
+        F.date_format(nxt, fmt).alias("valid_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).cast("int").alias("is_current"),
+        "n_events",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (CDC between two crawl snapshots)
+# ---------------------------------------------------------------------------
+_ORACLE_SNAPSHOTS = f"""
+old AS (SELECT o_orderkey, o_totalprice FROM orders),
+new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % {CHG_MOD} = 0
+              THEN o_totalprice + {CHG_PRICE_DELTA} ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % {DEL_MOD} <> 0
+  UNION ALL
+  SELECT o_orderkey + {ADD_KEY_OFFSET}, o_totalprice
+  FROM orders WHERE o_orderkey % {ADD_MOD} = 0
+)
+"""
+
+
+@register(
+    "snapshot_diff_orders",
+    oracle=f"""
+WITH {_ORACLE_SNAPSHOTS},
+diff AS (
+  SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+         CASE WHEN old.o_orderkey IS NULL THEN 'added'
+              WHEN new.o_orderkey IS NULL THEN 'removed'
+              WHEN old.o_totalprice <> new.o_totalprice THEN 'changed'
+              ELSE 'unchanged' END AS diff_class,
+         COALESCE(new.o_totalprice, 0) - COALESCE(old.o_totalprice, 0) AS delta
+  FROM old FULL OUTER JOIN new USING (o_orderkey)
+)
+SELECT diff_class,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key,
+       {oracle_dsum("delta")} AS price_delta
+FROM diff GROUP BY diff_class
+""",
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot diff: full-outer-join yesterday's and today's order
+    snapshots on the key and classify every row added / removed / changed /
+    unchanged, rolling up counts, key ranges, and the net price delta per
+    class.  Today's snapshot is simulated deterministically (every
+    {DEL_MOD}th key deleted, every {CHG_MOD}th price corrected by
+    +{CHG_PRICE_DELTA}, every {ADD_MOD}th re-added under a new key) so the
+    oracle reproduces it bit-identically.
+
+    Scale: ONE co-partitioned full-outer join on the snapshot key — both
+    snapshots hash-partition on ``o_orderkey``; classification is a
+    projection on the joined row and the per-class rollup combines
+    map-side, so nothing after the join reshuffles fact-sized data.
+    """
+    orders = load(spark, sf_dir, "orders")
+    old = orders.select("o_orderkey", "o_totalprice")
+    surviving = orders.filter(F.col("o_orderkey") % DEL_MOD != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % CHG_MOD == 0,
+            F.col("o_totalprice") + CHG_PRICE_DELTA,
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    added = orders.filter(F.col("o_orderkey") % ADD_MOD == 0).select(
+        (F.col("o_orderkey") + ADD_KEY_OFFSET).alias("o_orderkey"), "o_totalprice"
+    )
+    new = surviving.unionByName(added)
+    o, n = old.alias("o"), new.alias("n")
+    joined = o.join(n, on="o_orderkey", how="full_outer")
+    ok, nk = F.col("o.o_totalprice"), F.col("n.o_totalprice")
+    diff_class = (
+        F.when(ok.isNull(), "added")
+        .when(nk.isNull(), "removed")
+        .when(ok != nk, "changed")
+        .otherwise("unchanged")
+    )
+    diff = joined.select(
+        "o_orderkey",
+        diff_class.alias("diff_class"),
+        (F.coalesce(nk, F.lit(0.0)) - F.coalesce(ok, F.lit(0.0))).alias("delta"),
+    )
+    return diff.groupBy("diff_class").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        dsum(F.col("delta")).alias("price_delta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance (partial-state merge)
+# ---------------------------------------------------------------------------
+@register(
+    "incremental_agg_merge",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {oracle_dsum("l_quantity")} AS sum_qty,
+       {oracle_dsum("l_extendedprice")} AS sum_price
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: the fact table arrives as two
+    batches (old corpus vs today's increment); each batch is reduced to a
+    per-group partial state (count + exact-DECIMAL sums), and the partial
+    states are MERGED — never rescanning the old batch — to produce the
+    same result as a full recompute.  The oracle IS the full recompute, so
+    a green row proves merge(partial(A), partial(B)) = agg(A ∪ B).
+
+    Scale: this is the materialized-view refresh shape — the merge
+    shuffles ``batches × groups`` metadata-sized rows instead of N fact
+    rows.  DECIMAL accumulation makes the state associative/commutative,
+    so any merge tree (and any partitioning) yields identical bits.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    dec = "decimal(18,6)"
+
+    def partial(batch: DataFrame) -> DataFrame:
+        return batch.groupBy("l_returnflag", "l_linestatus").agg(
+            F.count(F.lit(1)).alias("p_n"),
+            F.sum(F.col("l_quantity").cast(dec)).alias("p_qty"),
+            F.sum(F.col("l_extendedprice").cast(dec)).alias("p_price"),
+        )
+
+    old_batch = li.filter(F.col("l_orderkey") % 10 != 7)
+    new_batch = li.filter(F.col("l_orderkey") % 10 == 7)
+    merged = (
+        partial(old_batch)
+        .unionByName(partial(new_batch))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("p_n").cast("bigint").alias("n_rows"),
+            F.sum("p_qty").cast("double").alias("sum_qty"),
+            F.sum("p_price").cast("double").alias("sum_price"),
+        )
+    )
+    return merged
+
+
+# ---------------------------------------------------------------------------
+# Zone-map statistics (data-skipping metadata)
+# ---------------------------------------------------------------------------
+@register(
+    "zone_map_orders_monthly",
+    oracle="""
+SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price,
+       CAST(COUNT(DISTINCT o_orderpriority) AS INT) AS n_priorities
+FROM orders
+GROUP BY date_trunc('month', o_orderdate)
+""",
+)
+def zone_map_orders_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map build: per month-partition min/max/count statistics over
+    the orders table — the data-skipping metadata (Parquet row-group
+    stats, Delta file stats, Iceberg manifests) that lets a 100 TB scan
+    prune partitions before reading them.
+
+    Scale: single aggregation with map-side combine; min/max/count states
+    are constant-size, output rows = #partitions (metadata-sized).
+    ``MIN``/``MAX`` on doubles are exact (no accumulation), so no DECIMAL
+    detour is needed.
+    """
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.countDistinct("o_orderpriority").cast("int").alias("n_priorities"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Partition-skew diagnostics
+# ---------------------------------------------------------------------------
+@register(
+    "partition_skew_stats",
+    oracle=f"""
+WITH per_bucket AS (
+  SELECT CAST(user_id % {N_BUCKETS} AS INT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM events GROUP BY user_id % {N_BUCKETS}
+),
+tot AS (SELECT SUM(n_rows) AS total, COUNT(*) AS k FROM per_bucket)
+SELECT bucket, n_rows,
+       ROUND(CAST(n_rows AS DOUBLE) / total, 6) AS share,
+       ROUND(CAST(n_rows * k AS DOUBLE) / total, 6) AS skew_factor
+FROM per_bucket, tot
+""",
+)
+def partition_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew audit: hash the events stream into {N_BUCKETS}
+    simulated shuffle buckets on the join key (``user_id``) and report
+    each bucket's row share and skew factor vs the mean bucket — the
+    diagnostic that decides whether a key needs salting (see
+    ``extensions.salted_topk_words``) or AQE skew-join splitting.
+
+    Scale: one map-side-combined aggregation over the facts; the K-row
+    result then cross-joins its own 1-row total (broadcast) — nothing
+    after the first aggregation touches fact-sized data.
+    """
+    ev = load(spark, sf_dir, "events")
+    per_bucket = ev.groupBy(
+        (F.col("user_id") % N_BUCKETS).cast("int").alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    tot = per_bucket.agg(
+        F.sum("n_rows").alias("total"), F.count(F.lit(1)).alias("k")
+    )
+    return per_bucket.join(F.broadcast(tot)).select(
+        "bucket",
+        "n_rows",
+        F.round(F.col("n_rows").cast("double") / F.col("total"), 6).alias("share"),
+        F.round((F.col("n_rows") * F.col("k")).cast("double") / F.col("total"), 6).alias(
+            "skew_factor"
+        ),
+    )

@@ -84,3 +84,40 @@ def test_rare_ratio_bounds(spark, sf_dir):
         assert 0 <= r["n_rare_tokens"] <= r["n_tokens"]
         assert 0.0 <= r["rare_ratio"] <= 1.0
         assert r["n_rare_distinct"] <= r["n_rare_tokens"]
+
+
+def test_contamination_eval_only_and_bounds(spark, sf_dir):
+    rows = corpus.eval_contamination_overlap(spark, sf_dir).collect()
+    assert rows, "no eval documents matched — EVAL_MOD too large for fixture"
+    for r in rows:
+        assert r["doc_id"] % corpus.EVAL_MOD == 0
+        assert 0 <= r["n_overlapping"] <= r["n_ngrams"]
+        assert 0.0 <= r["overlap_ratio"] <= 1.0
+        expected_flag = int(r["n_overlapping"] / r["n_ngrams"] >= corpus.CONTAM_FLAG_RATIO)
+        assert r["is_contaminated"] == expected_flag
+
+
+def test_repetition_bounds_and_consistency(spark, sf_dir):
+    rows = corpus.doc_repetition_stats(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_distinct_lines"] <= r["n_lines"]
+        assert r["top_line_repeats"] >= 1
+        if r["n_distinct_lines"] == r["n_lines"]:
+            assert r["dup_line_ratio"] == 0.0
+            assert r["top_line_repeats"] == 1
+        else:
+            assert r["dup_line_ratio"] > 0.0
+            assert r["top_line_repeats"] > 1
+
+
+def test_pii_scrub_finds_planted_pii_and_shrinks_text(spark, sf_dir):
+    rows = corpus.pii_scrub_stats(spark, sf_dir).collect()
+    assert rows
+    total_docs = sum(r["n_docs"] for r in rows)
+    # every document got exactly one planted email and one planted phone
+    assert sum(r["total_emails"] for r in rows) == total_docs
+    assert sum(r["total_phones"] for r in rows) == total_docs
+    for r in rows:
+        # redaction placeholders are shorter than the planted spans
+        assert r["chars_out"] < r["chars_in"]

@@ -1,0 +1,100 @@
+"""Structural contracts of the warehouse-maintenance operators (exact
+values are covered by the oracle parity test; these pin the invariants
+that must hold even if the simulation constants change)."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from cocktails_data_engineering_spark.operators import warehouse
+from cocktails_data_engineering_spark.sources.tables import load
+
+
+def test_scd2_intervals_contiguous_and_alternating(spark, sf_dir):
+    rows = warehouse.scd2_user_state(spark, sf_dir).collect()
+    assert rows
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append(r)
+    for user, runs in by_user.items():
+        runs.sort(key=lambda r: r["version"])
+        # versions are dense starting at 1 (first event always opens a run)
+        assert [r["version"] for r in runs] == list(range(1, len(runs) + 1)), user
+        # exactly one open (current) interval, and it is the last one
+        assert [r["is_current"] for r in runs] == [0] * (len(runs) - 1) + [1], user
+        for a, b in zip(runs, runs[1:]):
+            # contiguous validity: each interval closes where the next opens
+            assert a["valid_to"] == b["valid_from"], user
+            # a run only ends when the state actually changes
+            assert a["state"] != b["state"], user
+        assert runs[-1]["valid_to"] is None
+
+
+def test_snapshot_diff_classes_reconcile(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    n_del = orders.filter(F.col("o_orderkey") % warehouse.DEL_MOD == 0).count()
+    n_add = orders.filter(F.col("o_orderkey") % warehouse.ADD_MOD == 0).count()
+    n_chg = orders.filter(
+        (F.col("o_orderkey") % warehouse.DEL_MOD != 0)
+        & (F.col("o_orderkey") % warehouse.CHG_MOD == 0)
+    ).count()
+    total = orders.count()
+
+    out = {r["diff_class"]: r for r in warehouse.snapshot_diff_orders(spark, sf_dir).collect()}
+    assert set(out) == {"added", "removed", "changed", "unchanged"}
+    assert out["removed"]["n_rows"] == n_del
+    assert out["added"]["n_rows"] == n_add
+    assert out["changed"]["n_rows"] == n_chg
+    assert out["unchanged"]["n_rows"] == total - n_del - n_chg
+    # every changed row moved by exactly +CHG_PRICE_DELTA (delta is exact in
+    # binary double, and the DECIMAL sum keeps it exact in aggregate)
+    assert out["changed"]["price_delta"] == warehouse.CHG_PRICE_DELTA * n_chg
+    assert out["unchanged"]["price_delta"] == 0.0
+    # added keys live in their own key space
+    assert out["added"]["min_key"] >= warehouse.ADD_KEY_OFFSET
+    assert out["removed"]["max_key"] < warehouse.ADD_KEY_OFFSET
+
+
+def test_incremental_merge_equals_full_recompute(spark, sf_dir):
+    merged = {
+        (r["l_returnflag"], r["l_linestatus"]): r
+        for r in warehouse.incremental_agg_merge(spark, sf_dir).collect()
+    }
+    li = load(spark, sf_dir, "lineitem")
+    direct = {
+        (r["l_returnflag"], r["l_linestatus"]): r
+        for r in li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double").alias("sum_qty"),
+        )
+        .collect()
+    }
+    assert set(merged) == set(direct)
+    for k in direct:
+        assert merged[k]["n_rows"] == direct[k]["n_rows"], k
+        # DECIMAL partials are associative: merge == recompute, bit-exact
+        assert merged[k]["sum_qty"] == direct[k]["sum_qty"], k
+
+
+def test_zone_map_covers_table_and_orders_ranges(spark, sf_dir):
+    rows = warehouse.zone_map_orders_monthly(spark, sf_dir).collect()
+    assert rows
+    orders = load(spark, sf_dir, "orders")
+    assert sum(r["n_rows"] for r in rows) == orders.count()
+    for r in rows:
+        assert r["min_key"] <= r["max_key"]
+        assert r["min_price"] <= r["max_price"]
+        assert 1 <= r["n_priorities"] <= 5
+
+
+def test_skew_stats_shares_and_mean(spark, sf_dir):
+    rows = warehouse.partition_skew_stats(spark, sf_dir).collect()
+    assert 1 <= len(rows) <= warehouse.N_BUCKETS
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-3
+    mean_skew = sum(r["skew_factor"] for r in rows) / len(rows)
+    assert abs(mean_skew - 1.0) < 1e-3
+    for r in rows:
+        assert r["skew_factor"] > 0
