@@ -1,0 +1,281 @@
+"""Product quantization (PQ): vector compression + asymmetric-distance
+ANN search over the compressed codes.
+
+Third ANN family next to ``similarity.ann_cosine_lsh`` (random-hyperplane
+pruning) and ``clustering.ivf_cosine_topk`` (learned-partition pruning):
+PQ attacks the MEMORY side of 100 TB vector search — each 64-dim float
+vector (256 bytes) compresses to {M} uint8 codes (8 bytes, 32×), and
+queries scan codes with a per-query lookup table instead of touching raw
+vectors (Jégou et al., "Product Quantization for Nearest Neighbor
+Search", TPAMI 2011).  At deployment scale PQ composes with IVF: the
+inverted list prunes candidates, the PQ codes rank them.
+
+Everything is pure Catalyst arithmetic: the codebook is seed-vector
+subspaces (deterministic, so the DuckDB oracle reproduces the encode
+bit-for-bit), d2 accumulations follow the engine-stable round-6 /
+DECIMAL discipline established in ``operators/clustering.py``.
+
+Scale notes (100 TB):
+- The codebook is M×K sub-centroids (~{M}×{K}×{SUB_DIM} doubles = 8 KB)
+  — always broadcast; encode is a map-side broadcast join + per-vector
+  window, one shuffle keyed by (vec_id, sub_id) bounded by M rows/vector.
+- ADC builds a per-query lookup table (Q×M×K rows — metadata-sized),
+  broadcasts it, and streams the code table through it map-side; the
+  only shuffle is the (query_id, vec_id) partial-sum aggregation, which
+  combines map-side.  No raw vector is touched after encode time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tables import load_spread
+
+M = 8  # subspaces
+SUB_DIM = 8  # dims per subspace (64 / M)
+K = 16  # codes per subspace (a real deployment uses 256 = one uint8)
+QUERY_MOD = 50  # vec_id % QUERY_MOD == 0 → query vector (same as cosine_topk)
+TOP_K = 5
+_DEC = "decimal(18,6)"
+_DEC_UPD = "decimal(18,12)"  # centroid-update accumulator (clustering._DEC)
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_spread(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+
+
+def _subspaces(df: DataFrame, emb_col: str = "emb") -> DataFrame:
+    """Explode (id, emb) into (id, m, s_emb): one row per subspace slice."""
+    slices = F.transform(
+        F.sequence(F.lit(0), F.lit(M - 1)),
+        lambda m: F.slice(emb_col, m * SUB_DIM + 1, SUB_DIM),
+    )
+    return df.select(
+        *[c for c in df.columns if c != emb_col],
+        F.posexplode(slices).alias("m", "s_emb"),
+    )
+
+
+def seed_codebook(vecs: DataFrame) -> DataFrame:
+    """(m, code, c_emb): subspace slices of the K seed vectors — the same
+    deterministic md5-order seeding as ``clustering._init_centroids`` so
+    the oracle reproduces it."""
+    seeds = (
+        vecs.select("vec_id", F.md5(F.col("vec_id").cast("string")).alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(K)
+        .select("vec_id", F.col("h"))
+    )
+    coded = seeds.select(
+        "vec_id",
+        (
+            F.row_number().over(Window.orderBy("h", "vec_id")) - 1
+        ).cast("int").alias("code"),
+    )
+    with_emb = vecs.join(F.broadcast(coded), "vec_id").select("code", "emb")
+    return _subspaces(with_emb).select("m", "code", F.col("s_emb").alias("c_emb"))
+
+
+def _argmin(vecs: DataFrame, cb: DataFrame) -> DataFrame:
+    """(vec_id, m, code, s_emb, d2): nearest sub-centroid per subspace,
+    subvector retained for the centroid-update step."""
+    subs = _subspaces(vecs)
+    w = Window.partitionBy("vec_id", "m").orderBy("d2", "code")
+    return (
+        subs.join(F.broadcast(cb), "m")
+        .select("vec_id", "m", "code", "s_emb", _d2("s_emb", "c_emb").alias("d2"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+
+
+def refine(vecs: DataFrame, cb0: DataFrame) -> DataFrame:
+    """One Lloyd round per subspace: each sub-centroid moves to the
+    per-dimension DECIMAL mean of its assigned subvectors (engine-stable,
+    same discipline as ``clustering._update``).  Every seed's own
+    subvector sits at distance 0 from its code, so no code is ever empty
+    after one round from seed centroids."""
+    assigned = _argmin(vecs, cb0)
+    per_dim = (
+        assigned.select("m", "code", F.posexplode("s_emb").alias("pos", "x"))
+        .groupBy("m", "code", "pos")
+        .agg(
+            F.round(
+                F.sum(F.col("x").cast(_DEC_UPD)).cast("double") / F.count(F.lit(1)), 6
+            ).alias("c")
+        )
+    )
+    return per_dim.groupBy("m", "code").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("c_emb")
+    )
+
+
+def codebook(vecs: DataFrame) -> DataFrame:
+    """Trained codebook: deterministic seeds + one Lloyd refinement round
+    per subspace (real PQ trains per-subspace k-means; one round from
+    deterministic seeds keeps the whole pipeline oracle-reproducible)."""
+    return refine(vecs, seed_codebook(vecs))
+
+
+def _d2(a, b):
+    """Engine-stable squared L2 between two double arrays (round 6)."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+
+
+def encode(vecs: DataFrame, cb: DataFrame) -> DataFrame:
+    """(vec_id, m, code, d2): nearest sub-centroid per (vector, subspace)."""
+    subs = _subspaces(vecs)
+    w = Window.partitionBy("vec_id", "m").orderBy("d2", "code")
+    return (
+        subs.join(F.broadcast(cb), "m")
+        .select("vec_id", "m", "code", _d2("s_emb", "c_emb").alias("d2"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+
+
+# DuckDB twin: seed codebook → one Lloyd refinement per subspace →
+# argmin encode against the refined codebook.
+_ORACLE_ENCODE = f"""
+vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+seeds AS (
+  SELECT vec_id, emb,
+         CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+              AS INT) AS code
+  FROM vecs ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {K}
+),
+cb0 AS (
+  SELECT m, code, list_slice(emb, m * {SUB_DIM} + 1, m * {SUB_DIM} + {SUB_DIM}) AS c_emb
+  FROM seeds, (SELECT unnest(range({M})) AS m)
+),
+subs AS (
+  SELECT vec_id, m, list_slice(emb, m * {SUB_DIM} + 1, m * {SUB_DIM} + {SUB_DIM}) AS s_emb
+  FROM vecs, (SELECT unnest(range({M})) AS m)
+),
+flat0 AS (
+  SELECT s.vec_id, s.m, c.code, unnest(s.s_emb) AS sx, unnest(c.c_emb) AS cx
+  FROM subs s JOIN cb0 c USING (m)
+),
+dists0 AS (
+  SELECT vec_id, m, code, ROUND(SUM((sx - cx) * (sx - cx)), 6) AS d2
+  FROM flat0 GROUP BY vec_id, m, code
+),
+best0 AS (
+  SELECT vec_id, m, code
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, code) AS rk
+        FROM dists0) t
+  WHERE rk = 1
+),
+cent_dim AS (
+  SELECT b.m, b.code, i,
+         ROUND(CAST(SUM(CAST(s.s_emb[i] AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*), 6) AS c
+  FROM best0 b
+  JOIN subs s ON s.vec_id = b.vec_id AND s.m = b.m
+  CROSS JOIN generate_series(1, {SUB_DIM}) t(i)
+  GROUP BY b.m, b.code, i
+),
+cb AS (SELECT m, code, list(c ORDER BY i) AS c_emb FROM cent_dim GROUP BY m, code),
+flat AS (
+  SELECT s.vec_id, s.m, c.code, unnest(s.s_emb) AS sx, unnest(c.c_emb) AS cx
+  FROM subs s JOIN cb c USING (m)
+),
+dists AS (
+  SELECT vec_id, m, code, ROUND(SUM((sx - cx) * (sx - cx)), 6) AS d2
+  FROM flat GROUP BY vec_id, m, code
+),
+best AS (
+  SELECT vec_id, m, code, d2
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, code) AS rk
+        FROM dists) t
+  WHERE rk = 1
+)"""
+
+
+@register(
+    "pq_encode_embeddings",
+    oracle=f"""
+WITH {_ORACLE_ENCODE}
+SELECT vec_id,
+       string_agg(CAST(code AS VARCHAR), '-' ORDER BY m) AS codes,
+       CAST(SUM(CAST(d2 AS DECIMAL(18,6))) AS DOUBLE) AS recon_d2
+FROM best GROUP BY vec_id
+""",
+)
+def pq_encode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encode: quantize every embedding to {M} sub-centroid codes and
+    report the per-vector reconstruction error — the 32× vector
+    compression step.  Every arithmetic step is engine-stable (round-6
+    d2, DECIMAL error sum), so the oracle reproduces codes AND error
+    bit-for-bit.
+
+    Scale: codebook broadcast; one shuffle keyed (vec_id, m) with ≤{M}
+    rows per vector for the argmin window; the final per-vector rollup
+    combines map-side on vec_id.
+    """
+    vecs = _vectors(spark, sf_dir)
+    enc = encode(vecs, codebook(vecs))
+    ordered = F.array_sort(F.collect_list(F.struct("m", "code")))
+    return enc.groupBy("vec_id").agg(
+        F.array_join(
+            F.transform(ordered, lambda s: s["code"].cast("string")), "-"
+        ).alias("codes"),
+        F.sum(F.col("d2").cast(_DEC)).cast("double").alias("recon_d2"),
+    )
+
+
+@register("pq_adc_topk")  # approximate by design → rows-only + recall pytest
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbors by asymmetric distance computation:
+    each query builds a {M}×{K} lookup table of exact subspace distances
+    to every sub-centroid, then candidate distances are SUMS OF TABLE
+    LOOKUPS over the candidates' codes — raw vectors are never touched
+    after encode time, which is the point at 100 TB.
+
+    Plan shape: LUT is Q×{M}×{K} rows (metadata) → broadcast; the code
+    table streams through it map-side; the (query_id, vec_id) partial-sum
+    aggregation combines map-side; the top-k window partitions per query.
+    Recall vs the exact scan is asserted in tests/test_pq.py.
+    """
+    vecs = _vectors(spark, sf_dir)
+    cb = codebook(vecs)
+    codes = encode(vecs, cb).select("vec_id", "m", "code")
+
+    queries = vecs.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "emb"
+    )
+    lut = (
+        _subspaces(queries, "emb")
+        .join(F.broadcast(cb), "m")
+        .select("query_id", "m", "code", _d2("s_emb", "c_emb").alias("d2"))
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum(F.col("d2").cast(_DEC)).cast("double").alias("adc_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_d2", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", "adc_d2", "rank")
+    )

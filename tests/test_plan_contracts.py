@@ -75,3 +75,26 @@ def test_no_row_at_a_time_python_udf(spark, sf_dir):
     for name in ("extract_links_udf", "media_feature_extract", "crawl_pipeline_e2e"):
         plan = _plan(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan, name
+
+
+def test_snapshot_diff_is_one_copartitioned_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "snapshot_diff_orders")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # full-outer CDC diff must be a single key-partitioned join
+    assert "SortMergeJoin" in plan
+    assert plan.count("FullOuter") == 1
+
+
+def test_pq_adc_codebook_and_lut_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "pq_adc_topk")
+    # the code table streams through broadcast joins; no N×N anywhere
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_contamination_probe_has_no_nested_loop(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "eval_contamination_overlap")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
