@@ -1,0 +1,174 @@
+"""Sketch & reconciliation operators — the mergeable-summary layer every
+100 TB deployment needs.
+
+Two families:
+
+- **HLL sketches** (Apache DataSketches via Spark's native
+  ``hll_sketch_agg`` / ``hll_union_agg`` / ``hll_sketch_estimate``):
+  distinct counts whose partial states are *mergeable* — build one sketch
+  per partition/day/source, union them for any rollup, never rescan the
+  raw data.  ``approx_count_distinct`` (HyperLogLog++) answers one query;
+  a stored sketch answers every future rollup.  Approximate by nature →
+  rows-only registration, with tolerance + merge-equality pytests
+  (``tests/test_sketches.py``).
+
+- **Block checksums**: cross-engine table reconciliation (the "did the
+  migration copy every row" audit) without moving data: per-row md5 over a
+  canonical serialization, folded into an order-independent per-block SUM.
+  Blocks shard the table so a mismatch localizes to ~1/NB of the data.
+  Exact and engine-neutral (md5 + decimal sums) → fully oracle-checked.
+
+The reference has no analytics layer at all (SURVEY §2.2 — no aggregation
+anywhere; ``scripts/spiders/web_spider_oo.py`` counts nothing); these
+derive from the 100 TB north-star, not a reference behavior.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tables import load
+
+# ---------------------------------------------------------------------------
+# HLL sketches: mergeable distinct counts
+# ---------------------------------------------------------------------------
+
+# lgConfigK=14 → 16 Ki registers, ~0.8% relative standard error; fixed so
+# sketches built by different jobs/rounds stay union-compatible.
+_LG_K = 14
+
+
+def hll_by_group(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Per-group HLL sketches (binary, storable) — one shuffle, map-side
+    partial sketches merged by the final aggregation."""
+    return df.groupBy(group_col).agg(
+        F.hll_sketch_agg(value_col, F.lit(_LG_K)).alias("sketch")
+    )
+
+
+@register("hll_distinct_by_type")  # approximate estimator → rows-only check
+def hll_distinct_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct users per event type, plus an ``__all__`` row
+    whose estimate comes from UNIONING the per-type sketches — not from
+    rescanning events.
+
+    That re-aggregation is the entire point of sketches at 100 TB: store
+    per-partition (here per-type) sketches once, answer any coarser
+    rollup by merging kilobyte summaries.  The merged estimate is
+    bit-identical to a direct global sketch (DataSketches HLL union is a
+    deterministic per-register max) — asserted in tests/test_sketches.py.
+    """
+    per_type = hll_by_group(load(spark, sf_dir, "events"), "event_type", "user_id")
+    typed = per_type.select(
+        "event_type", F.hll_sketch_estimate("sketch").alias("approx_users")
+    )
+    merged = per_type.agg(F.hll_union_agg("sketch").alias("sketch")).select(
+        F.lit("__all__").alias("event_type"),
+        F.hll_sketch_estimate("sketch").alias("approx_users"),
+    )
+    return typed.unionByName(merged)
+
+
+@register("approx_topk_words")  # frequency sketch → rows-only check
+def approx_topk_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus words by an ``approx_top_k`` frequency sketch.
+
+    The exact twin (``salted_topk_words``, operators/extensions.py) pays a
+    full shuffle of every distinct word; the sketch tracks a bounded set of
+    counters per partition and merges them — constant state per task no
+    matter how large the vocabulary, the right trade at 100 TB when only
+    the head matters.  ``maxItemsTracked`` = 10⁴ bounds per-task memory;
+    heads far smaller than that are exact in practice —
+    tests/test_sketches.py asserts agreement with the exact top-k on the
+    fixture.
+    """
+    words = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    top = words.agg(F.expr("approx_top_k(word, 20, 10000)").alias("top"))
+    return top.select(F.explode("top").alias("e")).select(
+        F.col("e.item").alias("word"), F.col("e.count").alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Block checksums: cross-engine reconciliation
+# ---------------------------------------------------------------------------
+
+_N_BLOCKS = 32
+
+
+@register(
+    "block_checksum_orders",
+    oracle=f"""
+SELECT o_orderkey % {_N_BLOCKS} AS block,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(CAST('0x' || substr(md5(concat_ws('|',
+                CAST(o_orderkey AS VARCHAR),
+                CAST(o_custkey AS VARCHAR),
+                o_orderstatus,
+                CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+                CAST(epoch_us(o_orderdate) AS VARCHAR),
+                o_orderpriority)), 1, 8) AS BIGINT) AS DECIMAL(20,0)))
+            AS DECIMAL(38,0)) AS checksum
+FROM orders
+GROUP BY o_orderkey % {_N_BLOCKS}
+""",
+)
+def block_checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent per-block checksum of the orders table.
+
+    Reconciling two 100 TB copies (post-migration audit, replica drift
+    detection) must not ship rows anywhere: each side computes NB small
+    (block, n_rows, checksum) summaries locally and compares those.  The
+    construction is engine-neutral so ANY engine can sit on either side —
+    exactly what the oracle check proves, DuckDB being "the other engine":
+
+    - canonical row serialization: '|' -joined strings with explicit,
+      render-stable casts (DECIMAL(18,2) for the price — double→string
+      rendering differs across engines; epoch-µs integers for the
+      timestamp — datetime formatting differs across engines);
+    - md5 over the serialization, first 8 hex chars parsed as a 32-bit
+      integer (both engines parse hex exactly);
+    - SUM in DECIMAL — commutative/associative, so shuffle order,
+      partitioning, and aggregation-tree shape can't change the result,
+      and 38 digits cannot overflow (2^32 · 10^10 rows < 10^20).
+
+    One map-side-combined shuffle of NB·(3 numbers); a mismatch rescans
+    only the offending block's 1/NB of the table.
+    """
+    orders = load(spark, sf_dir, "orders")
+    row_hash = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("o_orderkey").cast("string"),
+                        F.col("o_custkey").cast("string"),
+                        F.col("o_orderstatus"),
+                        F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+                        F.unix_micros(F.col("o_orderdate").cast("timestamp")).cast("string"),
+                        F.col("o_orderpriority"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("decimal(20,0)")
+    )
+    return (
+        orders.select((F.col("o_orderkey") % _N_BLOCKS).alias("block"), row_hash.alias("h"))
+        .groupBy("block")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("h").cast("decimal(38,0)").alias("checksum"),
+        )
+    )

@@ -25,6 +25,7 @@ _OPERATOR_MODULES = (
     "cocktails_data_engineering_spark.operators.crawl",
     "cocktails_data_engineering_spark.operators.extensions",
     "cocktails_data_engineering_spark.operators.warehouse",
+    "cocktails_data_engineering_spark.operators.sketches",
     "cocktails_data_engineering_spark.operators.pq",
     "cocktails_data_engineering_spark.operators.pipeline",
     "cocktails_data_engineering_spark.operators.multimodal",

@@ -38,14 +38,37 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # our own session factory.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) which Spark's reader rejects;
-        # read the raw int64 nanos (legacy conf, dynamic) and truncate to the
-        # engine's native microsecond timestamps. DIV keeps the arithmetic in
-        # int64 — a double division would lose precision above 2^53 ns.
+        # events.ts is parquet TIMESTAMP(NANOS). Reader behavior differs by
+        # Spark version, so normalize whatever comes back (see
+        # normalize_events_ts); the legacy conf below makes Spark 4.0-era
+        # readers surface the raw int64 nanos instead of rejecting the file
+        # (Spark 4.1+ ignores it and reads µs-truncated TIMESTAMP_NTZ).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return normalize_events_ts(df)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column to a µs-precision TIMESTAMP instant.
+
+    Two reader behaviors exist for parquet TIMESTAMP(NANOS):
+
+    - int64 nanos (``spark.sql.legacy.parquet.nanosAsLong``, Spark ≤4.0):
+      floor-divide to µs in int64 (a double division would lose precision
+      above 2^53 ns) and reinterpret as an instant.
+    - TIMESTAMP_NTZ truncated to µs (Spark 4.1+): cast to TIMESTAMP — with
+      the session timezone pinned to UTC above this reinterprets the
+      wall-clock values as the same UTC instants the int64 path produces.
+
+    Both agree exactly with the DuckDB oracle's ``epoch_ns(ts) // 1000``.
+    """
+    kind = dict(df.dtypes).get("ts")
+    if kind == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if kind == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def load_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -1,0 +1,71 @@
+"""Semantic checks for the sketch layer (approximate → no value oracle):
+estimate accuracy vs exact, and the merge property that justifies storing
+sketches at all."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cocktails_data_engineering_spark.operators.sketches import (
+    _LG_K,
+    approx_topk_words,
+    hll_distinct_by_type,
+)
+from cocktails_data_engineering_spark.sources.tables import load
+
+
+def test_hll_estimates_within_tolerance(spark, sf_dir):
+    est = {r.event_type: r.approx_users for r in hll_distinct_by_type(spark, sf_dir).collect()}
+    events = load(spark, sf_dir, "events")
+    exact_rows = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n")
+    ).collect()
+    exact = {r.event_type: r.n for r in exact_rows}
+    exact["__all__"] = events.select("user_id").distinct().count()
+    assert set(est) == set(exact)
+    for k, n in exact.items():
+        # lgK=14 → ~0.8% RSE; 5% is >6 sigma, stable across runs
+        assert abs(est[k] - n) <= max(2, 0.05 * n), (k, est[k], n)
+
+
+def test_hll_union_equals_direct_sketch(spark, sf_dir):
+    """Union of per-group sketches must estimate exactly what one global
+    sketch over the raw data estimates (HLL union = per-register max, so
+    the merged register state is identical) — the property that lets a
+    deployment store per-day sketches and never rescan history."""
+    events = load(spark, sf_dir, "events")
+    merged = (
+        events.groupBy("event_type")
+        .agg(F.hll_sketch_agg("user_id", F.lit(_LG_K)).alias("sk"))
+        .agg(F.hll_union_agg("sk").alias("sk"))
+        .select(F.hll_sketch_estimate("sk").alias("est"))
+        .collect()[0]
+        .est
+    )
+    direct = (
+        events.agg(F.hll_sketch_agg("user_id", F.lit(_LG_K)).alias("sk"))
+        .select(F.hll_sketch_estimate("sk").alias("est"))
+        .collect()[0]
+        .est
+    )
+    assert merged == direct
+
+
+def test_approx_topk_matches_exact_head(spark, sf_dir):
+    """With maxItemsTracked far above the true vocabulary head, the sketch's
+    counts are exact and its membership is a valid top-20 under ties."""
+    approx = {r.word: r.n for r in approx_topk_words(spark, sf_dir).collect()}
+    exact_rows = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .count()
+        .collect()
+    )
+    exact = {r.word: r["count"] for r in exact_rows}
+    kth = sorted(exact.values(), reverse=True)[min(19, len(exact) - 1)]
+    assert len(approx) == min(20, len(exact))
+    for word, n in approx.items():
+        assert exact[word] == n, (word, n, exact.get(word))
+        assert n >= kth  # every reported member belongs to a valid top-20
