@@ -611,3 +611,156 @@ FROM pairs
 WHERE bit_count(sa ^ sb) <= {HAMMING_MAX}
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup (the ExactSubstr family)
+# ---------------------------------------------------------------------------
+# Long verbatim passages shared ACROSS documents (licenses, templates,
+# syndicated articles) survive document-level dedup because the documents
+# differ elsewhere.  The literature's answer is suffix-array substring
+# dedup; the Spark-native equivalent is fixed-width overlapping character
+# windows: any shared substring of length ≥ W + S - 1 is guaranteed to
+# contain at least one aligned W-window in both documents, so window
+# equality is a complete detector at that granularity.  W=64/S=32 detects
+# every shared run of ≥ 95 chars and most shorter ones.
+SUBSTR_W = 64
+SUBSTR_STRIDE = 32
+
+_SUBSTR_WINS_SQL = f"""
+  SELECT doc_id, CAST(off AS INT) AS off, substr(text, CAST(off AS INT) + 1, {SUBSTR_W}) AS w
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(0, length(text) - {SUBSTR_W}, {SUBSTR_STRIDE})) AS off)
+  WHERE length(text) >= {SUBSTR_W}
+"""
+
+
+def _char_windows(docs: DataFrame) -> DataFrame:
+    """(doc_id, off, w): overlapping W-char windows at STRIDE offsets.
+
+    Map-only (explode of an in-row sequence — no shuffle); output rows
+    ≈ chars/STRIDE, each carrying a W-char key.  At 100 TB the groupBy
+    key becomes ``xxhash64(w)`` (8 bytes instead of 64) — kept as raw
+    text here so the DuckDB oracle is byte-identical.
+    """
+    return (
+        docs.filter(F.length("text") >= SUBSTR_W)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.length("text") - SUBSTR_W, F.lit(SUBSTR_STRIDE)
+                )
+            ).alias("off"),
+            "text",
+        )
+        .select(
+            "doc_id", "off", F.expr(f"substring(text, off + 1, {SUBSTR_W})").alias("w")
+        )
+    )
+
+
+@register(
+    "exact_substr_windows",
+    oracle=f"""
+WITH wins AS ({_SUBSTR_WINS_SQL})
+SELECT md5(w) AS window_hash,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       COUNT(*) AS n_occurrences,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM wins
+GROUP BY w
+HAVING COUNT(DISTINCT doc_id) >= 2
+""",
+)
+def exact_substr_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated substrings: every W-char window that
+    appears in ≥ 2 distinct documents, with occurrence accounting.
+
+    One shuffle keyed on window content (map-side combined); no joins.
+    This is the detection stage of suffix-array-style substring dedup
+    re-expressed for a shuffle engine — candidate passages come out as a
+    table, not via random access into a giant suffix array.
+    """
+    wins = _char_windows(load_spread(spark, sf_dir, "documents"))
+    return (
+        wins.groupBy("w")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .select(F.md5("w").alias("window_hash"), "n_docs", "n_occurrences", "first_doc", "last_doc")
+    )
+
+
+@register(
+    "exact_substr_doc_spans",
+    oracle=f"""
+WITH wins AS ({_SUBSTR_WINS_SQL}),
+dup AS (
+  SELECT DISTINCT doc_id, off FROM wins
+  WHERE w IN (SELECT w FROM wins GROUP BY w HAVING COUNT(DISTINCT doc_id) >= 2)
+),
+marked AS (
+  SELECT doc_id, off,
+         CASE WHEN MAX(off + {SUBSTR_W}) OVER (
+                PARTITION BY doc_id ORDER BY off
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR off > MAX(off + {SUBSTR_W}) OVER (
+                PARTITION BY doc_id ORDER BY off
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         THEN 1 ELSE 0 END AS new_island
+  FROM dup
+),
+islands AS (
+  SELECT doc_id, off,
+         SUM(new_island) OVER (PARTITION BY doc_id ORDER BY off
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM marked
+)
+SELECT doc_id,
+       CAST(MIN(off) AS INT) AS span_start,
+       CAST(MAX(off) + {SUBSTR_W} AS INT) AS span_end
+FROM islands
+GROUP BY doc_id, island
+""",
+)
+def exact_substr_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document maximal duplicated spans: overlapping/adjacent
+    duplicated windows merged by gaps-and-islands into [span_start,
+    span_end) character ranges — what a scrubber would actually cut.
+
+    Plan: the window table feeds ONE content-keyed aggregate (the
+    duplicated-window set) and joins back co-partitioned on the same key;
+    the merge windows partition by doc_id, so island assembly
+    parallelizes per document and never needs a global order.
+    """
+    wins = _char_windows(load_spread(spark, sf_dir, "documents"))
+    dup_keys = (
+        wins.groupBy("w")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("w")
+    )
+    from pyspark.sql import Window as W
+
+    dup = wins.join(dup_keys, "w").select("doc_id", "off").distinct()
+    per_doc = W.partitionBy("doc_id").orderBy("off")
+    prev_end = F.max(F.col("off") + SUBSTR_W).over(
+        per_doc.rowsBetween(W.unboundedPreceding, -1)
+    )
+    marked = dup.withColumn(
+        "new_island",
+        F.when(prev_end.isNull() | (F.col("off") > prev_end), 1).otherwise(0),
+    )
+    islands = marked.withColumn(
+        "island", F.sum("new_island").over(per_doc.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return islands.groupBy("doc_id", "island").agg(
+        F.min("off").cast("int").alias("span_start"),
+        (F.max("off") + SUBSTR_W).cast("int").alias("span_end"),
+    ).select("doc_id", "span_start", "span_end")

@@ -163,6 +163,18 @@ def read_csv(spark: SparkSession, path: str, schema=None, header: bool = True) -
     return reader.csv(path)
 
 
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink — the other splittable columnar format Spark ships
+    natively; interoperates with Hive/Trino warehouses that standardized
+    on ORC instead of parquet."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source (schema travels in the file footer, like parquet)."""
+    return spark.read.orc(path)
+
+
 @register("jdbc_roundtrip")  # side-effectful smoke — rows-only check
 def jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sink round trip (O15): write the edge table through a sink, read it

@@ -109,3 +109,16 @@ def test_csv_reader(spark, tmp_path):
     p.write_text("id,name\n1,alpha\n2,beta\n")
     df = read_csv(spark, str(p), schema="id int, name string")
     assert sorted(map(tuple, df.collect())) == [(1, "alpha"), (2, "beta")]
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    from cocktails_data_engineering_spark.sources.io import read_orc, write_orc
+
+    df = spark.createDataFrame(
+        [(1, "alpha", 0.5), (2, "beta", 1.5)], "doc_id long, text string, score double"
+    )
+    out = str(tmp_path / "docs_orc")
+    write_orc(df, out)
+    back = read_orc(spark, out)
+    assert back.schema == df.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))

@@ -98,3 +98,22 @@ def test_contamination_probe_has_no_nested_loop(spark, sf_dir):
     plan = _plan(spark, sf_dir, "eval_contamination_overlap")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_block_checksum_is_one_partial_aggregate(spark, sf_dir):
+    """The reconciliation checksum must stay map-only + one combined
+    shuffle: no join, no window, exactly one exchange (partial → final
+    HashAggregate around it)."""
+    plan = _plan(spark, sf_dir, "block_checksum_orders")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("Exchange") <= 2  # shuffle + AQE read, never more
+
+
+def test_hll_rollup_reuses_sketches_not_raw_rows(spark, sf_dir):
+    """The __all__ row must come from unioning per-type sketches; the raw
+    events scan feeds ONE sketch-building aggregate, not a second
+    distinct-count over users."""
+    plan = _plan(spark, sf_dir, "hll_distinct_by_type")
+    assert "hll_union_agg" in plan
+    assert "count(distinct" not in plan.lower()

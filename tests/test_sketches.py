@@ -69,3 +69,28 @@ def test_approx_topk_matches_exact_head(spark, sf_dir):
     for word, n in approx.items():
         assert exact[word] == n, (word, n, exact.get(word))
         assert n >= kth  # every reported member belongs to a valid top-20
+
+
+def test_block_checksum_invariant_under_repartition(spark, sf_dir):
+    """The checksum must be a pure function of table CONTENT: any
+    partitioning/shuffle order (the thing that varies across cluster
+    sizes) yields identical blocks — that's what makes it usable for
+    cross-deployment reconciliation."""
+    from cocktails_data_engineering_spark.operators.sketches import block_checksum_orders
+
+    base = {r.block: (r.n_rows, r.checksum) for r in block_checksum_orders(spark, sf_dir).collect()}
+    orders = load(spark, sf_dir, "orders").repartition(13)
+    import tempfile
+
+    shuffled_dir = tempfile.mkdtemp(prefix="cksum_shuffled_")
+    orders.write.mode("overwrite").parquet(shuffled_dir + "/orders.parquet")
+    for other in ("region", "nation", "customer", "supplier", "part", "lineitem",
+                  "events", "documents", "embeddings"):
+        # checksum only reads orders; point the rest at the originals
+        import os
+        os.symlink(f"{sf_dir}/{other}.parquet", f"{shuffled_dir}/{other}.parquet")
+    again = {
+        r.block: (r.n_rows, r.checksum)
+        for r in block_checksum_orders(spark, shuffled_dir).collect()
+    }
+    assert base == again
