@@ -264,6 +264,32 @@ def extract_links_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "extract_links_sql",
+    oracle=f"""
+WITH site AS (SELECT doc_id, {_SQL_URL} AS url, {_SQL_HTML} AS html FROM documents)
+SELECT url, unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS href
+FROM site
+""",
+)
+def extract_links_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7 without Python: ``regexp_extract_all`` inside whole-stage
+    codegen — same rows as extract_links_udf (oracle-identical), no Arrow
+    hop, no Python workers.
+
+    This is the 100 TB default; the pandas-UDF variant remains for pages
+    needing a real HTML parser (entity decoding, malformed markup) where
+    a regex genuinely can't go — swap is one operator, plan unchanged.
+    """
+    site = pages(spark, sf_dir)
+    return site.select(
+        "url",
+        F.explode(
+            F.expr(r"""regexp_extract_all(html, 'href="([^"]*)"', 1)""")
+        ).alias("href"),
+    )
+
+
+@register(
     "crawl_pipeline_e2e",
     oracle=f"""
 WITH ok AS (SELECT doc_id, {_SQL_URL} AS url FROM documents WHERE {_SQL_STATUS} = 200)

@@ -233,3 +233,100 @@ def pagerank_crawl_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             .transform(materialize)
         )
     return ranks
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (degree-oriented) over a co-occurrence graph
+# ---------------------------------------------------------------------------
+@register(
+    "cooccurrence_triangle_stats",
+    oracle="""
+WITH edges AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+verts AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges
+  ) GROUP BY node
+),
+tris AS (
+  SELECT COUNT(*) AS t
+  FROM edges e1 JOIN edges e2 ON e2.u = e1.v
+       JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT CAST((SELECT COUNT(*) FROM verts) AS BIGINT) AS n_vertices,
+       CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
+       CAST((SELECT t FROM tris) AS BIGINT) AS n_triangles,
+       CAST((SELECT SUM(deg * (deg - 1) / 2) FROM verts) AS BIGINT) AS n_wedges,
+       3.0 * (SELECT t FROM tris) / (SELECT SUM(deg * (deg - 1) / 2) FROM verts)
+         AS global_clustering
+""",
+)
+def cooccurrence_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the
+    part-co-occurrence graph (parts appearing in the same order share an
+    edge) — the canonical distributed-graph-analytics kernel.
+
+    The naive triangle join costs Σ_v deg(v)² wedges, ruinous under
+    power-law degrees.  The standard fix is DEGREE ORIENTATION: direct
+    every edge from its (deg, id)-smaller endpoint to the larger; each
+    triangle survives exactly once and wedge generation is bounded by
+    out-degrees, which orientation caps at O(√m) — this turns the 100 TB
+    wedge explosion into Σ d_out² ≤ m^1.5.  Plan: two content-keyed
+    equi-joins (wedge build, closing-edge probe), all map-side combined;
+    the oracle counts via the simpler id-orientation, which yields the
+    same once-per-triangle total.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .transform(materialize)  # edges feed degrees, wedges, and the probe
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
+    with_deg = edges.join(du, "u").join(dv, "v")
+    lower_first = (F.col("deg_u") < F.col("deg_v")) | (
+        (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
+    )
+    oriented = with_deg.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(lower_first, F.struct("deg_v", "v")).otherwise(F.struct(F.col("deg_u").alias("deg_v"), F.col("u").alias("v"))).alias("dstk"),
+    ).select("src", F.col("dstk.v").alias("dst"), F.col("dstk.deg_v").alias("dst_deg")).transform(materialize)
+    o1 = oriented.select("src", F.col("dst").alias("w1"), F.col("dst_deg").alias("k1"))
+    o2 = oriented.select("src", F.col("dst").alias("w2"), F.col("dst_deg").alias("k2"))
+    wedges = o1.join(o2, "src").filter(
+        (F.col("k1") < F.col("k2"))
+        | ((F.col("k1") == F.col("k2")) & (F.col("w1") < F.col("w2")))
+    )
+    closing = oriented.select(
+        F.col("src").alias("w1"), F.col("dst").alias("w2")
+    )
+    triangles = wedges.join(closing, ["w1", "w2"]).agg(
+        F.count(F.lit(1)).alias("t")
+    )
+    summary = edges.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
+        deg.agg(
+            F.count(F.lit(1)).alias("n_vertices"),
+            F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("bigint").alias("n_wedges"),
+        )
+    ).crossJoin(triangles)
+    return summary.select(
+        F.col("n_vertices").cast("bigint"),
+        F.col("n_edges").cast("bigint"),
+        F.col("t").cast("bigint").alias("n_triangles"),
+        "n_wedges",
+        (F.lit(3.0) * F.col("t") / F.col("n_wedges")).alias("global_clustering"),
+    )

@@ -1,0 +1,119 @@
+"""Lexical (sparse-vector) all-pairs document similarity.
+
+The dense-embedding near-dup family (operators/similarity.py) catches
+semantic duplicates; its lexical complement — cosine over term-frequency
+vectors through an inverted index — catches reworded boilerplate and
+templated pages whose embeddings may drift.  This is the classic all-pairs
+similarity-search shape (inverted-index candidate generation + exact
+verification), the third member of the candidates→verify pattern beside
+MinHash→Jaccard and sign-LSH→cosine.
+
+Exactness across engines: everything until the final cosine is INTEGER
+arithmetic (tf counts, dot products, squared norms — bit-identical
+anywhere); the one double op is ``dot / sqrt(na*nb)``, and IEEE 754
+requires division and sqrt to be correctly rounded, so even that is
+bit-identical in Spark and DuckDB (na*nb stays far below 2^53).  No
+rounding tricks needed — the oracle checks exact values.
+
+Scale notes (100 TB):
+- The inverted-index join costs Σ_w df(w)² pairs.  Stop-words are pruned
+  by document frequency BEFORE the join (df > DF_CAP_RATIO of docs) —
+  the standard prefix-filtering trade: ubiquitous terms contribute
+  near-zero discrimination but dominate Σ df², so dropping them bounds
+  bucket sizes the same way LSH band caps do (dedup.py HOT_BUCKET_CAP).
+- Everything shuffles on content keys (word, then the pair) with
+  map-side combines; no N² step anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tables import load, load_spread
+
+# prune words present in more than this fraction of documents (stop-words)
+DF_CAP_RATIO = 0.25
+# report pairs with tf-cosine at or above this
+TAU = 0.8
+
+_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS word
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, word, COUNT(*) AS tf FROM toks GROUP BY doc_id, word
+),
+n_docs AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf),
+kept AS (
+  SELECT tf.* FROM tf
+  JOIN (SELECT word, COUNT(*) AS df FROM tf GROUP BY word) d USING (word)
+  WHERE d.df <= (SELECT n FROM n_docs) * {DF_CAP_RATIO}
+),
+norms AS (
+  SELECT doc_id, SUM(tf * tf) AS nrm FROM kept GROUP BY doc_id
+),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.tf * b.tf) AS dot
+  FROM kept a JOIN kept b ON a.word = b.word AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, dot,
+       dot / sqrt(CAST(na.nrm * nb.nrm AS DOUBLE)) AS cos_sim
+FROM dots
+JOIN norms na ON na.doc_id = doc_a
+JOIN norms nb ON nb.doc_id = doc_b
+WHERE dot / sqrt(CAST(na.nrm * nb.nrm AS DOUBLE)) >= {TAU}
+"""
+
+
+@register("lexical_cosine_pairs", oracle=_ORACLE)
+def lexical_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All document pairs with term-frequency cosine ≥ {TAU}, generated
+    through a df-pruned inverted index — never an N² comparison.
+
+    Pipeline: tokenize → per-(doc, word) tf → drop stop-words by document
+    frequency → self-join the inverted index on word, accumulating the
+    integer dot product with a map-side-combined SUM → join the two
+    (tiny) squared-norm rows → exact cosine filter.
+    """
+    tf = (
+        load_spread(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("word"),
+        )
+        .filter(F.col("word") != "")
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    # corpus size as a 1-row broadcast, not a driver-side count — the plan
+    # stays fully lazy/distributed
+    n_docs = tf.agg(F.countDistinct("doc_id").alias("n"))
+    keep_words = (
+        df.crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") <= F.col("n") * DF_CAP_RATIO)
+        .select("word")
+    )
+    kept = tf.join(F.broadcast(keep_words), "word")
+    norms = kept.groupBy("doc_id").agg(F.sum(F.col("tf") * F.col("tf")).alias("nrm"))
+    a = kept.select(F.col("doc_id").alias("doc_a"), "word", F.col("tf").alias("tf_a"))
+    b = kept.select(F.col("doc_id").alias("doc_b"), "word", F.col("tf").alias("tf_b"))
+    dots = (
+        a.join(b, "word")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("tf_a") * F.col("tf_b")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
+    cos = F.col("dot") / F.sqrt((F.col("na") * F.col("nb")).cast("double"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", "dot", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= TAU)
+    )

@@ -1,0 +1,174 @@
+"""Time-series operators over the events table: spine resampling with
+zero-fill, range-frame rolling aggregates, and forward fill.
+
+The reference records crawl observations as they happen (append-per-parent,
+``scripts/spiders/web_spider_oo.py:305-308``) — irregular event times.  Every
+downstream consumer of such a feed (dashboards, anomaly detection, feature
+stores for training) needs the regularization operators here.
+
+Scale notes (100 TB):
+- The spine is generated from a 1-row min/max aggregate — never collected
+  to the driver and never materialized beyond |hours| × |types| rows.
+- Rolling windows use RANGE frames over epoch-µs: one shuffle on the
+  partition key (user), then a linear per-partition sweep; frame state is
+  bounded by the time width, not history.
+- Forward fill is ``last(..., ignorenulls)`` over the same per-user
+  ordering — one shuffle, no self-join, no driver loop.
+- Double sums inside window frames accumulate in DECIMAL (see
+  functions/numerics) so results are identical on any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.numerics import DEC
+from ..registry import register
+from ..sources.tables import load
+
+
+@register(
+    "resample_fill_hourly",
+    oracle="""
+WITH bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi FROM events
+),
+spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds
+),
+types AS (SELECT DISTINCT event_type FROM events),
+agg AS (
+  SELECT date_trunc('hour', ts) AS h, event_type,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+  FROM events GROUP BY 1, 2
+)
+SELECT strftime(s.h, '%Y-%m-%d %H:%M:%S') AS hour,
+       t.event_type,
+       COALESCE(a.n_events, 0) AS n_events,
+       COALESCE(a.sum_value, 0.0) AS sum_value
+FROM spine s CROSS JOIN types t
+LEFT JOIN agg a ON a.h = s.h AND a.event_type = t.event_type
+""",
+)
+def resample_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample the irregular event feed onto a dense hourly spine per
+    event type, zero-filling empty buckets.
+
+    A bare GROUP BY silently drops empty buckets — poison for
+    rolling-window features and charting.  The spine comes from a 1-row
+    min/max aggregate expanded with ``sequence`` (no driver round-trip,
+    no hardcoded calendar), cross-joined with the (tiny, broadcast)
+    distinct-type dimension, then left-joined to the hourly aggregate.
+    """
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    types = ev.select("event_type").distinct()
+    agg = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+    )
+    return (
+        spine.crossJoin(F.broadcast(types))
+        .join(agg, ["h", "event_type"], "left")
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "rolling_1h_user_spend",
+    oracle="""
+SELECT event_id, user_id,
+       epoch_us(ts) AS ts_us,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS spend_1h,
+       COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+       ) AS n_1h
+FROM events
+WHERE event_type = 'purchase'
+""",
+)
+def rolling_1h_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per purchase, the user's trailing-1-hour spend and purchase count —
+    a RANGE frame over event time (rows at identical timestamps share the
+    frame, unlike a ROWS frame), the canonical sliding-feature shape.
+
+    One shuffle on user_id; the frame is swept linearly per partition
+    with state bounded by the hour width.  The frame SUM accumulates in
+    DECIMAL so the trailing totals are engine- and partitioning-exact.
+    """
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "value")
+    )
+    frame = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.sum(F.col("value").cast(DEC)).over(frame).cast("double").alias("spend_1h"),
+        F.count(F.lit(1)).over(frame).alias("n_1h"),
+    )
+
+
+@register(
+    "forward_fill_purchase_value",
+    oracle="""
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS last_purchase_value
+FROM events
+""",
+)
+def forward_fill_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill: annotate EVERY event with the user's most recent
+    purchase value at-or-before it (NULL until the first purchase) —
+    last-observation-carried-forward over a sparse signal.
+
+    ``last(..., ignorenulls)`` over a (ts, event_id)-ordered per-user
+    window: one shuffle, linear sweep, O(1) state per partition — the
+    same value is picked by both engines because the order key is made
+    unique with the event_id tiebreak, and no arithmetic touches it.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.when(F.col("event_type") == "purchase", F.col("value")).alias("pv"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.last("pv", ignorenulls=True).over(w).alias("last_purchase_value"),
+    )

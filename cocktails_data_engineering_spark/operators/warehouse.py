@@ -30,7 +30,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.numerics import dsum, oracle_dsum
@@ -359,3 +359,85 @@ def partition_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "skew_factor"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality expectations (the dbt-test / Great-Expectations shape)
+# ---------------------------------------------------------------------------
+@register(
+    "dq_orders_expectations",
+    oracle="""
+SELECT 'orderkey_not_null' AS rule,
+       CAST(COUNT(*) AS BIGINT) AS n_checked,
+       CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+FROM orders
+UNION ALL
+SELECT 'orderkey_unique',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'totalprice_positive',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'custkey_in_customer',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+UNION ALL
+SELECT 'lineitem_orderkey_in_orders',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+""",
+)
+def dq_orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit: five expectations (null, unique,
+    range, two referential-integrity rules) evaluated in full and reported
+    as (rule, n_checked, n_violations) — the dbt-test / expectations-suite
+    contract a warehouse load runs before publishing a table.
+
+    Scale: each rule is one aggregate or one key-join with map-side
+    combine; violation COUNTS (not violating rows) come back, so output
+    is rule-cardinality-sized.  The uniqueness rule is
+    count − count(distinct) — no self-join; the RI rules are left joins
+    on the key with a null-probe SUM, which AQE turns into broadcast
+    probes when the dimension fits.
+    """
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    li = load(spark, sf_dir, "lineitem")
+
+    def rule(name: str, checked: DataFrame, violation: Column) -> DataFrame:
+        return checked.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_checked"),
+            F.sum(F.when(violation, 1).otherwise(0)).cast("bigint").alias("n_violations"),
+        ).select(F.lit(name).alias("rule"), "n_checked", "n_violations")
+
+    not_null = rule("orderkey_not_null", orders, F.col("o_orderkey").isNull())
+    unique = orders.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_checked"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).cast("bigint").alias("n_violations"),
+    ).select(F.lit("orderkey_unique").alias("rule"), "n_checked", "n_violations")
+    positive = rule(
+        "totalprice_positive",
+        orders,
+        F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0),
+    )
+    ri_cust = rule(
+        "custkey_in_customer",
+        orders.join(
+            customer.select(F.col("c_custkey")), orders.o_custkey == F.col("c_custkey"), "left"
+        ),
+        F.col("c_custkey").isNull(),
+    )
+    ri_line = rule(
+        "lineitem_orderkey_in_orders",
+        li.join(
+            orders.select(F.col("o_orderkey").alias("ok")), li.l_orderkey == F.col("ok"), "left"
+        ),
+        F.col("ok").isNull(),
+    )
+    return not_null.unionByName(unique).unionByName(positive).unionByName(ri_cust).unionByName(ri_line)

@@ -26,6 +26,8 @@ _OPERATOR_MODULES = (
     "cocktails_data_engineering_spark.operators.extensions",
     "cocktails_data_engineering_spark.operators.warehouse",
     "cocktails_data_engineering_spark.operators.sketches",
+    "cocktails_data_engineering_spark.operators.timeseries",
+    "cocktails_data_engineering_spark.operators.lexical",
     "cocktails_data_engineering_spark.operators.pq",
     "cocktails_data_engineering_spark.operators.pipeline",
     "cocktails_data_engineering_spark.operators.multimodal",

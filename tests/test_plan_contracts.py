@@ -117,3 +117,22 @@ def test_hll_rollup_reuses_sketches_not_raw_rows(spark, sf_dir):
     plan = _plan(spark, sf_dir, "hll_distinct_by_type")
     assert "hll_union_agg" in plan
     assert "count(distinct" not in plan.lower()
+
+
+def test_lexical_pairs_no_quadratic_join(spark, sf_dir):
+    """Inverted-index candidate generation must stay an equi-join on word
+    (cost Σ df²) — never a cartesian/nested-loop over doc pairs — and the
+    stop-word cap plus corpus-size row must ride broadcasts."""
+    plan = _plan(spark, sf_dir, "lexical_cosine_pairs")
+    # (a 1-row BroadcastNestedLoopJoin for the corpus-size scalar is fine;
+    # an unpartitioned CartesianProduct over docs is not)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_resample_spine_broadcasts_types(spark, sf_dir):
+    """The spine × types expansion is tiny-side work: the distinct-type
+    dimension must broadcast, and the hourly aggregate join must not
+    degenerate into a nested loop."""
+    plan = _plan(spark, sf_dir, "resample_fill_hourly")
+    assert "CartesianProduct" not in plan
