@@ -259,3 +259,71 @@ def wordcount_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "word")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "char_entropy_quality",
+    oracle="""
+WITH chars AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+),
+counts AS (
+  SELECT doc_id, c, COUNT(*) AS n_c FROM chars GROUP BY doc_id, c
+),
+terms AS (
+  SELECT doc_id, n_c, round(ln(CAST(n_c AS DOUBLE)), 9) AS ln_nc FROM counts
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(SUM(n_c) AS BIGINT) AS n_chars_total,
+         CAST(COUNT(*) AS INT) AS n_distinct_chars,
+         CAST(SUM(CAST(n_c * ln_nc AS DECIMAL(28,9))) AS DOUBLE) AS s
+  FROM terms GROUP BY doc_id
+)
+SELECT doc_id, n_chars_total, n_distinct_chars,
+       round(round(ln(CAST(n_chars_total AS DOUBLE)), 9) - s / n_chars_total, 6)
+         AS char_entropy_nats
+FROM per_doc
+""",
+)
+def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon character entropy (nats) — the
+    randomness/quality signal that separates natural prose (~3 nats)
+    from base64 blobs (high) and repeated filler (near 0); a standard
+    cheap filter column in corpus curation.
+
+    Uses H = ln(N) − (Σ n_c·ln n_c)/N so the only divisions happen once
+    per document at the end.  Cross-engine exactness: ln values are
+    rounded to 9 decimals BEFORE the DECIMAL sum (libm log differs in the
+    last ulp between engines; rounding makes both sides identical — the
+    same discipline as the TF-IDF and bigram-LM scores), final entropy
+    rounded to 6.  One explode + one (doc, char)-keyed aggregate, both
+    map-side combined; alphabet size bounds the second aggregate's state.
+    """
+    chars = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", "")).alias("c"))
+    )
+    counts = chars.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("n_c"))
+    terms = counts.select(
+        "doc_id",
+        "n_c",
+        F.round(F.log(F.col("n_c").cast("double")), 9).alias("ln_nc"),
+    )
+    per_doc = terms.groupBy("doc_id").agg(
+        F.sum("n_c").cast("bigint").alias("n_chars_total"),
+        F.count(F.lit(1)).cast("int").alias("n_distinct_chars"),
+        F.sum((F.col("n_c") * F.col("ln_nc")).cast("decimal(28,9)"))
+        .cast("double")
+        .alias("s"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_chars_total",
+        "n_distinct_chars",
+        F.round(
+            F.round(F.log(F.col("n_chars_total").cast("double")), 9)
+            - F.col("s") / F.col("n_chars_total"),
+            6,
+        ).alias("char_entropy_nats"),
+    )

@@ -172,3 +172,116 @@ def forward_fill_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts_us",
         F.last("pv", ignorenulls=True).over(w).alias("last_purchase_value"),
     )
+
+
+@register(
+    "funnel_user_conversion",
+    oracle="""
+WITH first_signup AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS signup_us
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+first_purchase AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS purchase_us
+  FROM events e JOIN first_signup s
+    ON s.user_id = e.user_id AND epoch_us(e.ts) >= s.signup_us
+  WHERE e.event_type = 'purchase'
+  GROUP BY e.user_id
+)
+SELECT s.user_id, s.signup_us,
+       p.purchase_us,
+       CAST(CASE WHEN p.purchase_us IS NULL THEN 0 ELSE 1 END AS INT) AS converted,
+       (p.purchase_us - s.signup_us) // 1000000 AS convert_secs
+FROM first_signup s LEFT JOIN first_purchase p USING (user_id)
+""",
+)
+def funnel_user_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase funnel: for every user who ever signed up, the
+    first signup, the first purchase at-or-after it, and the conversion
+    lag — the product-analytics primitive behind every conversion-rate
+    dashboard.
+
+    Two aggregates keyed on user_id plus one equi-join on the same key —
+    co-partitioned end to end, so the funnel costs one logical shuffle of
+    the events by user.  Timestamps stay epoch-µs integers throughout
+    (no float, no formatting), making every value engine-exact.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    first_signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("signup_us"))
+    )
+    first_purchase = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first_signup, "user_id")
+        .filter(F.col("us") >= F.col("signup_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("purchase_us"))
+    )
+    return first_signup.join(first_purchase, "user_id", "left").select(
+        "user_id",
+        "signup_us",
+        "purchase_us",
+        F.when(F.col("purchase_us").isNull(), 0).otherwise(1).cast("int").alias("converted"),
+        ((F.col("purchase_us") - F.col("signup_us")) / F.lit(1_000_000))
+        .cast("bigint")
+        .alias("convert_secs"),
+    )
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+WITH cohort AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, date_trunc('week', e.ts) AS active_week
+  FROM events e
+)
+SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week,
+       CAST((epoch(a.active_week) - epoch(c.cohort_week)) // 604800 AS INT) AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_active_users
+FROM cohort c JOIN activity a
+  ON a.user_id = c.user_id AND a.active_week >= c.cohort_week
+GROUP BY c.cohort_week, week_offset
+""",
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by signup week, counted in
+    every subsequent week they were active — the retention-triangle
+    query.
+
+    Cohort assignment and the distinct activity grid are both user-keyed
+    aggregates; the cohort join is on the same key (co-partitioned), and
+    the final rollup's cardinality is weeks² — metadata-sized however
+    large the event log.  Week arithmetic happens on epoch seconds of
+    week-truncated UTC timestamps, so offsets are exact integers in both
+    engines.
+    """
+    ev = load(spark, sf_dir, "events")
+    cohort = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
+    ).distinct()
+    return (
+        cohort.join(activity, "user_id")
+        .filter(F.col("active_week") >= F.col("cohort_week"))
+        .groupBy("cohort_week", "active_week")
+        .agg(F.countDistinct("user_id").alias("n_active_users"))
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            ((F.unix_timestamp("active_week") - F.unix_timestamp("cohort_week")) / 604800)
+            .cast("int")
+            .alias("week_offset"),
+            F.col("n_active_users").cast("bigint"),
+        )
+    )

@@ -441,3 +441,70 @@ def dq_orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ok").isNull(),
     )
     return not_null.unionByName(unique).unionByName(positive).unionByName(ri_cust).unionByName(ri_line)
+
+
+# ---------------------------------------------------------------------------
+# Deletion cascade audit (right-to-be-forgotten propagation)
+# ---------------------------------------------------------------------------
+@register(
+    "forget_customers_cascade",
+    oracle="""
+WITH forget AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+del_orders AS (
+  SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM forget)
+)
+SELECT 'customer' AS table_name,
+       CAST((SELECT COUNT(*) FROM forget) AS BIGINT) AS n_delete,
+       CAST((SELECT COUNT(*) FROM customer) - (SELECT COUNT(*) FROM forget) AS BIGINT) AS n_keep
+UNION ALL
+SELECT 'orders',
+       CAST((SELECT COUNT(*) FROM del_orders) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM orders) - (SELECT COUNT(*) FROM del_orders) AS BIGINT)
+UNION ALL
+SELECT 'lineitem',
+       CAST((SELECT COUNT(*) FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM del_orders)) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM del_orders)) AS BIGINT)
+""",
+)
+def forget_customers_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-cascade audit: given a forget-list of customers (synthetic
+    ``c_custkey % 97 = 0`` stand-in for a real request table), report per
+    table how many rows the cascade deletes vs keeps —
+    customer → orders → lineitem, the dry-run a privacy pipeline prints
+    before rewriting 100 TB.
+
+    The cascade is two LEFT SEMI joins on the foreign keys (forget-list
+    broadcast; the orders key-set likewise metadata-sized relative to the
+    fact table); counts are map-side-combined aggregates.  The actual
+    delete at scale is the same plan with an ANTI join feeding a
+    partition-overwrite write — the audit and the rewrite share their
+    join tree.
+    """
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+
+    forget = customer.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    del_orders = orders.join(
+        F.broadcast(forget), orders.o_custkey == forget.c_custkey, "left_semi"
+    ).select("o_orderkey")
+
+    def audit(name: str, table: DataFrame, deleted: DataFrame) -> DataFrame:
+        return (
+            table.agg(F.count(F.lit(1)).alias("n_total"))
+            .crossJoin(deleted.agg(F.count(F.lit(1)).alias("n_delete")))
+            .select(
+                F.lit(name).alias("table_name"),
+                F.col("n_delete").cast("bigint"),
+                (F.col("n_total") - F.col("n_delete")).cast("bigint").alias("n_keep"),
+            )
+        )
+
+    del_li = li.join(
+        F.broadcast(del_orders), li.l_orderkey == del_orders.o_orderkey, "left_semi"
+    )
+    return (
+        audit("customer", customer, forget)
+        .unionByName(audit("orders", orders, del_orders))
+        .unionByName(audit("lineitem", li, del_li))
+    )

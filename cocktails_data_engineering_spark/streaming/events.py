@@ -37,6 +37,10 @@ from ..sources.tables import load, normalize_events_ts
 
 _COUNTER = itertools.count()
 
+# Diagnostic: micro-batch count of the most recent stream_foreachbatch_upsert
+# run (tests assert the staged backlog really produces a multi-batch merge).
+LAST_UPSERT_BATCH_COUNT = [0]
+
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet with the same ns→µs timestamp
@@ -323,7 +327,9 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The backlog is staged into 8 files and streamed 2 per trigger so the
     run REALLY exercises multi-batch incremental merging, not a single
-    degenerate batch.
+    degenerate batch (batch count recorded in LAST_UPSERT_BATCH_COUNT and
+    asserted ≥ 2 in tests/test_streaming.py — a silent single-batch run
+    would make the incremental claim vacuous).
     """
     import tempfile
 
@@ -341,8 +347,10 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     state_path: list[str | None] = [None]
+    LAST_UPSERT_BATCH_COUNT[0] = 0
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        LAST_UPSERT_BATCH_COUNT[0] += 1
         sess = batch_df.sparkSession
         partial = (
             batch_df.filter(F.col("event_type") == "purchase")

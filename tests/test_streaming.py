@@ -5,8 +5,10 @@ docstring-claims-made-true test)."""
 from __future__ import annotations
 
 import pandas as pd
+from pyspark.sql import functions as F
 
 from cocktails_data_engineering_spark.operators.relational import tumbling_window_agg
+from cocktails_data_engineering_spark.sources.tables import load
 from cocktails_data_engineering_spark.streaming.events import (
     read_events_stream,
     run_foreach_batch,
@@ -50,3 +52,27 @@ def test_stream_session_window_matches_batch(spark, sf_dir):
     batch = {tuple(r) for r in session_window_agg(spark, sf_dir).collect()}
     stream = {tuple(r) for r in stream_session_window_agg(spark, sf_dir).collect()}
     assert stream == batch
+
+
+def test_foreachbatch_upsert_runs_multibatch_and_matches_batch(spark, sf_dir):
+    """The staged backlog must split into ≥ 2 micro-batches (otherwise the
+    incremental-merge claim is vacuous), and the merged state must equal
+    the one-shot batch aggregate bit-for-bit."""
+    from cocktails_data_engineering_spark.functions.numerics import dsum
+    from cocktails_data_engineering_spark.streaming import events as se
+
+    result = {tuple(r) for r in se.stream_foreachbatch_upsert(spark, sf_dir).collect()}
+    assert se.LAST_UPSERT_BATCH_COUNT[0] >= 2
+
+    batch = {
+        tuple(r)
+        for r in load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            dsum(F.col("value")).alias("sum_value"),
+        )
+        .collect()
+    }
+    assert result == batch
