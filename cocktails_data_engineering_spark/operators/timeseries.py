@@ -285,3 +285,96 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_active_users").cast("bigint"),
         )
     )
+
+
+@register(
+    "anomaly_zscore_hourly",
+    oracle="""
+WITH bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi FROM events
+),
+spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds
+),
+types AS (SELECT DISTINCT event_type FROM events),
+agg AS (
+  SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS x
+  FROM events GROUP BY 1, 2
+),
+series AS (
+  SELECT s.h, t.event_type, COALESCE(a.x, 0) AS x
+  FROM spine s CROSS JOIN types t
+  LEFT JOIN agg a ON a.h = s.h AND a.event_type = t.event_type
+),
+stats AS (
+  SELECT h, event_type, x,
+         COUNT(*)   OVER w AS n,
+         SUM(x)     OVER w AS sx,
+         SUM(x * x) OVER w AS sxx
+  FROM series
+  WINDOW w AS (PARTITION BY event_type ORDER BY h ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, event_type, CAST(x AS BIGINT) AS x,
+       CASE WHEN n >= 12 AND (n * sxx - sx * sx) > 0
+            THEN round((x - CAST(sx AS DOUBLE) / n)
+                       / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) / (n * (n - 1))), 6)
+       END AS zscore,
+       CAST(CASE WHEN n >= 12 AND (n * sxx - sx * sx) > 0
+                  AND abs(round((x - CAST(sx AS DOUBLE) / n)
+                       / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) / (n * (n - 1))), 6)) >= 3.0
+            THEN 1 ELSE 0 END AS INT) AS is_anomaly
+FROM stats
+""",
+)
+def anomaly_zscore_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly detection: each hourly event count scored
+    against the mean/std of its own preceding 24 hours (current hour
+    excluded — no self-contamination), |z| ≥ 3 flagged.
+
+    Composition of the dense spine (missing hours MUST be zeros, not
+    absent, or quiet-hour anomalies are invisible) with a trailing ROWS
+    frame.  Exactness: counts are integers, so the frame's Σx and Σx² are
+    exact; variance is formed from one integer expression and every
+    float op after it (divide, sqrt) is IEEE-correctly-rounded with an
+    identical expression tree in the oracle — z-scores match to the bit,
+    rounded to 6 for the output.  One shuffle on event_type for the
+    window; spine cost as in resample_fill_hourly.
+    """
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    types = ev.select("event_type").distinct()
+    agg = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h"), "event_type").agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    series = (
+        spine.crossJoin(F.broadcast(types))
+        .join(agg, ["h", "event_type"], "left")
+        .select("h", "event_type", F.coalesce("x", F.lit(0)).alias("x"))
+    )
+    w = Window.partitionBy("event_type").orderBy("h").rowsBetween(-24, -1)
+    stats = series.select(
+        "h",
+        "event_type",
+        "x",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+    )
+    disc = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    mean = F.col("sx").cast("double") / F.col("n")
+    std = F.sqrt(disc.cast("double") / (F.col("n") * (F.col("n") - 1)))
+    z = F.round((F.col("x") - mean) / std, 6)
+    valid = (F.col("n") >= 12) & (disc > 0)
+    return stats.select(
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "event_type",
+        F.col("x").cast("bigint").alias("x"),
+        F.when(valid, z).alias("zscore"),
+        F.when(valid & (F.abs(z) >= 3.0), 1).otherwise(0).cast("int").alias("is_anomaly"),
+    )
