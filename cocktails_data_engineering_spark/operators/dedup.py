@@ -764,3 +764,80 @@ def exact_substr_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("off").cast("int").alias("span_start"),
         (F.max("off") + SUBSTR_W).cast("int").alias("span_end"),
     ).select("doc_id", "span_start", "span_end")
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: a new batch against the existing corpus
+# ---------------------------------------------------------------------------
+BATCH_MOD = 10
+BATCH_REM = 3  # doc_id % 10 == 3 → today's incoming batch; the rest = corpus
+
+
+@register(
+    "incremental_minhash_dedup",
+    oracle=f"""
+WITH shingled AS ({_ORACLE_SHINGLES}),
+hashed AS (SELECT doc_id, {_ORACLE_X} AS x FROM shingled),
+mins AS (SELECT doc_id, {_ORACLE_MINS} FROM hashed GROUP BY doc_id),
+bands AS ({_ORACLE_BANDS}),
+corpus_buckets AS (
+  SELECT band_id, band_key, MIN(doc_id) AS anchor
+  FROM bands WHERE doc_id % {BATCH_MOD} <> {BATCH_REM}
+  GROUP BY band_id, band_key
+),
+matches AS (
+  SELECT b.doc_id, MIN(c.anchor) AS matched_corpus_doc
+  FROM bands b JOIN corpus_buckets c USING (band_id, band_key)
+  WHERE b.doc_id % {BATCH_MOD} = {BATCH_REM}
+  GROUP BY b.doc_id
+)
+SELECT d.doc_id, m.matched_corpus_doc,
+       CAST(CASE WHEN m.matched_corpus_doc IS NULL THEN 1 ELSE 0 END AS INT) AS keep
+FROM (SELECT doc_id FROM documents WHERE doc_id % {BATCH_MOD} = {BATCH_REM}) d
+LEFT JOIN matches m USING (doc_id)
+""",
+)
+def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: screen TODAY'S batch against the
+    EXISTING corpus (not itself) — the shape a production crawl runs
+    daily, where re-LSH-ing the whole corpus per batch would be absurd.
+
+    The decisive scale property of the cross-set case: a batch doc
+    matching a bucket matches its min member in that bucket, so the
+    corpus side collapses to ONE ROW PER BAND BUCKET (its anchor) before
+    the join — no bucket² anywhere, no hot-bucket cap needed, and the
+    collapsed bucket table is exactly what a deployment stores between
+    runs (kilobytes per bucket, refreshed by appending kept docs).  The
+    probe is then |batch bands| ⋈ bucket-anchors, linear in the batch.
+
+    Output: every batch doc, the min corpus doc it near-duplicates (NULL
+    if none), and the keep/drop verdict.
+    """
+    shingled = _shingles(load_spread(spark, sf_dir, "documents"))
+    hashed = shingled.select("doc_id", _x_col().alias("x"))
+    view = f"minhash_hashed_{next(_VIEW_COUNTER)}"
+    hashed.createOrReplaceTempView(view)
+    bands = spark.sql(
+        f"""
+WITH mins AS (SELECT doc_id, {_SPARK_MINS} FROM {view} GROUP BY doc_id)
+SELECT doc_id, {_SPARK_STACK} AS (band_id, band_key) FROM mins
+"""
+    ).transform(materialize)  # one LSH pass feeds both the corpus and batch sides
+    is_batch = F.col("doc_id") % BATCH_MOD == BATCH_REM
+    corpus_buckets = (
+        bands.filter(~is_batch)
+        .groupBy("band_id", "band_key")
+        .agg(F.min("doc_id").alias("anchor"))
+    )
+    matches = (
+        bands.filter(is_batch)
+        .join(corpus_buckets, ["band_id", "band_key"])
+        .groupBy("doc_id")
+        .agg(F.min("anchor").alias("matched_corpus_doc"))
+    )
+    batch_docs = load(spark, sf_dir, "documents").filter(is_batch).select("doc_id")
+    return batch_docs.join(matches, "doc_id", "left").select(
+        "doc_id",
+        "matched_corpus_doc",
+        F.when(F.col("matched_corpus_doc").isNull(), 1).otherwise(0).cast("int").alias("keep"),
+    )

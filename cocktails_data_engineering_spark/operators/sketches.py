@@ -172,3 +172,31 @@ def block_checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("h").cast("decimal(38,0)").alias("checksum"),
         )
     )
+
+
+@register("hll_rolling_7d_users")  # approximate estimator → rows-only check
+def hll_rolling_7d_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day, answered by UNIONING the
+    stored per-day sketches in a window frame — the query exact COUNT
+    DISTINCT fundamentally cannot do incrementally, because distinct
+    counts don't add: yesterday's rolling count tells you nothing about
+    today's without re-scanning 7 days of raw events.  Day-sketches make
+    the rolling distinct a frame-union over kilobyte state.
+
+    Scale: the raw scan aggregates once into |days| sketch rows
+    (map-side combined); the window then runs over a metadata-sized
+    table, so the frame's ORDER BY costs nothing at any corpus size.
+    Accuracy vs exact asserted in tests/test_sketches.py.
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.hll_sketch_agg("user_id", F.lit(_LG_K)).alias("sk"))
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk").over(w)).alias("approx_users_7d"),
+    )

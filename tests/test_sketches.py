@@ -94,3 +94,23 @@ def test_block_checksum_invariant_under_repartition(spark, sf_dir):
         for r in block_checksum_orders(spark, shuffled_dir).collect()
     }
     assert base == again
+
+
+def test_hll_rolling_7d_within_tolerance(spark, sf_dir, duck):
+    from cocktails_data_engineering_spark.operators.sketches import hll_rolling_7d_users
+
+    est = {r.day: r.approx_users_7d for r in hll_rolling_7d_users(spark, sf_dir).collect()}
+    exact = dict(
+        duck.execute(
+            """
+            WITH days AS (SELECT DISTINCT date_trunc('day', ts) AS day FROM events)
+            SELECT strftime(d.day, '%Y-%m-%d') AS day,
+                   (SELECT COUNT(DISTINCT e.user_id) FROM events e
+                    WHERE date_trunc('day', e.ts) BETWEEN d.day - INTERVAL 6 DAY AND d.day)
+            FROM days d
+            """
+        ).fetchall()
+    )
+    assert set(est) == set(exact)
+    for day, n in exact.items():
+        assert abs(est[day] - n) <= max(2, 0.05 * n), (day, est[day], n)
