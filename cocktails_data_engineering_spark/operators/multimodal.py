@@ -266,3 +266,65 @@ def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Audio segmentation (fixed-duration chunking, pure Catalyst)
+# ---------------------------------------------------------------------------
+SEG_LEN_S = 0.5
+
+
+@register(
+    "audio_chunk_segments",
+    oracle=f"""
+WITH media AS (
+  SELECT doc_id, {_SQL_MODALITY} AS modality, octet_length(encode(text)) AS n_bytes
+  FROM documents
+),
+audio AS (
+  SELECT doc_id, n_bytes / 1000.0 AS duration_s,
+         CAST(ceil((n_bytes / 1000.0) / {SEG_LEN_S}) AS INT) AS n_segs
+  FROM media WHERE modality = 'audio'
+)
+SELECT doc_id,
+       CAST(unnest(range(0, n_segs)) AS INT) AS seg_idx,
+       CAST(unnest(range(0, n_segs)) AS DOUBLE) * {SEG_LEN_S} AS seg_start_s,
+       least(CAST(unnest(range(0, n_segs)) AS DOUBLE) * {SEG_LEN_S} + {SEG_LEN_S},
+             duration_s) AS seg_end_s
+FROM audio
+""",
+)
+def audio_chunk_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio segmentation: each audio object expands to fixed-{SEG_LEN_S}s
+    chunk rows with start/end offsets — the windowing an ASR or
+    audio-embedding stage consumes.  The duration comes from the typed
+    metadata (here the deterministic fake: bytes/1000 s), so segmentation
+    is pure arithmetic on metadata — map-only explode, Python never runs;
+    the real per-chunk DECODE then rides the media_feature_extract
+    mapInPandas plumbing over (doc_id, seg_idx) keys.
+
+    Exactness: n_bytes is an integer, so duration, chunk starts
+    (idx·{SEG_LEN_S}, exact in binary), and the least() clamp are
+    bit-identical across engines with no rounding tricks.
+    """
+    audio = (
+        media_table(spark, sf_dir)
+        .filter(F.col("modality") == "audio")
+        .select(
+            "doc_id",
+            (F.col("n_bytes") / 1000.0).alias("duration_s"),
+            F.ceil((F.col("n_bytes") / 1000.0) / SEG_LEN_S).cast("int").alias("n_segs"),
+        )
+    )
+    seg = audio.select(
+        "doc_id",
+        "duration_s",
+        F.explode(F.sequence(F.lit(0), F.col("n_segs") - 1)).alias("seg_idx"),
+    )
+    start = F.col("seg_idx").cast("double") * SEG_LEN_S
+    return seg.select(
+        "doc_id",
+        F.col("seg_idx").cast("int"),
+        start.alias("seg_start_s"),
+        F.least(start + SEG_LEN_S, F.col("duration_s")).alias("seg_end_s"),
+    )

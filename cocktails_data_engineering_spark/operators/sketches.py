@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..sources.tables import load
+from ..sources.tables import load, load_spread
 
 # ---------------------------------------------------------------------------
 # HLL sketches: mergeable distinct counts
@@ -85,7 +85,7 @@ def approx_topk_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture.
     """
     words = (
-        load(spark, sf_dir, "documents")
+        load_spread(spark, sf_dir, "documents")  # tokenize is compute-bound
         .select(F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word"))
         .filter(F.col("word") != "")
     )

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from ..functions.numerics import dsum, oracle_dsum
 from ..registry import register
-from ..sources.tables import load
+from ..sources.tables import load, load_spread
 
 # Tiny per-language marker lexicons for the heuristic language scorer.
 # The fixture text is an engine-vocabulary word soup, so English function
@@ -301,7 +301,7 @@ def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side combined; alphabet size bounds the second aggregate's state.
     """
     chars = (
-        load(spark, sf_dir, "documents")
+        load_spread(spark, sf_dir, "documents")  # char explode is compute-bound
         .select("doc_id", F.explode(F.split("text", "")).alias("c"))
     )
     counts = chars.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("n_c"))
