@@ -148,3 +148,97 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal shard builder (third composed flagship)
+# ---------------------------------------------------------------------------
+SHARD_CAP_BYTES = 16_000
+
+_SQL_MODALITY_P = (
+    "CASE doc_id % 4 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
+    "WHEN 2 THEN 'video' ELSE 'text' END"
+)
+
+
+@register(
+    "multimodal_shard_pipeline",
+    oracle=f"""
+WITH media AS (
+  SELECT doc_id, {_SQL_MODALITY_P} AS modality,
+         octet_length(encode(text)) AS n_bytes,
+         len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tokens
+  FROM documents
+),
+eligible AS (
+  SELECT doc_id, modality, n_bytes FROM media
+  WHERE modality <> 'text' OR n_tokens >= 20
+),
+placed AS (
+  SELECT doc_id, modality, n_bytes,
+         CAST(COALESCE(SUM(n_bytes) OVER (
+               PARTITION BY modality ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              // {SHARD_CAP_BYTES} AS INT) AS shard_id
+  FROM eligible
+)
+SELECT modality, shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM placed
+GROUP BY modality, shard_id
+""",
+)
+def multimodal_shard_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal composed flagship: modality typing → per-modality
+    quality gate (text documents below 20 tokens dropped; binary
+    modalities pass on metadata) → deterministic byte-budget shard
+    assignment → per-shard manifest.  This is the writer-side shape of a
+    multimodal training pipeline: shards are what the training job's
+    data loader streams, and the manifest is what gets committed.
+
+    Shard placement is a running byte-sum window PARTITIONED BY MODALITY
+    (mirrors pack_sequences_bins): per-modality parallelism, no global
+    order, assignment purely a function of (modality, doc_id) order so
+    any cluster produces identical shards.  The rollup is metadata-sized
+    (shards, not documents).
+    """
+    docs = load(spark, sf_dir, "documents")
+    modality = (
+        F.when(F.col("doc_id") % 4 == 0, "image")
+        .when(F.col("doc_id") % 4 == 1, "audio")
+        .when(F.col("doc_id") % 4 == 2, "video")
+        .otherwise("text")
+    )
+    media = docs.select(
+        "doc_id",
+        modality.alias("modality"),
+        F.octet_length(F.encode(F.col("text"), "utf-8")).alias("n_bytes"),
+        F.size(F.filter(F.split("text", " "), lambda w: w != "")).alias("n_tokens"),
+    )
+    eligible = media.filter(
+        (F.col("modality") != "text") | (F.col("n_tokens") >= 20)
+    ).select("doc_id", "modality", "n_bytes")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("modality")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = eligible.select(
+        "doc_id",
+        "modality",
+        "n_bytes",
+        F.floor(F.coalesce(F.sum("n_bytes").over(w), F.lit(0)) / SHARD_CAP_BYTES)
+        .cast("int")
+        .alias("shard_id"),
+    )
+    return placed.groupBy("modality", "shard_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
