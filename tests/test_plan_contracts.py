@@ -136,3 +136,19 @@ def test_resample_spine_broadcasts_types(spark, sf_dir):
     degenerate into a nested loop."""
     plan = _plan(spark, sf_dir, "resample_fill_hourly")
     assert "CartesianProduct" not in plan
+
+
+def test_triangle_count_stays_equi_joined(spark, sf_dir):
+    """Degree-oriented triangle counting must run on equi-joins (wedge
+    build + closing-edge probe) — no cartesian anywhere."""
+    plan = _plan(spark, sf_dir, "cooccurrence_triangle_stats")
+    assert "CartesianProduct" not in plan
+
+
+def test_incremental_dedup_collapses_corpus_buckets(spark, sf_dir):
+    """The batch-vs-corpus probe must join against the AGGREGATED bucket
+    table (one anchor row per bucket), never the raw corpus band rows —
+    that aggregation is what removes the bucket² risk."""
+    plan = _plan(spark, sf_dir, "incremental_minhash_dedup")
+    assert "CartesianProduct" not in plan
+    assert "min(doc_id)" in plan or "min(anchor)" in plan or "HashAggregate" in plan
