@@ -508,3 +508,98 @@ def forget_customers_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(audit("orders", orders, del_orders))
         .unionByName(audit("lineitem", li, del_li))
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout statistics (multi-dimensional clustering for data skipping)
+# ---------------------------------------------------------------------------
+_Z_BITS = 8  # 8 bits per dimension → 16-bit Morton code → 1024 64-code blocks
+
+
+def _interleave_sql(b1: str, b2: str) -> str:
+    """16-bit Morton code: bit i of b1 → position 2i+1, of b2 → 2i.
+    Pure integer arithmetic, identical text in Spark SQL and DuckDB."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({b1} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({b2} >> {i}) & 1) << {2 * i})")
+    return "(" + " + ".join(terms) + ")"
+
+
+_Z_ORACLE = f"""
+WITH dims AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS d
+  FROM orders
+),
+bounds AS (
+  SELECT MIN(o_custkey) AS min_c, MAX(o_custkey) AS max_c,
+         MIN(d) AS min_d, MAX(d) AS max_d
+  FROM dims
+),
+bucketed AS (
+  SELECT o_orderkey, o_custkey, d,
+         CAST((o_custkey - min_c) * 256 // (max_c - min_c + 1) AS BIGINT) AS b1,
+         CAST((d - min_d) * 256 // (max_d - min_d + 1) AS BIGINT) AS b2
+  FROM dims CROSS JOIN bounds
+),
+coded AS (
+  SELECT o_orderkey, o_custkey, d, {_interleave_sql('b1', 'b2')} AS z FROM bucketed
+)
+SELECT CAST(z // 64 AS INT) AS z_block,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(o_custkey) AS min_custkey, MAX(o_custkey) AS max_custkey,
+       MIN(d) AS min_day, MAX(d) AS max_day
+FROM coded
+GROUP BY z // 64
+"""
+
+
+@register("zorder_layout_stats", oracle=_Z_ORACLE)
+def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (customer, order day) and the
+    per-block min/max stats that key induces — the multi-dimensional
+    data-layout companion to zone maps: sort a table by Z instead of one
+    column and BOTH dimensions get bounded per-file ranges, so filters on
+    either (or both) skip files.  This is what Delta's Z-ORDER / Iceberg's
+    sort-order clustering computes before a rewrite.
+
+    Plan: dimension bounds from a 1-row aggregate (broadcast back — no
+    driver round-trip); range-bucketing and the 16-bit bit-interleave are
+    pure integer projections; the block rollup is one map-side-combined
+    aggregate of 1024 rows.  The min/max spans in the output ARE the
+    proof of locality — each z-block covers ≈1/32 of each dimension's
+    range instead of all of it.
+    """
+    dims = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        (F.unix_micros(F.col("o_orderdate").cast("timestamp")) / 86_400_000_000)
+        .cast("bigint")
+        .alias("d"),
+    )
+    bounds = dims.agg(
+        F.min("o_custkey").alias("min_c"),
+        F.max("o_custkey").alias("max_c"),
+        F.min("d").alias("min_d"),
+        F.max("d").alias("max_d"),
+    )
+    bucketed = dims.crossJoin(F.broadcast(bounds)).select(
+        "o_orderkey",
+        "o_custkey",
+        "d",
+        F.floor(
+            (F.col("o_custkey") - F.col("min_c")) * 256 / (F.col("max_c") - F.col("min_c") + 1)
+        ).alias("b1"),
+        F.floor(
+            (F.col("d") - F.col("min_d")) * 256 / (F.col("max_d") - F.col("min_d") + 1)
+        ).alias("b2"),
+    )
+    coded = bucketed.withColumn("z", F.expr(_interleave_sql("b1", "b2")))
+    return coded.groupBy(F.floor(F.col("z") / 64).cast("int").alias("z_block")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("o_custkey").alias("min_custkey"),
+        F.max("o_custkey").alias("max_custkey"),
+        F.min("d").alias("min_day"),
+        F.max("d").alias("max_day"),
+    )
