@@ -81,8 +81,21 @@ def _sf_of(sf_dir: str) -> float:
         return -1.0
 
 
+def _passes_from_argv(argv: list[str]) -> int:
+    """``--passes N`` (or ``SPARK_GRAFT_BENCH_PASSES``): headline queries are
+    re-timed N times total and the per-query MIN is kept.  Wall-clock on this
+    shared host is contention-polluted (r3's bench read 3-10x over standalone
+    min-of-3 re-timings); min-of-passes recovers the noise floor for the
+    number the driver actually compares.  Default 2: one full sweep + one
+    headline re-pass (~25 s extra)."""
+    if "--passes" in argv:
+        return max(1, int(argv[argv.index("--passes") + 1]))
+    return max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2")))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    passes = _passes_from_argv(sys.argv[1:])
 
     from cocktails_data_engineering_spark.session import get_spark
     from cocktails_data_engineering_spark.plans import queries as plans
@@ -110,6 +123,21 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — bench must emit a line regardless
             timings[name] = None
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
+
+    # Extra min-of-passes re-timings for the headline set only: the full
+    # 158-query sweep stays single-pass (its numbers are diagnostic), but the
+    # comparable headline number gets the noise floor.
+    for _ in range(passes - 1):
+        for name in HEADLINE:
+            fn = qs.get(name)
+            if fn is None or timings.get(name) is None:
+                continue
+            t0 = time.monotonic()
+            try:
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                timings[name] = min(timings[name], round(time.monotonic() - t0, 3))
+            except Exception as exc:  # noqa: BLE001
+                print(f"bench: {name} re-pass failed: {exc}", file=sys.stderr)
 
     failed = sorted(n for n, t in timings.items() if t is None)
     failed_headline = [n for n in HEADLINE if timings.get(n) is None]
@@ -139,7 +167,10 @@ def main() -> None:
     print(json.dumps(detail, sort_keys=True))
 
     summary = {
-        "metric": f"headline wall-clock, fixed {len(HEADLINE)}-query SURVEY core set, noop sink",
+        "metric": (
+            f"headline wall-clock, fixed {len(HEADLINE)}-query SURVEY core set, "
+            f"noop sink, min of {passes} passes"
+        ),
         "value": headline,
         "unit": "sec",
         "queries": {n: timings.get(n) for n in HEADLINE},

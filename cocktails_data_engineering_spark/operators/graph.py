@@ -272,20 +272,34 @@ def cooccurrence_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     The naive triangle join costs Σ_v deg(v)² wedges, ruinous under
     power-law degrees.  The standard fix is DEGREE ORIENTATION: direct
     every edge from its (deg, id)-smaller endpoint to the larger; each
-    triangle survives exactly once and wedge generation is bounded by
-    out-degrees, which orientation caps at O(√m) — this turns the 100 TB
-    wedge explosion into Σ d_out² ≤ m^1.5.  Plan: two content-keyed
-    equi-joins (wedge build, closing-edge probe), all map-side combined;
-    the oracle counts via the simpler id-orientation, which yields the
-    same once-per-triangle total.
+    triangle survives exactly once and per-vertex out-degree is capped at
+    O(√m) — this turns the 100 TB wedge explosion into Σ d_out² ≤ m^1.5.
+    Plan: edges come from per-order sorted part arrays (one groupBy, then
+    map-side in-array pair expansion — no fact-table self-join), and the
+    Σ d_out² intersection work runs INSIDE `array_intersect` over
+    out-neighbor adjacency arrays rather than as a materialized wedge
+    shuffle.  The oracle counts via the simpler id-orientation, which
+    yields the same once-per-triangle total.
     """
     li = load(spark, sf_dir, "lineitem")
-    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
-    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
+    # Edge build: one groupBy (map-side-combined collect_set) to per-order
+    # sorted part arrays, then in-array pair expansion — a pure projection.
+    # This replaces a lineitem self-join, whose probe side shuffles the whole
+    # fact table a second time and whose output is the same Σ k² rows this
+    # transform emits without any join.  Per-order line counts are bounded
+    # (≤7 in TPC-H; one order in any sane schema), so the array stays tiny.
+    parts = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    in_array_pairs = F.explode(
+        F.expr(
+            "flatten(transform(ps, (x, i) ->"
+            " transform(slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v))))"
+        )
+    )
     edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("u") < F.col("v"))
-        .select("u", "v")
+        parts.select(in_array_pairs.alias("p"))
+        .select("p.u", "p.v")
         .distinct()
         .transform(materialize)  # edges feed degrees, wedges, and the probe
     )
@@ -297,25 +311,37 @@ def cooccurrence_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
+    # deg is |V|-sized metadata; the joins are written shuffle-style and AQE
+    # elects broadcast at runtime when it fits (it does at any test SF).
     with_deg = edges.join(du, "u").join(dv, "v")
     lower_first = (F.col("deg_u") < F.col("deg_v")) | (
         (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
     )
     oriented = with_deg.select(
         F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
-        F.when(lower_first, F.struct("deg_v", "v")).otherwise(F.struct(F.col("deg_u").alias("deg_v"), F.col("u").alias("v"))).alias("dstk"),
-    ).select("src", F.col("dstk.v").alias("dst"), F.col("dstk.deg_v").alias("dst_deg")).transform(materialize)
-    o1 = oriented.select("src", F.col("dst").alias("w1"), F.col("dst_deg").alias("k1"))
-    o2 = oriented.select("src", F.col("dst").alias("w2"), F.col("dst_deg").alias("k2"))
-    wedges = o1.join(o2, "src").filter(
-        (F.col("k1") < F.col("k2"))
-        | ((F.col("k1") == F.col("k2")) & (F.col("w1") < F.col("w2")))
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    ).transform(materialize)
+    # Triangle counting by adjacency intersection, not wedge materialization:
+    # a wedge self-join emits Σ d_out² rows into a shuffle before the closing
+    # probe; intersecting out-neighbor arrays per edge computes the same
+    # closed-wedge count with the graph shuffled once into |V| adjacency rows
+    # and never materializing a wedge.  Orientation bounds every array at
+    # O(√m), so per-row intersection work — and the worst row's memory — is
+    # capped regardless of raw degree skew.  Each triangle u→{v,w}, v→w is
+    # counted exactly once, at edge (u,v) with w in adj(u) ∩ adj(v).
+    adj = oriented.groupBy("src").agg(
+        F.sort_array(F.collect_list("dst")).alias("adj")
     )
-    closing = oriented.select(
-        F.col("src").alias("w1"), F.col("dst").alias("w2")
-    )
-    triangles = wedges.join(closing, ["w1", "w2"]).agg(
-        F.count(F.lit(1)).alias("t")
+    a1 = adj.select(F.col("src").alias("e_src"), F.col("adj").alias("adj_src"))
+    a2 = adj.select(F.col("src").alias("e_dst"), F.col("adj").alias("adj_dst"))
+    triangles = (
+        oriented.select(F.col("src").alias("e_src"), F.col("dst").alias("e_dst"))
+        .join(a1, "e_src")
+        .join(a2, "e_dst")
+        .agg(
+            F.sum(F.size(F.array_intersect("adj_src", "adj_dst")))
+            .alias("t")
+        )
     )
     summary = edges.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
         deg.agg(

@@ -316,7 +316,10 @@ def audio_chunk_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.ceil((F.col("n_bytes") / 1000.0) / SEG_LEN_S).cast("int").alias("n_segs"),
         )
     )
-    seg = audio.select(
+    # n_segs = 0 (empty payload) must emit NO rows: unguarded,
+    # sequence(0, -1) infers a -1 step and yields [0, -1] — two bogus
+    # segments the oracle's range(0, 0) never produces.
+    seg = audio.filter(F.col("n_segs") > 0).select(
         "doc_id",
         "duration_s",
         F.explode(F.sequence(F.lit(0), F.col("n_segs") - 1)).alias("seg_idx"),

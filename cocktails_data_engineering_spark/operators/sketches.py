@@ -194,8 +194,11 @@ def hll_rolling_7d_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "events")
         .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
         .agg(F.hll_sketch_agg("user_id", F.lit(_LG_K)).alias("sk"))
+        .withColumn("epoch_day", F.unix_date(F.col("day").cast("date")))
     )
-    w = Window.orderBy("day").rowsBetween(-6, 0)
+    # RANGE over epoch days, not ROWS over observed days: a day with zero
+    # events must not stretch "trailing 7 calendar days" to older sketches.
+    w = Window.orderBy("epoch_day").rangeBetween(-6, 0)
     return daily.select(
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         F.hll_sketch_estimate(F.hll_union_agg("sk").over(w)).alias("approx_users_7d"),

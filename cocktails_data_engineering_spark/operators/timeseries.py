@@ -322,6 +322,8 @@ SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, event_type, CAST(x AS BIGINT) A
        CAST(CASE WHEN n >= 12 AND (n * sxx - sx * sx) > 0
                   AND abs(round((x - CAST(sx AS DOUBLE) / n)
                        / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) / (n * (n - 1))), 6)) >= 3.0
+            THEN 1
+            WHEN n >= 12 AND (n * sxx - sx * sx) = 0 AND x * n <> sx
             THEN 1 ELSE 0 END AS INT) AS is_anomaly
 FROM stats
 """,
@@ -371,10 +373,21 @@ def anomaly_zscore_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     std = F.sqrt(disc.cast("double") / (F.col("n") * (F.col("n") - 1)))
     z = F.round((F.col("x") - mean) / std, 6)
     valid = (F.col("n") >= 12) & (disc > 0)
+    # Zero-variance baseline (disc = 0: 24 flat hours) leaves z undefined,
+    # but ANY deviation from the flat value is infinitely many sigmas out —
+    # exactly the spike a monitor most wants.  Flag x != mean via the exact
+    # integer identity x*n != sx; zscore stays NULL (no finite value exists).
+    flat_spike = (F.col("n") >= 12) & (disc == 0) & (
+        F.col("x") * F.col("n") != F.col("sx")
+    )
     return stats.select(
         F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
         "event_type",
         F.col("x").cast("bigint").alias("x"),
         F.when(valid, z).alias("zscore"),
-        F.when(valid & (F.abs(z) >= 3.0), 1).otherwise(0).cast("int").alias("is_anomaly"),
+        F.when(valid & (F.abs(z) >= 3.0), 1)
+        .when(flat_spike, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_anomaly"),
     )

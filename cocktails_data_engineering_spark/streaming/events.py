@@ -396,9 +396,20 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     assert state_path[0] is not None, "stream produced no batches"
-    return spark.read.parquet(state_path[0]).select(
+    final = spark.read.parquet(state_path[0]).select(
         "user_id", "n_purchases", F.col("sum_dec").cast("double").alias("sum_value")
     )
+    # The staging copy, checkpoint, and per-batch state versions are
+    # invocation-scoped scratch; localCheckpoint pins the (tiny, per-user)
+    # final state in block storage so the temp trees can be deleted before
+    # the caller consumes the result — repeated bench/test runs must not
+    # accumulate /tmp copies of the events table.
+    final = final.localCheckpoint(eager=True)
+    import shutil
+
+    for root in (stage, ckpt, state_root):
+        shutil.rmtree(root, ignore_errors=True)
+    return final
 
 
 @register(

@@ -1,0 +1,86 @@
+"""Regression tests for edge-case semantics the generic DuckDB differential
+can't reach with the dense, well-formed driver fixtures: a calendar gap in
+the day spine, an empty audio payload, and a zero-variance anomaly baseline.
+
+Each test plants a tiny synthetic table tree and runs the REGISTERED
+operator against it, so the contract is checked on the same code path the
+driver exercises.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+
+from cocktails_data_engineering_spark.operators import multimodal, sketches, timeseries
+
+
+def _write_events(spark, path: str, rows: list[tuple]) -> str:
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "events.parquet"))
+    return path
+
+
+def test_hll_rolling_7d_skips_gap_days_not_calendar_days(spark, tmp_path):
+    """Days 1..3 then a jump to day 10: the trailing-7-calendar-day window at
+    day 10 must contain ONLY day 10 (days 1-3 are 7+ days old).  A ROWS
+    frame over observed days would stretch back and union all four
+    sketches."""
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    eid = 0
+    for day, users in [(0, [1, 2]), (1, [3, 4]), (2, [5, 6]), (9, [7])]:
+        for u in users:
+            rows.append((eid, base + dt.timedelta(days=day), u, "view", 1.0, None))
+            eid += 1
+    sf = _write_events(spark, str(tmp_path), rows)
+    out = {r["day"]: r["approx_users_7d"] for r in sketches.hll_rolling_7d_users(spark, sf).collect()}
+    # HLL at this cardinality is exact.
+    assert out["2024-01-10"] == 1  # NOT 7: the gap must evict days 1-3
+    assert out["2024-01-03"] == 6  # days 1-3 all inside the window
+
+
+def test_audio_chunk_segments_empty_payload_emits_no_rows(spark, tmp_path):
+    """n_bytes = 0 ⇒ n_segs = 0 ⇒ zero segment rows.  Unguarded,
+    sequence(0, -1) infers step -1 and emits [0, -1] — two phantom
+    segments for an empty recording."""
+    docs = spark.createDataFrame(
+        # doc_id % 4 == 1 → audio modality; one empty, one 2500-byte doc.
+        [(1, "", "en", "web", 0), (5, "x" * 2500, "en", "web", 2500)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "documents.parquet")
+    )
+    rows = multimodal.audio_chunk_segments(spark, str(tmp_path)).collect()
+    # 2500 bytes → 2.5 s → ceil(2.5 / 0.5) = 5 segments; NONE for the empty doc.
+    assert sorted((r["doc_id"], r["seg_idx"]) for r in rows) == [(5, i) for i in range(5)]
+
+
+def test_anomaly_zscore_flags_spike_after_flat_baseline(spark, tmp_path):
+    """24 hours of exactly 2 events/hour (zero variance), then a 50-event
+    hour: z is undefined (NULL) but the spike MUST be flagged — the
+    disc = 0 case a monitor most wants to catch."""
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    for h in range(24):
+        for k in range(2):
+            rows.append((eid, base + dt.timedelta(hours=h, minutes=k), 1, "view", 1.0, None))
+            eid += 1
+    for k in range(50):
+        rows.append((eid, base + dt.timedelta(hours=24, minutes=k % 60), 1, "view", 1.0, None))
+        eid += 1
+    sf = _write_events(spark, str(tmp_path), rows)
+    out = {r["hour"]: r for r in timeseries.anomaly_zscore_hourly(spark, sf).collect()}
+    spike = out["2024-03-02 00:00:00"]
+    assert spike["x"] == 50
+    assert spike["zscore"] is None  # no finite z exists over a flat baseline
+    assert spike["is_anomaly"] == 1
+    # ...and a flat continuation is NOT flagged.
+    flat = out["2024-03-01 23:00:00"]
+    assert flat["is_anomaly"] == 0

@@ -80,3 +80,40 @@ def test_profile_matches_direct_aggregates(spark, sf_dir):
     assert prof["o_custkey"]["n_distinct"] == orders.select("o_custkey").distinct().count()
     assert prof["o_totalprice"]["max_num"] == orders.agg(F.max("o_totalprice")).collect()[0][0]
     assert all(r["n_rows"] == orders.count() for r in prof.values())
+
+
+def test_json_parse_null_props_contract_cross_engine(spark, duck):
+    """The NULL-props contract of json_parse_robustness, exercised with a
+    planted NULL: both engines classify only non-null strings, so a frame
+    containing NULL props must yield identical counts (Spark's
+    from_json(NULL) would count it valid while DuckDB's json_valid(NULL)
+    would count it corrupt — the isNotNull filter is what removes the
+    divergence)."""
+    rows = [('{"k": 1}',), ("{broken",), (None,), ("not json",), (None,), ('{"j": 2}',)]
+    frame = spark.createDataFrame(rows, "props string")
+    parsed = F.from_json(
+        "props",
+        "k INT, _corrupt_record STRING",
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+    )
+    corrupt = F.col("p._corrupt_record").isNotNull()
+    got = (
+        frame.filter(F.col("props").isNotNull())
+        .select(parsed.alias("p"))
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(~corrupt, 1).otherwise(0)).alias("n_valid"),
+            F.sum(F.when(corrupt, 1).otherwise(0)).alias("n_corrupt"),
+        )
+        .collect()[0]
+    )
+    values = ", ".join("(" + ("NULL" if p is None else f"'{p}'") + ")" for (p,) in rows)
+    want = duck.execute(
+        f"""
+        SELECT COUNT(*) AS n_total,
+               CAST(SUM(CASE WHEN json_valid(props) THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+               CAST(SUM(CASE WHEN json_valid(props) THEN 0 ELSE 1 END) AS BIGINT) AS n_corrupt
+        FROM (VALUES {values}) v(props) WHERE props IS NOT NULL
+        """
+    ).fetchone()
+    assert (got["n_total"], got["n_valid"], got["n_corrupt"]) == want == (4, 2, 2)
