@@ -131,15 +131,21 @@ def _oracle_round(cent_cte: str, prefix: str) -> str:
 )"""
 
 
-_ORACLE_CENT1 = """
-cent1_dim AS (
+def _oracle_cent(assign_cte: str, name: str) -> str:
+    """DuckDB twin of :func:`_update`, reading assignments from
+    ``assign_cte`` and emitting centroid CTE ``name``."""
+    return f"""
+{name}_dim AS (
   SELECT a.cid, i,
          ROUND(CAST(SUM(CAST(v.emb[i] AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*), 6) AS c
-  FROM r0_a a JOIN vecs v USING (vec_id)
-  CROSS JOIN generate_series(1, 64) t(i)
+  FROM {assign_cte} a JOIN vecs v USING (vec_id)
+  CROSS JOIN generate_series(1, {DIM}) t(i)
   GROUP BY a.cid, i
 ),
-cent1 AS (SELECT cid, list(c ORDER BY i) AS cemb FROM cent1_dim GROUP BY cid)"""
+{name} AS (SELECT cid, list(c ORDER BY i) AS cemb FROM {name}_dim GROUP BY cid)"""
+
+
+_ORACLE_CENT1 = _oracle_cent("r0_a", "cent1")
 
 
 @register(
@@ -252,21 +258,45 @@ def ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "kmeans_embeddings",
-    oracle=None,  # iterative driver loop — rows-only; tests assert convergence
-)
+def _kmeans_oracle(n_rounds: int = N_ROUNDS) -> str:
+    """The full Lloyd loop, unrolled into one DuckDB statement: every round
+    is the SAME machine-generated (assign, update) CTE pair the 1-round
+    ``kmeans_assign_embeddings`` oracle already proved, chained n_rounds
+    deep.  Every arithmetic step is engine-stable (rounded fold distances,
+    DECIMAL centroid means), so the unroll is exact, not approximate."""
+    parts = [_ORACLE_VECS.strip()]
+    cent = "init"
+    for r in range(n_rounds):
+        parts.append(_oracle_round(cent, f"r{r}").strip())
+        if r < n_rounds - 1:
+            cent = f"cent{r + 1}"
+            parts.append(_oracle_cent(f"r{r}_a", cent).strip())
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT cid AS cluster_id, COUNT(*) AS n_members,
+       ROUND(CAST(SUM(CAST(d2 AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean_dist2
+FROM r{n_rounds - 1}_a GROUP BY cid"""
+    )
+
+
+@register("kmeans_embeddings", oracle=_kmeans_oracle())
 def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """{K}-means over embeddings, {N_ROUNDS} Lloyd rounds: per-cluster
-    size and mean squared distance.  Rows-only by design (the driver
-    loop isn't single-statement SQL); tests/test_clustering.py asserts
-    the inertia trace is non-increasing and the result is run-stable."""
+    size and mean squared distance.  The driver loop is mirrored by an
+    unrolled recursive-CTE-style oracle (see :func:`_kmeans_oracle`) —
+    promoted from rows-only in round 4; tests/test_clustering.py still
+    asserts the inertia trace is non-increasing and the result is
+    run-stable."""
+    from ..functions.numerics import davg
+
     assigned, _ = lloyd(_vectors(spark, sf_dir))
     return (
         assigned.groupBy(F.col("cid").alias("cluster_id"))
         .agg(
             F.count(F.lit(1)).alias("n_members"),
-            F.round(F.avg("d2"), 6).alias("mean_dist2"),
+            F.round(davg(F.col("d2")), 6).alias("mean_dist2"),
         )
         .orderBy("cluster_id")
     )
