@@ -1,0 +1,321 @@
+"""Corpus curation operators: semantic dedup, domain mixing, quality
+percentile filtering.
+
+The reference stops at collecting documents (web_spider_oo.py:354-358
+writes raw page text); a training-data pipeline then has to CURATE the
+collected corpus.  Three curation stages, each expressed Spark-first and
+each with a full DuckDB value oracle:
+
+- **semantic_dedup_clusters** — SemDeDup (Abbas et al., 2023): cluster
+  the embedding space with k-means, then search for near-duplicate
+  pairs ONLY within a cluster.  This is the third candidate-pruning
+  family in the dedup suite: MinHash-LSH prunes by shingle-band
+  collision (operators/dedup.py), sign-LSH prunes by random-hyperplane
+  bucket (operators/similarity.py), SemDeDup prunes by LEARNED
+  partition — the same idea as IVF, applied to dedup.
+- **domain_mixture_sample** — deterministic hash-based downsampling to
+  hit a target domain mixture (the DoReMi / data-mixing shape): compute
+  per-domain rates from the target weights, keep a row iff a stable
+  per-row hash falls under the domain's rate.  No randomness — both
+  engines agree row-for-row.
+- **quality_percentile_filter** — keep the top half of each source by a
+  quality score via PERCENT_RANK: the "filter to the best X% per
+  domain" stage (C4/Gopher-style), rank-based so it is scale-free.
+
+Scale notes (100 TB):
+- SemDeDup's pair search is quadratic ONLY within a cluster; k grows
+  with corpus size (k ≈ N / target_cluster_size) so per-cluster cost is
+  bounded — the fixture uses the engine's deterministic K=4 codebook
+  (operators/clustering.py) to stay oracle-exact.  The pair join is an
+  equi-join on cluster id (shuffle-partitioned by cluster), never a
+  cross join; `tests/test_plan_contracts.py` asserts no
+  BroadcastNestedLoopJoin.
+- Mixture sampling is one count() aggregation over domains (tiny), a
+  broadcast of the per-domain rates, and a map-side hash filter — the
+  scan never shuffles.
+- The percentile filter shuffles once on the partition key (source) and
+  ranks within partitions — the standard windowed-topk shape; skewed
+  sources would use the salted-window variant (extensions.salted_topk).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.numerics import dsum, oracle_dsum
+from ..registry import register
+from ..sources.tables import load
+from .clustering import (
+    _ORACLE_VECS,
+    _assign,
+    _init_centroids,
+    _oracle_cent,
+    _oracle_round,
+    _update,
+    _vectors,
+)
+from .similarity import _dot, _norm
+
+SEM_TAU = 0.4  # same near-dup cosine threshold as similarity.NEAR_DUP_COS
+
+
+def within_cluster_dups(sides: DataFrame, tau: float) -> DataFrame:
+    """Distinct (cid, ib) duplicate ids: vectors with a same-cluster
+    neighbor of cosine ≥ tau and smaller vec_id.  ``sides`` columns:
+    (cid, vec_id, emb, nrm).  The join is an equi-join on cid — the
+    SemDeDup pruning contract (never all-pairs)."""
+    a = sides.select(
+        "cid", F.col("vec_id").alias("ia"), F.col("emb").alias("ea"), F.col("nrm").alias("na")
+    )
+    b = sides.select(
+        "cid", F.col("vec_id").alias("ib"), F.col("emb").alias("eb"), F.col("nrm").alias("nb")
+    )
+    cosine = F.round(_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6)
+    return (
+        a.join(b, "cid")
+        .filter(F.col("ia") < F.col("ib"))
+        .select("cid", "ib", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= tau)
+        .select("cid", "ib")
+        .distinct()
+    )
+
+
+@register(
+    "semantic_dedup_clusters",
+    oracle=f"""
+WITH {_ORACLE_VECS.strip()},
+{_oracle_round('init', 'r0').strip()},
+{_oracle_cent('r0_a', 'cent1').strip()},
+{_oracle_round('cent1', 'r1').strip()},
+norms AS (
+  SELECT vec_id, SQRT(SUM(x * x)) AS nrm
+  FROM (SELECT vec_id, unnest(emb) AS x FROM vecs) GROUP BY vec_id
+),
+pairs AS (
+  SELECT a.cid, a.vec_id AS ia, b.vec_id AS ib
+  FROM r1_a a JOIN r1_a b ON a.cid = b.cid AND a.vec_id < b.vec_id
+),
+flat AS (
+  SELECT p.cid, p.ia, p.ib, unnest(va.emb) AS xa, unnest(vb.emb) AS xb
+  FROM pairs p
+  JOIN vecs va ON va.vec_id = p.ia
+  JOIN vecs vb ON vb.vec_id = p.ib
+),
+dots AS (SELECT cid, ia, ib, SUM(xa * xb) AS dot FROM flat GROUP BY cid, ia, ib),
+scored AS (
+  SELECT d.cid, d.ib, ROUND(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+  FROM dots d
+  JOIN norms na ON na.vec_id = d.ia
+  JOIN norms nb ON nb.vec_id = d.ib
+),
+dups AS (SELECT DISTINCT cid, ib FROM scored WHERE cosine >= {SEM_TAU}),
+dcnt AS (SELECT cid, COUNT(*) AS nd FROM dups GROUP BY cid),
+mem AS (SELECT cid, COUNT(*) AS n_members FROM r1_a GROUP BY cid)
+SELECT m.cid AS cluster_id, m.n_members,
+       CAST(COALESCE(dc.nd, 0) AS BIGINT) AS n_dups,
+       m.n_members - CAST(COALESCE(dc.nd, 0) AS BIGINT) AS n_kept
+FROM mem m LEFT JOIN dcnt dc USING (cid)
+""",
+)
+def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: one oracle-exact Lloyd round partitions the embedding
+    space (clustering.kmeans_assign_embeddings's exact pipeline), then
+    near-duplicate pairs (cosine ≥ {SEM_TAU}) are searched ONLY within a
+    cluster; the higher vec_id of each pair is the duplicate.  Returns
+    per-cluster member/dup/kept counts.
+
+    Plan: centroids broadcast; the pair join is an equi-join on the
+    cluster id (cost Σ cluster², bounded because k scales with N at real
+    corpus sizes); cosine is a Catalyst zip_with/aggregate fold, rounded
+    to 6 decimals so the DuckDB twin is engine-exact."""
+    vecs = _vectors(spark, sf_dir)
+    cents1 = _update(_assign(vecs, _init_centroids(vecs)))
+    assign = _assign(vecs, cents1).select("vec_id", "cid", "emb")
+    sides = assign.withColumn("nrm", _norm(F.col("emb")))
+    dups = within_cluster_dups(sides, SEM_TAU)
+    mem = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
+    dcnt = dups.groupBy("cid").agg(F.count(F.lit(1)).alias("nd"))
+    return (
+        mem.join(dcnt, "cid", "left")
+        .select(
+            F.col("cid").alias("cluster_id"),
+            "n_members",
+            F.coalesce("nd", F.lit(0)).cast("long").alias("n_dups"),
+            (F.col("n_members") - F.coalesce("nd", F.lit(0))).cast("long").alias("n_kept"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Domain mixture sampling
+
+# Target language mixture for the corpus (weights sum to 1).  T =
+# floor(min_lang(n_lang / w_lang)) is the largest total corpus size every
+# domain can serve at its target share; rate_lang = w*T/n keeps exactly
+# the target proportions in expectation.
+MIX_WEIGHTS = {"en": 0.30, "de": 0.20, "es": 0.20, "fr": 0.15, "zh": 0.15}
+_HEX = "0123456789abcdef"
+_MIX_HEX_CHARS = 6  # 24-bit hash: plenty of rate resolution, engine-portable
+_MIX_SPACE = 16 ** _MIX_HEX_CHARS
+
+
+def _hash24(col) -> F.Column:
+    """First 6 hex chars of md5('mix|' || doc_id) as a 24-bit integer via
+    alphabet indexing (instr) — identical in any engine with md5+strpos
+    (same trick as dedup._simhash_hex / similarity's band hash)."""
+    h = F.md5(F.concat(F.lit("mix|"), col.cast("string")))
+    v = F.lit(0).cast("bigint")
+    for i in range(_MIX_HEX_CHARS):
+        v = v + (F.instr(F.lit(_HEX), F.substring(h, i + 1, 1)) - 1).cast("bigint") * (
+            16 ** (_MIX_HEX_CHARS - 1 - i)
+        )
+    return v
+
+
+_ORACLE_HASH24 = "(" + " + ".join(
+    f"(strpos('{_HEX}', substr(md5('mix|' || CAST(doc_id AS VARCHAR)), {i + 1}, 1)) - 1)"
+    f" * {16 ** (_MIX_HEX_CHARS - 1 - i)}"
+    for i in range(_MIX_HEX_CHARS)
+) + ")"
+
+_ORACLE_WEIGHTS = " UNION ALL ".join(
+    f"SELECT '{k}' AS lang, CAST({w} AS DOUBLE) AS w" for k, w in MIX_WEIGHTS.items()
+)
+
+
+@register(
+    "domain_mixture_sample",
+    oracle=f"""
+WITH weights AS ({_ORACLE_WEIGHTS}),
+counts AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+t AS (SELECT FLOOR(MIN(n_docs / w)) AS t FROM counts JOIN weights USING (lang)),
+rates AS (
+  SELECT c.lang, c.n_docs, w.w,
+         LEAST(1.0, (w.w * t.t) / c.n_docs) AS rate
+  FROM counts c JOIN weights w USING (lang) CROSS JOIN t
+),
+kept AS (
+  SELECT d.lang, COUNT(*) AS n_kept
+  FROM documents d JOIN rates r USING (lang)
+  WHERE {_ORACLE_HASH24} < CAST(FLOOR(r.rate * {_MIX_SPACE}.0) AS BIGINT)
+  GROUP BY d.lang
+)
+SELECT r.lang, r.n_docs, CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+       r.w AS target_w, ROUND(r.rate, 6) AS sample_rate
+FROM rates r LEFT JOIN kept k USING (lang)
+""",
+)
+def domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mixture downsampling (the data-mixing stage):
+    per-language keep rates derived from MIX_WEIGHTS, applied as a
+    stable md5-hash threshold so the sample is reproducible on any
+    engine and any partitioning (no rand()).
+
+    Plan: one tiny groupBy(lang) count, rates broadcast back onto the
+    scan, the keep decision entirely map-side — at 100 TB the only
+    shuffle is the per-domain count."""
+    docs = load(spark, sf_dir, "documents")
+    wdf = spark.createDataFrame(
+        [(k, float(v)) for k, v in MIX_WEIGHTS.items()], "lang string, w double"
+    )
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    cw = counts.join(F.broadcast(wdf), "lang")
+    t = cw.agg(F.floor(F.min(F.col("n_docs") / F.col("w"))).alias("t"))
+    rates = cw.crossJoin(F.broadcast(t)).select(
+        "lang",
+        "n_docs",
+        "w",
+        F.least(F.lit(1.0), (F.col("w") * F.col("t")) / F.col("n_docs")).alias("rate"),
+    )
+    thr = F.floor(F.col("rate") * F.lit(float(_MIX_SPACE))).cast("bigint")
+    kept = (
+        docs.join(F.broadcast(rates.select("lang", "rate")), "lang")
+        .filter(_hash24(F.col("doc_id")) < thr)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return rates.join(kept, "lang", "left").select(
+        "lang",
+        "n_docs",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        F.col("w").alias("target_w"),
+        F.round("rate", 6).alias("sample_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality percentile filter
+
+# Pure-arithmetic quality score (no transcendental functions — libm vs
+# java.lang.Math could differ in the last ulp): stopword density scaled
+# up + average token length, rounded to 6 so both engines rank the same.
+_SQL_QSCORE = """ROUND(
+  CAST(n_stopwords AS DOUBLE) * 100.0 / n_tokens
+  + CAST(n_chars_actual AS DOUBLE) / n_tokens, 6)"""
+
+
+@register(
+    "quality_percentile_filter",
+    oracle=f"""
+WITH feats AS (
+  SELECT doc_id, source,
+         length(text) AS n_chars_actual,
+         len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tokens,
+         len(list_filter(string_split(text, ' '),
+                         w -> w IN ('the','a','of','and','to','in','is'))) AS n_stopwords
+  FROM documents
+),
+scored AS (SELECT doc_id, source, {_SQL_QSCORE} AS qscore FROM feats),
+ranked AS (
+  SELECT source, qscore,
+         PERCENT_RANK() OVER (PARTITION BY source ORDER BY qscore DESC, doc_id) AS pr
+  FROM scored
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN pr <= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       MIN(CASE WHEN pr <= 0.5 THEN qscore END) AS min_kept_score,
+       ROUND({oracle_dsum('CASE WHEN pr <= 0.5 THEN qscore END')}
+             / SUM(CASE WHEN pr <= 0.5 THEN 1 ELSE 0 END), 6) AS avg_kept_score
+FROM ranked GROUP BY source
+""",
+)
+def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the top half of each source by quality score (rank-based, so
+    the cut adapts per source — the "best X% per domain" filter).  The
+    score reuses text_analysis.quality_score's features; PERCENT_RANK
+    with a doc_id tiebreak makes the cut deterministic.
+
+    Plan: one shuffle on source + in-partition sort (windowed-rank
+    shape); the aggregation rides the same partitioning, so no second
+    exchange of the big table."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda w: w != "")
+    stops = ("the", "a", "of", "and", "to", "in", "is")
+    n_stop = F.size(F.filter(F.split("text", " "), lambda w: w.isin(*stops)))
+    feats = docs.select(
+        "doc_id",
+        "source",
+        F.length("text").alias("n_chars_actual"),
+        F.size(toks).alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+    )
+    qscore = F.round(
+        F.col("n_stopwords").cast("double") * 100.0 / F.col("n_tokens")
+        + F.col("n_chars_actual").cast("double") / F.col("n_tokens"),
+        6,
+    )
+    w = Window.partitionBy("source").orderBy(F.col("qscore").desc(), "doc_id")
+    ranked = feats.select("doc_id", "source", qscore.alias("qscore")).withColumn(
+        "pr", F.percent_rank().over(w)
+    )
+    keep = F.when(F.col("pr") <= 0.5, F.lit(1)).otherwise(F.lit(0))
+    kept_score = F.when(F.col("pr") <= 0.5, F.col("qscore"))
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(keep).cast("long").alias("n_kept"),
+        F.min(kept_score).alias("min_kept_score"),
+        F.round(dsum(kept_score) / F.sum(keep), 6).alias("avg_kept_score"),
+    )

@@ -1,0 +1,69 @@
+"""Curation-operator semantics beyond the oracle diff: planted
+semantic duplicates, mixture-sampling invariants, percentile-cut math."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cocktails_data_engineering_spark.operators.curation import (
+    MIX_WEIGHTS,
+    domain_mixture_sample,
+    quality_percentile_filter,
+    semantic_dedup_clusters,
+    within_cluster_dups,
+)
+from cocktails_data_engineering_spark.operators.similarity import _norm
+
+
+def test_semantic_dedup_counts_consistent(spark, sf_dir):
+    rows = semantic_dedup_clusters(spark, sf_dir).collect()
+    assert rows, "no clusters"
+    emb_total = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert sum(r.n_members for r in rows) == emb_total
+    for r in rows:
+        assert r.n_dups >= 0
+        assert r.n_kept + r.n_dups == r.n_members
+
+
+def test_within_cluster_dups_planted(spark):
+    """A planted near-identical pair in the same cluster marks exactly the
+    higher id as the duplicate; a cross-cluster identical pair is NOT a
+    candidate (the SemDeDup pruning semantics)."""
+    rows = [
+        (0, 1, [1.0, 0.0, 0.0]),
+        (0, 2, [1.0, 1e-7, 0.0]),  # near-identical to vec 1, same cluster
+        (0, 3, [0.0, 1.0, 0.0]),  # orthogonal — kept
+        (1, 4, [1.0, 0.0, 0.0]),  # identical to vec 1 but other cluster
+    ]
+    sides = spark.createDataFrame(
+        rows, "cid int, vec_id int, emb array<double>"
+    ).withColumn("nrm", _norm(F.col("emb")))
+    dups = {(r.cid, r.ib) for r in within_cluster_dups(sides, 0.95).collect()}
+    assert dups == {(0, 2)}
+
+
+def test_mixture_sample_invariants(spark, sf_dir):
+    rows = {r.lang: r for r in domain_mixture_sample(spark, sf_dir).collect()}
+    assert set(rows) == set(MIX_WEIGHTS)
+    for lang, r in rows.items():
+        assert 0 <= r.n_kept <= r.n_docs, lang
+        assert 0.0 < r.sample_rate <= 1.0, lang
+        if r.sample_rate == 1.0:  # rate-saturated domain keeps everything
+            assert r.n_kept == r.n_docs, lang
+    # the binding domain (smallest n/w) is always rate-1.0
+    assert any(r.sample_rate == 1.0 for r in rows.values())
+
+
+def test_mixture_sample_deterministic(spark, sf_dir):
+    a = sorted(map(tuple, domain_mixture_sample(spark, sf_dir).collect()))
+    b = sorted(map(tuple, domain_mixture_sample(spark, sf_dir).collect()))
+    assert a == b
+
+
+def test_quality_percentile_cut_size(spark, sf_dir):
+    """percent_rank ≤ 0.5 with a unique ordering keeps exactly
+    floor((n-1)/2)+1 rows per source."""
+    for r in quality_percentile_filter(spark, sf_dir).collect():
+        assert r.n_kept == (r.n_docs - 1) // 2 + 1, r.source
+        assert r.min_kept_score is not None
+        assert r.avg_kept_score >= r.min_kept_score

@@ -152,3 +152,27 @@ def test_incremental_dedup_collapses_corpus_buckets(spark, sf_dir):
     plan = _plan(spark, sf_dir, "incremental_minhash_dedup")
     assert "CartesianProduct" not in plan
     assert "min(doc_id)" in plan or "min(anchor)" in plan or "HashAggregate" in plan
+
+
+def test_semantic_dedup_pair_join_is_cluster_keyed(spark, sf_dir):
+    """SemDeDup's whole point is that the pair search is an equi-join on
+    the cluster id (cost Σ cluster², never N²).  The only Cross nodes
+    allowed are the k-row centroid broadcasts of the Lloyd assignment."""
+    plan = _plan(spark, sf_dir, "semantic_dedup_clusters")
+    assert "CartesianProduct" not in plan
+    import re
+
+    pair_joins = [
+        ln
+        for ln in plan.splitlines()
+        if re.search(r"(SortMergeJoin|ShuffledHashJoin) \[cid", ln) and "Inner" in ln
+    ]
+    assert pair_joins, "within-cluster pair join must be keyed on cid"
+
+
+def test_mixture_sample_rates_broadcast(spark, sf_dir):
+    """The per-domain rate table (|domains| rows) must broadcast onto the
+    scan; the keep decision is map-side — no shuffle of the documents."""
+    plan = _plan(spark, sf_dir, "domain_mixture_sample")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
