@@ -319,3 +319,109 @@ def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(kept_score).alias("min_kept_score"),
         F.round(dsum(kept_score) / F.sum(keep), 6).alias("avg_kept_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-prep: label prototypes (nearest-class-mean) + hard negatives
+
+from .clustering import DIM as _EMB_DIM  # noqa: E402
+from .similarity import _ORACLE_VECS as _SIM_ORACLE_VECS  # noqa: E402
+from .similarity import QUERY_MOD, _vectors as _sim_vectors  # noqa: E402
+
+N_HARD_NEG = 3
+
+
+@register(
+    "label_prototype_confusion",
+    oracle=f"""
+WITH vecs AS ({_SIM_ORACLE_VECS.strip()}),
+proto_dim AS (
+  SELECT label, i,
+         ROUND(CAST(SUM(CAST(emb[i] AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*), 6) AS c
+  FROM vecs CROSS JOIN generate_series(1, {_EMB_DIM}) t(i)
+  GROUP BY label, i
+),
+proto AS (SELECT label AS cid, list(c ORDER BY i) AS cemb FROM proto_dim GROUP BY label),
+{_oracle_round('proto', 'p').strip()}
+SELECT v.label AS true_label, a.cid AS pred_label, COUNT(*) AS n
+FROM p_a a JOIN vecs v USING (vec_id)
+GROUP BY v.label, a.cid
+""",
+)
+def label_prototype_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-class-mean classification over embeddings: per-label
+    prototype = DECIMAL-exact per-dimension mean (the mean-pooling step
+    every embedding pipeline runs), each vector assigned to its nearest
+    prototype, reported as a (true_label, pred_label) confusion matrix.
+    The supervised counterpart of the k-means codebook — same broadcast
+    assignment plan, prototypes learned from labels instead of Lloyd
+    rounds.
+
+    Plan: prototype aggregation shuffles (|labels| × dim) decimal
+    partials per task (independent of row count); prototypes broadcast;
+    assignment is map-side; the confusion aggregate is |labels|² rows."""
+    vecs = _sim_vectors(spark, sf_dir)
+    protos = _update(vecs.select(F.col("label").alias("cid"), "emb"))
+    assigned = _assign(vecs.select("vec_id", "emb"), protos)
+    return (
+        assigned.join(vecs.select("vec_id", "label"), "vec_id")
+        .groupBy(F.col("label").alias("true_label"), F.col("cid").alias("pred_label"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "hard_negative_mining",
+    oracle=f"""
+WITH vecs AS ({_SIM_ORACLE_VECS.strip()}),
+q AS (SELECT vec_id AS query_id, label AS q_label, emb AS q_emb, norm AS q_norm
+      FROM vecs WHERE vec_id % {QUERY_MOD} = 0),
+flat AS (
+  SELECT q.query_id, v.vec_id, q.q_norm, v.norm,
+         unnest(q.q_emb) AS qx, unnest(v.emb) AS vx
+  FROM q JOIN vecs v ON v.vec_id <> q.query_id AND v.label <> q.q_label
+),
+scored AS (
+  SELECT query_id, vec_id,
+         ROUND(SUM(qx * vx) / (ANY_VALUE(q_norm) * ANY_VALUE(norm)), 6) AS score
+  FROM flat GROUP BY query_id, vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, vec_id) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= {N_HARD_NEG}
+""",
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    (the query subset), the {N_HARD_NEG} highest-cosine vectors with a
+    DIFFERENT label — the negatives that actually teach the model.
+    Same broadcast-anchor + windowed-topk plan as cosine_topk; the label
+    inequality rides the join condition so wrong-label filtering happens
+    before any scoring.  At scale the exact scan becomes the ANN
+    candidate path (sign-LSH / IVF) with the label filter applied to
+    candidates."""
+    vecs = _sim_vectors(spark, sf_dir)
+    q = vecs.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("emb").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    pairs = vecs.join(
+        F.broadcast(q),
+        (F.col("vec_id") != F.col("query_id")) & (F.col("label") != F.col("q_label")),
+    )
+    score = F.round(
+        _dot(F.col("q_emb"), F.col("emb")) / (F.col("q_norm") * F.col("norm")), 6
+    )
+    scored = pairs.select("query_id", "vec_id", score.alias("score"))
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= N_HARD_NEG)
+        .select("query_id", "vec_id", "score", "rank")
+    )

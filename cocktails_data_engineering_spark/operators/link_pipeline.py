@@ -213,3 +213,108 @@ def edges_from_children(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("http://root.test/").alias("parent_link"),
         F.col("child_link"),
     )
+
+
+# A deterministically "messy" URL per document — every normalization
+# hazard the crawler meets in the wild (the reference crawls raw href
+# strings, web_spider_oo.py:288-299, and would revisit the same page
+# under each spelling): mixed-case scheme/host, explicit default port,
+# fragments, unsorted query params, trailing slashes.
+_MESSY_URL_SQL = """
+(CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'http' END) || '://' ||
+'Site' || CAST(doc_id % 3 AS VARCHAR) || '.Example.COM' ||
+(CASE WHEN doc_id % 4 = 0 THEN ':80' ELSE '' END) ||
+'/P' || CAST(doc_id AS VARCHAR) ||
+(CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
+(CASE WHEN doc_id % 3 = 0 THEN '?b=2&a=1'
+      WHEN doc_id % 3 = 1 THEN '?a=1&b=2' ELSE '' END) ||
+(CASE WHEN doc_id % 2 = 0 THEN '#frag' ELSE '' END)
+"""
+
+
+@register(
+    "url_canonicalize",
+    oracle=f"""
+WITH raw AS (SELECT doc_id, ({_MESSY_URL_SQL}) AS url FROM documents),
+s1 AS (SELECT doc_id, url, split_part(url, '#', 1) AS nofrag FROM raw),
+s2 AS (
+  SELECT doc_id, url,
+         lower(split_part(nofrag, '://', 1)) AS scheme,
+         split_part(nofrag, '://', 2) AS rest
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, url, scheme,
+         regexp_replace(lower(split_part(rest, '/', 1)), ':80$', '') AS host,
+         CASE WHEN length(rest) > length(split_part(rest, '/', 1))
+              THEN substring(rest, length(split_part(rest, '/', 1)) + 1)
+              ELSE '/' END AS pathq
+  FROM s2
+),
+s4 AS (
+  SELECT doc_id, url, scheme, host,
+         split_part(pathq, '?', 1) AS path,
+         CASE WHEN pathq LIKE '%?%' THEN split_part(pathq, '?', 2) ELSE '' END AS query
+  FROM s3
+)
+SELECT doc_id, url,
+       scheme || '://' || host ||
+       (CASE WHEN path <> '/' THEN regexp_replace(path, '/+$', '') ELSE path END) ||
+       (CASE WHEN query <> ''
+             THEN '?' || array_to_string(list_sort(string_split(query, '&')), '&')
+             ELSE '' END) AS canonical_url
+FROM s4
+""",
+)
+def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization — the frontier-dedup key the reference's raw
+    string set (web_spider_oo.py:63 ``unique_links_set``) should have
+    used: lowercase scheme+host, strip the default :80 port, drop the
+    fragment, sort query params, strip trailing path slashes.  Pure
+    Catalyst string expressions (split_part / regexp / array_sort), so
+    at scale it is a map-only projection fused into the scan."""
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("HTTP")).otherwise(F.lit("http")),
+        F.lit("://Site"),
+        (d % 3).cast("string"),
+        F.lit(".Example.COM"),
+        F.when(d % 4 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/P"),
+        d.cast("string"),
+        F.when(d % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 3 == 0, F.lit("?b=2&a=1"))
+        .when(d % 3 == 1, F.lit("?a=1&b=2"))
+        .otherwise(F.lit("")),
+        F.when(d % 2 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    raw = docs.select("doc_id", url.alias("url"))
+    return raw.select(
+        "doc_id", "url", canonicalize_url(F.col("url")).alias("canonical_url")
+    )
+
+
+def canonicalize_url(url):
+    """Canonical-URL Column expression (idempotent by construction):
+    lowercase scheme+host, strip :80, drop fragment, sort query params,
+    strip trailing path slashes."""
+    nofrag = F.split_part(url, F.lit("#"), F.lit(1))
+    scheme = F.lower(F.split_part(nofrag, F.lit("://"), F.lit(1)))
+    rest = F.split_part(nofrag, F.lit("://"), F.lit(2))
+    hostport = F.split_part(rest, F.lit("/"), F.lit(1))
+    host = F.regexp_replace(F.lower(hostport), ":80$", "")
+    pathq = F.when(
+        F.length(rest) > F.length(hostport),
+        F.substring(rest, F.length(hostport) + 1, F.lit(1 << 30)),
+    ).otherwise(F.lit("/"))
+    path = F.split_part(pathq, F.lit("?"), F.lit(1))
+    query = F.when(
+        pathq.contains("?"), F.split_part(pathq, F.lit("?"), F.lit(2))
+    ).otherwise(F.lit(""))
+    canon_path = F.when(path != "/", F.regexp_replace(path, "/+$", "")).otherwise(path)
+    canon_query = F.when(
+        query != "",
+        F.concat(F.lit("?"), F.array_join(F.array_sort(F.split(query, "&")), "&")),
+    ).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, canon_path, canon_query)

@@ -202,3 +202,58 @@ def jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(sink, n_written, n_read, n_written == n_read)],
         "sink string, n_written long, n_read long, roundtrip_ok boolean",
     )
+
+
+@register(
+    "csv_roundtrip_agg",
+    oracle="""
+SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+       SUM(length(text)) AS total_text_chars
+FROM documents GROUP BY lang
+""",
+)
+def csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + source: documents written as headered CSV (Spark quotes
+    fields as needed), read back with an EXPLICIT schema (no inference
+    pass — at 100 TB schema inference is a full extra scan), then
+    aggregated.  The oracle aggregates the original parquet directly, so
+    a value match proves the text format preserved every row and value
+    (total_text_chars would catch any quoting/escaping corruption)."""
+    docs = load(spark, sf_dir, "documents")
+    path = os.path.join(tempfile.gettempdir(), "cocktails_spark_csv_roundtrip")
+    docs.write.mode("overwrite").option("header", True).csv(path)
+    back = spark.read.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).option("header", True).csv(path)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.length("text")).alias("total_text_chars"),
+    )
+
+
+@register(
+    "jsonl_roundtrip_agg",
+    oracle="""
+SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+       SUM(length(text)) AS total_text_chars
+FROM documents GROUP BY source
+""",
+)
+def jsonl_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + source (the interchange format most LLM corpus
+    tooling speaks): write documents as JSONL, read back with an explicit
+    schema, aggregate per source.  Same differential design as
+    csv_roundtrip_agg — the oracle never sees the JSONL, so the match
+    certifies the escape/unescape roundtrip."""
+    docs = load(spark, sf_dir, "documents")
+    path = os.path.join(tempfile.gettempdir(), "cocktails_spark_jsonl_roundtrip")
+    docs.write.mode("overwrite").json(path)
+    back = spark.read.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).json(path)
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.length("text")).alias("total_text_chars"),
+    )

