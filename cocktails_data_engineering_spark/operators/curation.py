@@ -184,18 +184,53 @@ _ORACLE_WEIGHTS = " UNION ALL ".join(
     f"SELECT '{k}' AS lang, CAST({w} AS DOUBLE) AS w" for k, w in MIX_WEIGHTS.items()
 )
 
-
-@register(
-    "domain_mixture_sample",
-    oracle=f"""
-WITH weights AS ({_ORACLE_WEIGHTS}),
+# Shared CTE chain: per-language sampling rates from the target weights
+# (used by domain_mixture_sample AND the composed curation_pipeline).
+_ORACLE_RATES_CTES = f"""weights AS ({_ORACLE_WEIGHTS}),
 counts AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
 t AS (SELECT FLOOR(MIN(n_docs / w)) AS t FROM counts JOIN weights USING (lang)),
 rates AS (
   SELECT c.lang, c.n_docs, w.w,
          LEAST(1.0, (w.w * t.t) / c.n_docs) AS rate
   FROM counts c JOIN weights w USING (lang) CROSS JOIN t
-),
+)"""
+
+
+def mixture_rates(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Per-language sampling rates (lang, n_docs, w, rate) toward the
+    MIX_WEIGHTS target: T = floor(min(n/w)) is the largest corpus every
+    domain can serve at its share, rate = min(1, w·T/n)."""
+    wdf = spark.createDataFrame(
+        [(k, float(v)) for k, v in MIX_WEIGHTS.items()], "lang string, w double"
+    )
+    # inner join ⇒ a language absent from MIX_WEIGHTS gets rate 0 (dropped
+    # from the mixture entirely) — the oracle applies the same rule
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    cw = counts.join(F.broadcast(wdf), "lang")
+    t = cw.agg(F.floor(F.min(F.col("n_docs") / F.col("w"))).alias("t"))
+    return cw.crossJoin(F.broadcast(t)).select(
+        "lang",
+        "n_docs",
+        "w",
+        F.least(F.lit(1.0), (F.col("w") * F.col("t")) / F.col("n_docs")).alias("rate"),
+    )
+
+
+def mixture_keep_filter(docs: DataFrame, rates: DataFrame) -> DataFrame:
+    """Rows of ``docs`` surviving the deterministic mixture sample: rates
+    broadcast onto the scan, md5-threshold keep decision map-side."""
+    thr = F.floor(F.col("rate") * F.lit(float(_MIX_SPACE))).cast("bigint")
+    return (
+        docs.join(F.broadcast(rates.select("lang", "rate")), "lang")
+        .filter(_hash24(F.col("doc_id")) < thr)
+        .drop("rate")
+    )
+
+
+@register(
+    "domain_mixture_sample",
+    oracle=f"""
+WITH {_ORACLE_RATES_CTES},
 kept AS (
   SELECT d.lang, COUNT(*) AS n_kept
   FROM documents d JOIN rates r USING (lang)
@@ -217,22 +252,9 @@ def domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan, the keep decision entirely map-side — at 100 TB the only
     shuffle is the per-domain count."""
     docs = load(spark, sf_dir, "documents")
-    wdf = spark.createDataFrame(
-        [(k, float(v)) for k, v in MIX_WEIGHTS.items()], "lang string, w double"
-    )
-    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
-    cw = counts.join(F.broadcast(wdf), "lang")
-    t = cw.agg(F.floor(F.min(F.col("n_docs") / F.col("w"))).alias("t"))
-    rates = cw.crossJoin(F.broadcast(t)).select(
-        "lang",
-        "n_docs",
-        "w",
-        F.least(F.lit(1.0), (F.col("w") * F.col("t")) / F.col("n_docs")).alias("rate"),
-    )
-    thr = F.floor(F.col("rate") * F.lit(float(_MIX_SPACE))).cast("bigint")
+    rates = mixture_rates(spark, docs)
     kept = (
-        docs.join(F.broadcast(rates.select("lang", "rate")), "lang")
-        .filter(_hash24(F.col("doc_id")) < thr)
+        mixture_keep_filter(docs, rates)
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_kept"))
     )
@@ -291,16 +313,11 @@ def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: one shuffle on source + in-partition sort (windowed-rank
     shape); the aggregation rides the same partitioning, so no second
     exchange of the big table."""
+    from .text_analysis import quality_features
+
     docs = load(spark, sf_dir, "documents")
-    toks = F.filter(F.split("text", " "), lambda w: w != "")
-    stops = ("the", "a", "of", "and", "to", "in", "is")
-    n_stop = F.size(F.filter(F.split("text", " "), lambda w: w.isin(*stops)))
-    feats = docs.select(
-        "doc_id",
-        "source",
-        F.length("text").alias("n_chars_actual"),
-        F.size(toks).alias("n_tokens"),
-        n_stop.alias("n_stopwords"),
+    feats = quality_features(docs).select(
+        "doc_id", "source", "n_chars_actual", "n_tokens", "n_stopwords"
     )
     qscore = F.round(
         F.col("n_stopwords").cast("double") * 100.0 / F.col("n_tokens")
@@ -424,4 +441,115 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= N_HARD_NEG)
         .select("query_id", "vec_id", "score", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Composed flagship #4: the full curation funnel
+
+@register(
+    "curation_pipeline",
+    oracle=f"""
+WITH {_ORACLE_RATES_CTES},
+sampled AS (
+  SELECT d.doc_id, d.lang, d.source, d.text
+  FROM documents d JOIN rates r USING (lang)
+  WHERE {_ORACLE_HASH24} < CAST(FLOOR(r.rate * {_MIX_SPACE}.0) AS BIGINT)
+),
+feats AS (
+  SELECT doc_id, lang, source, text,
+         length(text) AS n_chars_actual,
+         len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tokens,
+         len(list_filter(string_split(text, ' '),
+                         w -> w IN ('the','a','of','and','to','in','is'))) AS n_stopwords
+  FROM sampled
+),
+ranked AS (
+  SELECT doc_id, lang, text,
+         PERCENT_RANK() OVER (
+           PARTITION BY source
+           ORDER BY {_SQL_QSCORE} DESC, doc_id) AS pr
+  FROM feats
+),
+quality AS (SELECT doc_id, lang, text FROM ranked WHERE pr <= 0.5),
+fp AS (
+  SELECT doc_id, lang,
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+  FROM quality
+),
+final AS (
+  SELECT doc_id, lang
+  FROM (SELECT doc_id, lang,
+               ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rk
+        FROM fp) t
+  WHERE rk = 1
+),
+c0 AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+c1 AS (SELECT lang, COUNT(*) AS n_sampled FROM sampled GROUP BY lang),
+c2 AS (SELECT lang, COUNT(*) AS n_quality FROM quality GROUP BY lang),
+c3 AS (SELECT lang, COUNT(*) AS n_final FROM final GROUP BY lang)
+SELECT c0.lang, c0.n_docs,
+       CAST(COALESCE(c1.n_sampled, 0) AS BIGINT) AS n_sampled,
+       CAST(COALESCE(c2.n_quality, 0) AS BIGINT) AS n_quality,
+       CAST(COALESCE(c3.n_final, 0) AS BIGINT) AS n_final
+FROM c0
+LEFT JOIN c1 USING (lang) LEFT JOIN c2 USING (lang) LEFT JOIN c3 USING (lang)
+""",
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed flagship #4 — the curation funnel a training-data team
+    runs end-to-end: domain mixture sample → per-source quality
+    percentile gate → exact dedup (normalized-text fingerprint, min
+    doc_id canonical), reported as per-language counts at every stage.
+
+    Scale shape, stage by stage: the mixture sample is a broadcast-rate
+    map-side filter; the quality gate is ONE shuffle on source (window
+    rank); the exact dedup is ONE shuffle on the 32-byte fingerprint.
+    No stage rescans the corpus — each consumes the previous stage's
+    output, and the per-stage counts ride the same aggregations."""
+    from .text_analysis import quality_features
+
+    docs = load(spark, sf_dir, "documents")
+    rates = mixture_rates(spark, docs)
+    sampled = mixture_keep_filter(
+        docs.select("doc_id", "lang", "source", "text"), rates
+    )
+
+    feats = quality_features(sampled)
+    qscore = F.round(
+        F.col("n_stopwords").cast("double") * 100.0 / F.col("n_tokens")
+        + F.col("n_chars_actual").cast("double") / F.col("n_tokens"),
+        6,
+    )
+    w = Window.partitionBy("source").orderBy(qscore.desc(), "doc_id")
+    quality = (
+        feats.withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") <= 0.5)
+        .select("doc_id", "lang", "text")
+    )
+
+    fingerprint = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    wf = Window.partitionBy("fingerprint").orderBy("doc_id")
+    final = (
+        quality.select("doc_id", "lang", fingerprint.alias("fingerprint"))
+        .withColumn("rk", F.row_number().over(wf))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "lang")
+    )
+
+    c0 = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    c1 = sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))
+    c2 = quality.groupBy("lang").agg(F.count(F.lit(1)).alias("n_quality"))
+    c3 = final.groupBy("lang").agg(F.count(F.lit(1)).alias("n_final"))
+    return (
+        c0.join(c1, "lang", "left")
+        .join(c2, "lang", "left")
+        .join(c3, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            F.coalesce("n_sampled", F.lit(0)).cast("long").alias("n_sampled"),
+            F.coalesce("n_quality", F.lit(0)).cast("long").alias("n_quality"),
+            F.coalesce("n_final", F.lit(0)).cast("long").alias("n_final"),
+        )
     )

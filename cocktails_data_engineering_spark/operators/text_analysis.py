@@ -174,6 +174,25 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("n_tokens")
 
 
+QUALITY_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+
+def quality_features(docs: DataFrame) -> DataFrame:
+    """Per-document quality features (char count, token count, stopword
+    count) — shared by quality_score and curation.quality_percentile_filter
+    so the two filters cannot drift."""
+    toks = F.filter(F.split("text", " "), lambda w: w != "")
+    n_stop = F.size(
+        F.filter(F.split("text", " "), lambda w: w.isin(*QUALITY_STOPWORDS))
+    )
+    return docs.select(
+        "*",
+        F.length("text").alias("n_chars_actual"),
+        F.size(toks).alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+    )
+
+
 @register(
     "quality_score",
     oracle="""
@@ -198,15 +217,8 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document quality scoring: length, stopword ratio, average token
     length, and a keep/drop gate — the C4-style quality filter shape."""
     docs = load(spark, sf_dir, "documents")
-    toks = F.filter(F.split("text", " "), lambda w: w != "")
-    stops = ("the", "a", "of", "and", "to", "in", "is")
-    n_tokens = F.size(toks)
-    n_stop = F.size(F.filter(F.split("text", " "), lambda w: w.isin(*stops)))
-    feats = docs.select(
-        "doc_id",
-        F.length("text").alias("n_chars_actual"),
-        n_tokens.alias("n_tokens"),
-        n_stop.alias("n_stopwords"),
+    feats = quality_features(docs).select(
+        "doc_id", "n_chars_actual", "n_tokens", "n_stopwords"
     )
     ratio = F.col("n_stopwords").cast("double") / F.col("n_tokens")
     return feats.select(

@@ -220,7 +220,12 @@ def csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     a value match proves the text format preserved every row and value
     (total_text_chars would catch any quoting/escaping corruption)."""
     docs = load(spark, sf_dir, "documents")
-    path = os.path.join(tempfile.gettempdir(), "cocktails_spark_csv_roundtrip")
+    # sf-keyed path: concurrent runs at different scale factors must not
+    # clobber each other's staging
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"cocktails_spark_csv_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
     docs.write.mode("overwrite").option("header", True).csv(path)
     back = spark.read.schema(
         "doc_id long, text string, lang string, source string, n_chars long"
@@ -247,7 +252,10 @@ def jsonl_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     csv_roundtrip_agg — the oracle never sees the JSONL, so the match
     certifies the escape/unescape roundtrip."""
     docs = load(spark, sf_dir, "documents")
-    path = os.path.join(tempfile.gettempdir(), "cocktails_spark_jsonl_roundtrip")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"cocktails_spark_jsonl_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
     docs.write.mode("overwrite").json(path)
     back = spark.read.schema(
         "doc_id long, text string, lang string, source string, n_chars long"

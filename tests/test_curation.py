@@ -101,3 +101,16 @@ def test_hard_negatives_are_wrong_label(spark, sf_dir):
         assert len(rs) == N_HARD_NEG
         scores = [r.score for r in sorted(rs, key=lambda r: r.rank)]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_curation_pipeline_funnel_monotone(spark, sf_dir):
+    """Each stage can only shrink a language's doc set, and the stage-1
+    counts must equal domain_mixture_sample's n_kept exactly."""
+    from cocktails_data_engineering_spark.operators.curation import curation_pipeline
+
+    rows = {r.lang: r for r in curation_pipeline(spark, sf_dir).collect()}
+    mix = {r.lang: r.n_kept for r in domain_mixture_sample(spark, sf_dir).collect()}
+    assert rows
+    for lang, r in rows.items():
+        assert r.n_docs >= r.n_sampled >= r.n_quality >= r.n_final >= 0, lang
+        assert r.n_sampled == mix.get(lang, 0), lang

@@ -176,3 +176,50 @@ def test_mixture_sample_rates_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "domain_mixture_sample")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_runtime_bloom_filter_prefilters_probe_side(spark, sf_dir):
+    """Scale capability check: when a shuffle join's build side carries a
+    selective predicate, Spark's runtime bloom filter must inject a
+    might_contain pre-filter on the probe side (InjectRuntimeFilter) —
+    the engine-native version of the visited-set pre-filter that saves
+    shuffling probe rows that cannot match.  Guarded conf changes only;
+    thresholds are test-scale stand-ins for cluster defaults (10 GB scan
+    threshold)."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1"
+        )
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            "o_orderpriority = '1-URGENT'"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        optimized = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in optimized
+        # and the result is unaffected by the injected filter
+        [row] = j.collect()
+        expected = (
+            li.join(orders.hint("broadcast"), li.l_orderkey == orders.o_orderkey).count()
+        )
+        assert row["count"] == expected
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
