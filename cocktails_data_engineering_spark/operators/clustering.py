@@ -113,11 +113,11 @@ init AS (
 )"""
 
 
-def _oracle_round(cent_cte: str, prefix: str) -> str:
+def _oracle_round(cent_cte: str, prefix: str, vecs_cte: str = "vecs") -> str:
     return f"""
 {prefix}_flat AS (
   SELECT v.vec_id, c.cid, unnest(v.emb) AS vx, unnest(c.cemb) AS cx
-  FROM vecs v, {cent_cte} c
+  FROM {vecs_cte} v, {cent_cte} c
 ),
 {prefix}_d AS (
   SELECT vec_id, cid, ROUND(SUM((vx - cx) * (vx - cx)), 6) AS d2
@@ -131,14 +131,14 @@ def _oracle_round(cent_cte: str, prefix: str) -> str:
 )"""
 
 
-def _oracle_cent(assign_cte: str, name: str) -> str:
+def _oracle_cent(assign_cte: str, name: str, vecs_cte: str = "vecs") -> str:
     """DuckDB twin of :func:`_update`, reading assignments from
     ``assign_cte`` and emitting centroid CTE ``name``."""
     return f"""
 {name}_dim AS (
   SELECT a.cid, i,
          ROUND(CAST(SUM(CAST(v.emb[i] AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*), 6) AS c
-  FROM {assign_cte} a JOIN vecs v USING (vec_id)
+  FROM {assign_cte} a JOIN {vecs_cte} v USING (vec_id)
   CROSS JOIN generate_series(1, {DIM}) t(i)
   GROUP BY a.cid, i
 ),

@@ -553,3 +553,101 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_final", F.lit(0)).cast("long").alias("n_final"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental semantic dedup (the daily-ingest shape for vectors)
+
+BATCH_MOD = 10  # vec_id % BATCH_MOD == 0 → today's batch; rest = corpus
+
+
+@register(
+    "incremental_semantic_dedup",
+    oracle=f"""
+WITH vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+corpus AS (SELECT * FROM vecs WHERE vec_id % {BATCH_MOD} <> 0),
+batch AS (SELECT * FROM vecs WHERE vec_id % {BATCH_MOD} = 0),
+init AS (
+  SELECT vec_id AS cid, emb AS cemb
+  FROM corpus ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4
+),
+{_oracle_round('init', 'r0', 'corpus').strip()},
+{_oracle_cent('r0_a', 'cent1', 'corpus').strip()},
+{_oracle_round('cent1', 'ca', 'corpus').strip()},
+{_oracle_round('cent1', 'ba', 'batch').strip()},
+norms AS (
+  SELECT vec_id, SQRT(SUM(x * x)) AS nrm
+  FROM (SELECT vec_id, unnest(emb) AS x FROM vecs) GROUP BY vec_id
+),
+cand AS (
+  SELECT b.vec_id AS bid, a.vec_id AS aid, b.cid
+  FROM ba_a b JOIN ca_a a ON a.cid = b.cid
+),
+flat AS (
+  SELECT c.bid, c.aid, unnest(vb.emb) AS xb, unnest(va.emb) AS xa
+  FROM cand c
+  JOIN vecs vb ON vb.vec_id = c.bid
+  JOIN vecs va ON va.vec_id = c.aid
+),
+dots AS (SELECT bid, aid, SUM(xb * xa) AS dot FROM flat GROUP BY bid, aid),
+scored AS (
+  SELECT d.bid, ROUND(d.dot / (nb.nrm * na.nrm), 6) AS cosine
+  FROM dots d
+  JOIN norms nb ON nb.vec_id = d.bid
+  JOIN norms na ON na.vec_id = d.aid
+),
+matches AS (SELECT bid, COUNT(*) AS n_matches FROM scored
+            WHERE cosine >= {SEM_TAU} GROUP BY bid)
+SELECT b.vec_id, b.cid AS cluster_id,
+       CAST(COALESCE(m.n_matches, 0) AS BIGINT) AS n_matches,
+       CASE WHEN COALESCE(m.n_matches, 0) > 0 THEN 1 ELSE 0 END AS is_dup
+FROM ba_a b LEFT JOIN matches m ON m.bid = b.vec_id
+""",
+)
+def incremental_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SemDeDup — screen today's embedding batch against the
+    existing corpus without re-deduping the corpus: centroids are learned
+    from the CORPUS only (one oracle-exact Lloyd round), the batch is
+    assigned to those fixed clusters, and each batch vector is compared
+    ONLY against corpus members of its own cluster.  The vector-space
+    mirror of dedup.incremental_minhash_dedup.
+
+    Plan: centroids broadcast; both assignments map-side; the probe join
+    is an equi-join on cluster id whose cost is |batch| × cluster size —
+    linear in the batch, never corpus²."""
+    vecs = _vectors(spark, sf_dir)
+    corpus = vecs.filter(F.col("vec_id") % BATCH_MOD != 0)
+    batch = vecs.filter(F.col("vec_id") % BATCH_MOD == 0)
+
+    cents1 = _update(_assign(corpus, _init_centroids(corpus)))
+    ca = _assign(corpus, cents1).select("vec_id", "cid", "emb")
+    ba = _assign(batch, cents1).select("vec_id", "cid", "emb")
+
+    a = ca.withColumn("nrm", _norm(F.col("emb"))).select(
+        "cid", F.col("vec_id").alias("aid"), F.col("emb").alias("ea"), F.col("nrm").alias("na")
+    )
+    b = ba.withColumn("nrm", _norm(F.col("emb"))).select(
+        "cid", F.col("vec_id").alias("bid"), F.col("emb").alias("eb"), F.col("nrm").alias("nb")
+    )
+    cosine = F.round(_dot(F.col("eb"), F.col("ea")) / (F.col("nb") * F.col("na")), 6)
+    matches = (
+        b.join(a, "cid")
+        .select("bid", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= SEM_TAU)
+        .groupBy("bid")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+    )
+    return (
+        ba.join(matches, ba.vec_id == matches.bid, "left")
+        .select(
+            "vec_id",
+            F.col("cid").alias("cluster_id"),
+            F.coalesce("n_matches", F.lit(0)).cast("long").alias("n_matches"),
+            F.when(F.coalesce("n_matches", F.lit(0)) > 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("is_dup"),
+        )
+    )

@@ -280,3 +280,77 @@ def salted_join_event_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_equi_join(errors, dim, "user_id", salt).select(
         "event_id", "user_id", "n_user_events"
     )
+
+
+@register(
+    "fuzzy_join_ed1",
+    oracle="""
+WITH toks AS (
+  SELECT DISTINCT w || '_' || CAST(doc_id % 30 AS VARCHAR) AS token
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> ''
+),
+variants AS (
+  SELECT token,
+         CASE WHEN i = 0 THEN token
+              ELSE substr(token, 1, i - 1) || substr(token, i + 1) END AS variant
+  FROM toks CROSS JOIN unnest(range(0, 64)) t(i)
+  WHERE i <= length(token)
+),
+cand AS (
+  SELECT DISTINCT a.token AS token_a, b.token AS token_b
+  FROM variants a JOIN variants b
+    ON a.variant = b.variant AND a.token < b.token
+)
+SELECT token_a, token_b FROM cand
+WHERE levenshtein(token_a, token_b) = 1
+""",
+)
+def fuzzy_join_ed1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy self-join at edit distance 1 via deletion-neighborhood
+    blocking: two strings are within one edit iff they share a deletion
+    variant (the string itself, or the string with one char removed), so
+    candidates come from an EQUI-join on the variant key and
+    ``levenshtein`` runs only on candidates — the typo-mining /
+    entity-resolution member of the candidates→verify family, never the
+    N² levenshtein cross join.
+
+    Fixture domain: distinct word_suffix tokens synthesized from the
+    documents vocabulary (~900 tokens) so real ED-1 pairs exist.
+    Scale: |variants| = Σ (len+1) per token; bucket sizes are bounded by
+    alphabet statistics, and the verify cost is |candidates|, not N²."""
+    docs = load(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            F.explode(F.split("text", " ")).alias("w"),
+            (F.col("doc_id") % 30).cast("string").alias("sfx"),
+        )
+        .filter(F.col("w") != "")
+        .select(F.concat("w", F.lit("_"), "sfx").alias("token"))
+        .distinct()
+    )
+    variants = (
+        toks.select(
+            "token", F.explode(F.sequence(F.lit(0), F.length("token"))).alias("i")
+        )
+        .select(
+            "token",
+            F.when(F.col("i") == 0, F.col("token"))
+            .otherwise(
+                F.concat(
+                    F.substring(F.col("token"), F.lit(1), F.col("i") - 1),
+                    F.substring(F.col("token"), F.col("i") + 1, F.lit(1 << 30)),
+                )
+            )
+            .alias("variant"),
+        )
+    )
+    a = variants.select(F.col("token").alias("token_a"), "variant")
+    b = variants.select(F.col("token").alias("token_b"), "variant")
+    cand = (
+        a.join(b, "variant")
+        .filter(F.col("token_a") < F.col("token_b"))
+        .select("token_a", "token_b")
+        .distinct()
+    )
+    return cand.filter(F.levenshtein("token_a", "token_b") == 1)

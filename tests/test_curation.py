@@ -114,3 +114,21 @@ def test_curation_pipeline_funnel_monotone(spark, sf_dir):
     for lang, r in rows.items():
         assert r.n_docs >= r.n_sampled >= r.n_quality >= r.n_final >= 0, lang
         assert r.n_sampled == mix.get(lang, 0), lang
+
+
+def test_incremental_semantic_dedup_invariants(spark, sf_dir):
+    from cocktails_data_engineering_spark.operators.curation import (
+        BATCH_MOD,
+        incremental_semantic_dedup,
+    )
+
+    rows = incremental_semantic_dedup(spark, sf_dir).collect()
+    n_batch = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(f"vec_id % {BATCH_MOD} = 0")
+        .count()
+    )
+    assert len(rows) == n_batch  # every batch vector is screened
+    assert len({r.cluster_id for r in rows}) <= 4
+    for r in rows:
+        assert (r.n_matches > 0) == (r.is_dup == 1)

@@ -223,3 +223,11 @@ def test_runtime_bloom_filter_prefilters_probe_side(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_fuzzy_join_blocks_on_variant_key(spark, sf_dir):
+    """The ED-1 fuzzy join must get its candidates from an equi-join on
+    the deletion-variant key — never a levenshtein cross join."""
+    plan = _plan(spark, sf_dir, "fuzzy_join_ed1")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -96,3 +96,47 @@ def test_connected_components_laws(spark, raw_pairs):
         for m in members:
             assert labels[m] == expect_id, (m, labels.get(m), expect_id)
     assert set(labels) == set(parent)
+
+
+def test_fuzzy_ed1_blocking_is_complete(spark, sf_dir):
+    """Deletion-neighborhood blocking is EXACT for edit distance 1: the
+    candidates→verify result must equal the brute-force levenshtein
+    all-pairs ground truth (computed driver-side at fixture scale)."""
+    from cocktails_data_engineering_spark.operators.extensions import fuzzy_join_ed1
+
+    got = {(r.token_a, r.token_b) for r in fuzzy_join_ed1(spark, sf_dir).collect()}
+
+    import itertools
+
+    def ed1(a: str, b: str) -> bool:
+        la, lb = len(a), len(b)
+        if abs(la - lb) > 1:
+            return False
+        if la == lb:
+            return sum(x != y for x, y in zip(a, b)) == 1
+        if la > lb:
+            a, b, la, lb = b, a, lb, la
+        i = j = diff = 0
+        while i < la and j < lb:
+            if a[i] == b[j]:
+                i += 1
+            else:
+                diff += 1
+                if diff > 1:
+                    return False
+            j += 1
+        return True
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    tokens = sorted(
+        {
+            f"{w}_{r.doc_id % 30}"
+            for r in docs
+            for w in r.text.split(" ")
+            if w != ""
+        }
+    )
+    want = {
+        (a, b) for a, b in itertools.combinations(tokens, 2) if ed1(a, b)
+    }
+    assert got == want
