@@ -188,7 +188,67 @@ def lloyd(vecs: DataFrame, n_rounds: int = N_ROUNDS) -> tuple[DataFrame, list[fl
     return assigned, inertia
 
 
-@register("ivf_cosine_topk")  # approximate by design → rows-only + recall test
+def _ivf_oracle() -> str:
+    """DuckDB twin of ivf_cosine_topk: the 2-round Lloyd codebook via the
+    proven round/centroid CTE pair, nprobe=2 probe lists per query, exact
+    cosine + top-k on co-listed candidates only.  Promoted from rows-only
+    in round 4 — "approximate" is recall vs cosine_topk (still asserted
+    in tests), not nondeterminism."""
+    from .similarity import _ORACLE_VECS as SIM_VECS, QUERY_MOD, TOP_K
+
+    parts = [f"vecs AS ({SIM_VECS.strip()})",
+             f"""init AS (
+  SELECT vec_id AS cid, emb AS cemb
+  FROM vecs ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {K}
+)"""]
+    cent = "init"
+    for r in range(2):
+        parts.append(_oracle_round(cent, f"r{r}").strip())
+        cent = f"cent{r + 1}"
+        parts.append(_oracle_cent(f"r{r}_a", cent).strip())
+    parts.append(_oracle_round(cent, "L").strip())  # final list assignment
+    parts.append(f"""p_flat AS (
+  SELECT v.vec_id, c.cid, unnest(v.emb) AS vx, unnest(c.cemb) AS cx
+  FROM vecs v, {cent} c WHERE v.vec_id % {QUERY_MOD} = 0
+),
+p_d AS (
+  SELECT vec_id, cid, ROUND(SUM((vx - cx) * (vx - cx)), 6) AS d2
+  FROM p_flat GROUP BY vec_id, cid
+),
+p_a AS (
+  SELECT vec_id, cid
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+        FROM p_d) t
+  WHERE rk <= 2
+),
+cand AS (
+  SELECT DISTINCT p.vec_id AS query_id, l.vec_id
+  FROM p_a p JOIN L_a l ON l.cid = p.cid
+  WHERE l.vec_id <> p.vec_id
+),
+flat AS (
+  SELECT c.query_id, c.vec_id, vq.norm AS qn, vv.norm AS vn,
+         unnest(vq.emb) AS qx, unnest(vv.emb) AS vx
+  FROM cand c
+  JOIN vecs vq ON vq.vec_id = c.query_id
+  JOIN vecs vv ON vv.vec_id = c.vec_id
+),
+scored AS (
+  SELECT query_id, vec_id,
+         ROUND(SUM(qx * vx) / (ANY_VALUE(qn) * ANY_VALUE(vn)), 6) AS score
+  FROM flat GROUP BY query_id, vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, vec_id) AS INT) AS rank
+  FROM scored
+)""")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= {TOP_K}")
+
+
+@register("ivf_cosine_topk", oracle=_ivf_oracle())
 def ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate nearest-neighbor search: the k-means codebook as
     coarse quantizer (2 Lloyd rounds), exact cosine only within the

@@ -445,3 +445,67 @@ def crawl_spider_unique_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, unique = _spider_run(spark, sf_dir)
     named = unique.select(F.col("url").alias("link_name"))
     return assign_dense_ids(named, "link_name").select("link_id", "link_name")
+
+
+CRAWL_BUDGET = 500  # pages per scheduling round
+
+
+@register(
+    "crawl_budget_allocation",
+    oracle=f"""
+WITH counts AS (SELECT source, COUNT(*) AS n_pages FROM documents GROUP BY source),
+tot AS (SELECT SUM(n_pages) AS total FROM counts),
+alloc AS (
+  SELECT c.source, c.n_pages,
+         CAST(({CRAWL_BUDGET} * c.n_pages) // t.total AS BIGINT) AS base,
+         CAST(({CRAWL_BUDGET} * c.n_pages) % t.total AS BIGINT) AS rem
+  FROM counts c CROSS JOIN tot t
+),
+spare AS (SELECT {CRAWL_BUDGET} - SUM(base) AS r FROM alloc),
+ranked AS (
+  SELECT source, n_pages, base,
+         ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
+  FROM alloc
+)
+SELECT ranked.source, ranked.n_pages,
+       base + CASE WHEN rk <= spare.r THEN 1 ELSE 0 END AS alloc
+FROM ranked CROSS JOIN spare
+""",
+)
+def crawl_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain crawl-budget apportionment by the largest-remainder
+    (Hamilton) method: each domain gets floor(B·n/total) pages, and the
+    leftover budget goes to the largest integer remainders (source
+    tiebreak).  Pure integer arithmetic end to end, so the split is
+    engine- and partitioning-exact — the scheduling step a polite
+    distributed crawler runs before each frontier round (the reference
+    crawls domains serially, web_spider_oo.py:202-214; at cluster scale
+    the budget per domain IS the politeness control).
+
+    Plan: one tiny per-domain count, a 1-row total broadcast back, and a
+    |domains|-row window — no data-sized shuffle anywhere."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_pages"))
+    tot = counts.agg(F.sum("n_pages").alias("total"))
+    # `div` = exact integer division (no double round-trip, unlike floor(a/b))
+    alloc = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_pages",
+        F.expr(f"({CRAWL_BUDGET} * n_pages) div total").alias("base"),
+        F.expr(f"({CRAWL_BUDGET} * n_pages) % total").alias("rem"),
+    )
+    spare = alloc.agg((F.lit(CRAWL_BUDGET) - F.sum("base")).alias("r"))
+    w = Window.orderBy(F.col("rem").desc(), "source")
+    return (
+        alloc.withColumn("rk", F.row_number().over(w))
+        .crossJoin(F.broadcast(spare))
+        .select(
+            "source",
+            "n_pages",
+            (F.col("base") + F.when(F.col("rk") <= F.col("r"), 1).otherwise(0)).alias(
+                "alloc"
+            ),
+        )
+    )

@@ -43,6 +43,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..checkpointing import materialize
 from ..functions.numerics import dsum, oracle_dsum
 from ..registry import register
 from ..sources.tables import load
@@ -132,7 +133,9 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     to 6 decimals so the DuckDB twin is engine-exact."""
     vecs = _vectors(spark, sf_dir)
     cents1 = _update(_assign(vecs, _init_centroids(vecs)))
-    assign = _assign(vecs, cents1).select("vec_id", "cid", "emb")
+    # materialize: the assignment feeds BOTH sides of the pair join plus
+    # the membership count — without it the Lloyd chain runs 3×
+    assign = materialize(_assign(vecs, cents1).select("vec_id", "cid", "emb"))
     sides = assign.withColumn("nrm", _norm(F.col("emb")))
     dups = within_cluster_dups(sides, SEM_TAU)
     mem = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
@@ -622,9 +625,12 @@ def incremental_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = vecs.filter(F.col("vec_id") % BATCH_MOD != 0)
     batch = vecs.filter(F.col("vec_id") % BATCH_MOD == 0)
 
-    cents1 = _update(_assign(corpus, _init_centroids(corpus)))
+    # cents1 is k×dim and feeds two assignments; ba feeds the probe join
+    # AND the final report — materialize both so the corpus Lloyd chain
+    # runs once
+    cents1 = materialize(_update(_assign(corpus, _init_centroids(corpus))))
     ca = _assign(corpus, cents1).select("vec_id", "cid", "emb")
-    ba = _assign(batch, cents1).select("vec_id", "cid", "emb")
+    ba = materialize(_assign(batch, cents1).select("vec_id", "cid", "emb"))
 
     a = ca.withColumn("nrm", _norm(F.col("emb"))).select(
         "cid", F.col("vec_id").alias("aid"), F.col("emb").alias("ea"), F.col("nrm").alias("na")

@@ -242,7 +242,44 @@ def pq_encode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("pq_adc_topk")  # approximate by design → rows-only + recall pytest
+_ORACLE_ADC = f"""
+WITH {_ORACLE_ENCODE},
+q AS (SELECT vec_id AS query_id, emb FROM vecs WHERE vec_id % {QUERY_MOD} = 0),
+qsubs AS (
+  SELECT query_id, m,
+         list_slice(emb, m * {SUB_DIM} + 1, m * {SUB_DIM} + {SUB_DIM}) AS s_emb
+  FROM q, (SELECT unnest(range({M})) AS m)
+),
+lflat AS (
+  SELECT qs.query_id, qs.m, c.code, unnest(qs.s_emb) AS sx, unnest(c.c_emb) AS cx
+  FROM qsubs qs JOIN cb c USING (m)
+),
+lut AS (
+  SELECT query_id, m, code, ROUND(SUM((sx - cx) * (sx - cx)), 6) AS d2
+  FROM lflat GROUP BY query_id, m, code
+),
+scored AS (
+  SELECT l.query_id, b.vec_id,
+         CAST(SUM(CAST(l.d2 AS DECIMAL(18,6))) AS DOUBLE) AS adc_d2
+  FROM best b JOIN lut l ON l.m = b.m AND l.code = b.code
+  WHERE b.vec_id <> l.query_id
+  GROUP BY l.query_id, b.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, adc_d2,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY adc_d2, vec_id) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, adc_d2, rank FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+# Promoted from rows-only in round 4: codes, LUT entries, and the
+# DECIMAL-summed ADC distances are all engine-stable, so the oracle
+# reproduces the exact top-k.  "Approximate" is recall vs the exact
+# scan (still asserted in tests/test_pq.py), not nondeterminism.
+@register("pq_adc_topk", oracle=_ORACLE_ADC)
 def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate nearest neighbors by asymmetric distance computation:
     each query builds a {M}×{K} lookup table of exact subspace distances

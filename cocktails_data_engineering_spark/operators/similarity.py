@@ -129,7 +129,8 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_cosine_lsh")  # approximate by design → rows-only check
+# NOTE: registered at the bottom of this module (register_ann_oracle) so
+# the oracle can reuse _ORACLE_BANDS_CTES, which is defined below.
 def ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate cosine top-k via random-hyperplane sign-LSH.
 
@@ -347,11 +348,9 @@ _ORACLE_PLANE_R = " + ".join(
 )
 
 
-@register(
-    "embedding_near_dup_pairs",
-    oracle=f"""
-WITH vecs AS ({_ORACLE_VECS}),
-planes AS (
+# The full deterministic sign-LSH chain (hyperplanes → projections →
+# sign bits → band values), shared by the near-dup and ANN-top-k oracles.
+_ORACLE_BANDS_CTES = f"""planes AS (
   SELECT CAST(hs.range AS INT) AS h, CAST(isq.range AS INT) AS i,
          ({_ORACLE_PLANE_R}) / 32768.0 - 1.0 AS r
   FROM range({N_PLANES}) hs, range({EMB_DIM}) isq
@@ -369,7 +368,14 @@ bands AS (
   SELECT s.vec_id, CAST(b.range AS INT) AS band,
          (s.sig >> CAST(b.range * {BAND_BITS} AS INT)) & {2**BAND_BITS - 1} AS band_val
   FROM sigs s, range({_N_BANDS}) b
-),
+)"""
+
+
+@register(
+    "embedding_near_dup_pairs",
+    oracle=f"""
+WITH vecs AS ({_ORACLE_VECS}),
+{_ORACLE_BANDS_CTES},
 cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
   FROM bands a
@@ -400,3 +406,43 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     check, not rows-only; recall vs the all-pairs ground truth is
     asserted separately in tests/test_similarity.py."""
     return near_dup_pairs_lsh(_vectors(spark, sf_dir), NEAR_DUP_COS)
+
+
+# ann_cosine_lsh promoted from rows-only in round 4: every step of the
+# LSH prefilter is deterministic (md5-derived literal hyperplanes,
+# rounded projections), so the ORACLE reproduces the exact candidate set
+# and the top-k over it — "approximate" refers to recall vs cosine_topk
+# (still asserted in tests), not to any nondeterminism.
+register(
+    "ann_cosine_lsh",
+    oracle=f"""
+WITH vecs AS ({_ORACLE_VECS}),
+{_ORACLE_BANDS_CTES},
+qb AS (SELECT vec_id AS query_id, band, band_val FROM bands
+       WHERE vec_id % {QUERY_MOD} = 0),
+cand AS (
+  SELECT DISTINCT q.query_id, b.vec_id
+  FROM bands b JOIN qb q ON b.band = q.band AND b.band_val = q.band_val
+  WHERE b.vec_id <> q.query_id
+),
+flat AS (
+  SELECT c.query_id, c.vec_id, vq.norm AS qn, vv.norm AS vn,
+         unnest(vq.emb) AS qx, unnest(vv.emb) AS vx
+  FROM cand c
+  JOIN vecs vq ON vq.vec_id = c.query_id
+  JOIN vecs vv ON vv.vec_id = c.vec_id
+),
+scored AS (
+  SELECT query_id, vec_id,
+         ROUND(SUM(qx * vx) / (ANY_VALUE(qn) * ANY_VALUE(vn)), 6) AS score
+  FROM flat GROUP BY query_id, vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, vec_id) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= {TOP_K}
+""",
+)(ann_cosine_lsh)

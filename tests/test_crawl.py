@@ -146,3 +146,19 @@ def test_url_canonicalize_merges_spellings(spark, sf_dir):
     )
     assert noisy.filter(F.col("a") != F.col("canonical_url")).count() == 0
     assert raw_n == df.count()
+
+
+def test_crawl_budget_allocation_sums_to_budget(spark, sf_dir):
+    """Largest-remainder apportionment: allocations sum exactly to the
+    budget and every domain is within 1 of its exact proportional share."""
+    from cocktails_data_engineering_spark.operators.crawl import (
+        CRAWL_BUDGET,
+        crawl_budget_allocation,
+    )
+
+    rows = crawl_budget_allocation(spark, sf_dir).collect()
+    assert sum(r.alloc for r in rows) == CRAWL_BUDGET
+    total = sum(r.n_pages for r in rows)
+    for r in rows:
+        exact = CRAWL_BUDGET * r.n_pages / total
+        assert exact - 1 < r.alloc < exact + 1, r.source
