@@ -482,6 +482,11 @@ def crawl_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     crawls domains serially, web_spider_oo.py:202-214; at cluster scale
     the budget per domain IS the politeness control).
 
+    One-shot apportionment by design: when the budget exceeds a domain's
+    page count the allocation may exceed it too (the crawler simply
+    exhausts the domain) — surplus is NOT redistributed, which keeps the
+    split single-pass and engine-exact.
+
     Plan: one tiny per-domain count, a 1-row total broadcast back, and a
     |domains|-row window — no data-sized shuffle anywhere."""
     from pyspark.sql import Window

@@ -180,7 +180,38 @@ def stream_static_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(plan, "complete")
 
 
-@register("stream_session_window_agg")  # session merging is Spark-native → rows-only
+# Promoted from rows-only in round 4: the availableNow run processes the
+# full backlog to completion, so the streaming result equals the batch
+# session_window_agg (pytest-asserted) and the SAME lag-gap oracle
+# applies — session_window's overlap-merge rule mirrored with
+# `>= INTERVAL 5 MINUTE` as the new-session flag.
+@register(
+    "stream_session_window_agg",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN prev_ts IS NULL OR ts - prev_ts >= INTERVAL 5 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM ordered
+),
+sessions AS (
+  SELECT user_id, ts,
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       user_id,
+       COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_id
+""",
+)
 def stream_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session windows (5-minute gap) per user over the event
     STREAM — the stateful session-merging operator: open sessions live in

@@ -140,3 +140,45 @@ def test_fuzzy_ed1_blocking_is_complete(spark, sf_dir):
         (a, b) for a, b in itertools.combinations(tokens, 2) if ed1(a, b)
     }
     assert got == want
+
+
+url_parts = st.tuples(
+    st.sampled_from(["http", "HTTP", "https", "HtTpS"]),
+    st.text(alphabet="abcDEF09.-", min_size=1, max_size=12).filter(
+        lambda h: not h.startswith("-")
+    ),
+    st.sampled_from(["", ":80"]),
+    st.lists(
+        st.text(alphabet="abcXYZ059._-", min_size=1, max_size=6), max_size=3
+    ),
+    st.sampled_from(["", "/"]),
+    st.lists(
+        st.text(alphabet="abz19=", min_size=1, max_size=5), max_size=3
+    ),
+    st.sampled_from(["", "#frag", "#a#b"]),
+)
+
+
+@_slow
+@given(st.lists(url_parts, min_size=1, max_size=8))
+def test_canonicalize_url_idempotent_property(spark, parts):
+    """canon(canon(u)) == canon(u) for ANY structurally valid URL —
+    generated hosts/ports/paths/query-sets/fragments, not just the
+    fixture's shapes."""
+    from cocktails_data_engineering_spark.operators.link_pipeline import (
+        canonicalize_url,
+    )
+
+    urls = []
+    for scheme, host, port, segs, slash, params, frag in parts:
+        path = "/" + "/".join(segs) if segs else "/x"
+        query = "?" + "&".join(p for p in params) if params else ""
+        urls.append(f"{scheme}://{host}{port}{path}{slash}{query}{frag}")
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    out = df.select(
+        canonicalize_url(F.col("url")).alias("c1")
+    ).select("c1", canonicalize_url(F.col("c1")).alias("c2"))
+    bad = out.filter(
+        F.col("c1").isNull() | F.col("c2").isNull() | (F.col("c1") != F.col("c2"))
+    ).collect()
+    assert not bad, bad
