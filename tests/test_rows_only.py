@@ -30,3 +30,21 @@ def test_jdbc_roundtrip_reports_ok(spark, sf_dir):
     assert row.roundtrip_ok
     assert row.n_written == row.n_read > 0
     assert row.sink in ("jdbc", "parquet_fallback")
+
+
+def test_rows_only_set_is_pinned(spark):
+    """Tripwire: every query that CAN be oracled IS.  The rows-only set
+    must be exactly the approximate sketches (engine-specific algorithms
+    DuckDB cannot reproduce) plus the side-effectful JDBC smoke — any
+    accidental oracle removal or un-oracled new query fails here."""
+    from cocktails_data_engineering_spark.plans.queries import all_oracles, all_queries
+
+    rows_only = set(all_queries()) - set(all_oracles())
+    assert rows_only == {
+        "approx_distinct_users",
+        "approx_percentile_prices",
+        "approx_topk_words",
+        "hll_distinct_by_type",
+        "hll_rolling_7d_users",
+        "jdbc_roundtrip",
+    }
