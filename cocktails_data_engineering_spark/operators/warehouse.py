@@ -53,10 +53,9 @@ N_BUCKETS = 32
 # ---------------------------------------------------------------------------
 # SCD Type-2 dimension build (gaps-and-islands → validity intervals)
 # ---------------------------------------------------------------------------
-@register(
-    "scd2_user_state",
-    oracle="""
-WITH ordered AS (
+# Shared CTE chain: the gaps-and-islands run table (used by the SCD2
+# build and the point-in-time join below).
+_ORACLE_SCD2_RUNS = """ordered AS (
   SELECT user_id, event_type, ts, event_id,
          CASE WHEN lag(event_type) OVER w IS NULL
                 OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
@@ -76,15 +75,24 @@ runs AS (
          MIN(ts) AS valid_from,
          CAST(COUNT(*) AS INT) AS n_events
   FROM islands GROUP BY user_id, island
-)
+),
+iv AS (
+  SELECT user_id, version, state, valid_from, n_events,
+         lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to
+  FROM runs
+)"""
+
+
+@register(
+    "scd2_user_state",
+    oracle=f"""
+WITH {_ORACLE_SCD2_RUNS}
 SELECT user_id, version, state,
        strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
-       strftime(lead(valid_from) OVER (PARTITION BY user_id ORDER BY version),
-                '%Y-%m-%d %H:%M:%S') AS valid_to,
-       CAST(CASE WHEN lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
-                 IS NULL THEN 1 ELSE 0 END AS INT) AS is_current,
+       strftime(valid_to, '%Y-%m-%d %H:%M:%S') AS valid_to,
+       CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS INT) AS is_current,
        n_events
-FROM runs
+FROM iv
 """,
 )
 def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -100,6 +108,26 @@ def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     key, so the whole build is ONE shuffle of the events by entity.
     """
     ev = load(spark, sf_dir, "events")
+    iv = scd2_intervals(ev)
+    # Timestamps are emitted as strings (the repo-wide convention: the
+    # driver's collect path renders TimestampType in the PROCESS timezone,
+    # so raw timestamps would hash differently under a non-UTC driver).
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return iv.select(
+        "user_id",
+        "version",
+        "state",
+        F.date_format("valid_from", fmt).alias("valid_from"),
+        F.date_format("valid_to", fmt).alias("valid_to"),
+        F.when(F.col("valid_to").isNull(), 1).otherwise(0).cast("int").alias("is_current"),
+        "n_events",
+    )
+
+
+def scd2_intervals(ev: DataFrame) -> DataFrame:
+    """Raw SCD2 validity intervals (user_id, version, state, valid_from,
+    valid_to, n_events) — the gaps-and-islands build shared by
+    scd2_user_state and the point-in-time join."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("event_type").over(w)
     chg = F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0)
@@ -117,19 +145,60 @@ def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("int").alias("n_events"),
     )
     wv = Window.partitionBy("user_id").orderBy("island")
-    nxt = F.lead("valid_from").over(wv)
-    # Timestamps are emitted as strings (the repo-wide convention: the
-    # driver's collect path renders TimestampType in the PROCESS timezone,
-    # so raw timestamps would hash differently under a non-UTC driver).
-    fmt = "yyyy-MM-dd HH:mm:ss"
     return runs.select(
         "user_id",
         F.col("island").cast("int").alias("version"),
         "state",
-        F.date_format("valid_from", fmt).alias("valid_from"),
-        F.date_format(nxt, fmt).alias("valid_to"),
-        F.when(nxt.isNull(), 1).otherwise(0).cast("int").alias("is_current"),
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
         "n_events",
+    )
+
+
+@register(
+    "scd2_point_in_time_join",
+    oracle=f"""
+WITH {_ORACLE_SCD2_RUNS},
+probes AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       i.version, i.state
+FROM probes p
+JOIN iv i
+  ON i.user_id = p.user_id
+ AND i.valid_from <= p.ts
+ AND (i.valid_to IS NULL OR p.ts < i.valid_to)
+""",
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-of) lookup against the SCD2 dimension: each
+    purchase event joined to the dimension version that was valid at its
+    timestamp — the query every warehouse with SCD2 dimensions runs to
+    reconstruct historical truth.
+
+    Plan: equi-join on the entity key (user_id) with the interval bounds
+    as a residual — both sides co-partition on user_id (one shuffle
+    each), and a user's interval list is small, so the residual scan is
+    bounded per key; never an unbounded range join."""
+    ev = load(spark, sf_dir, "events")
+    iv = scd2_intervals(ev)
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", F.col("user_id").alias("p_user"), "ts"
+    )
+    joined = probes.join(
+        iv,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("valid_from") <= F.col("ts"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "version",
+        "state",
     )
 
 

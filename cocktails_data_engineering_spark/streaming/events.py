@@ -518,3 +518,43 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("user_id", "event_type")
     )
     return _run_to_memory(deduped, "append")
+
+
+def _curation_oracle() -> str:
+    from ..operators.curation import _MIX_SPACE, _ORACLE_HASH24, _ORACLE_RATES_CTES
+
+    return f"""
+WITH {_ORACLE_RATES_CTES}
+SELECT d.lang, COUNT(*) AS n_kept
+FROM documents d JOIN rates r USING (lang)
+WHERE {_ORACLE_HASH24} < CAST(FLOOR(r.rate * {_MIX_SPACE}.0) AS BIGINT)
+GROUP BY d.lang
+"""
+
+
+@register("stream_mixture_sample", oracle=_curation_oracle())
+def stream_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curate-on-ingest: the domain-mixture keep filter applied to a
+    document STREAM.  Sampling rates come from a static batch aggregate
+    (yesterday's corpus stats — the stream-static pattern), broadcast
+    onto the stream; the md5-threshold keep decision is stateless and
+    map-side, so the only streaming state is the per-language count.
+    Deterministic hashing means the streamed sample equals the batch
+    sample row-for-row — the oracle is the batch mixture count."""
+    from ..operators.curation import mixture_keep_filter, mixture_rates
+
+    docs_batch = load(spark, sf_dir, "documents")
+    rates = mixture_rates(spark, docs_batch)
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    plan = (
+        mixture_keep_filter(stream, rates)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return _run_to_memory(plan, "complete")

@@ -76,3 +76,22 @@ def test_foreachbatch_upsert_runs_multibatch_and_matches_batch(spark, sf_dir):
         .collect()
     }
     assert result == batch
+
+
+def test_stream_mixture_sample_equals_batch(spark, sf_dir):
+    """The streamed mixture sample must equal the batch sample's per-lang
+    kept counts exactly (deterministic hash ⇒ no stream/batch skew)."""
+    from cocktails_data_engineering_spark.operators.curation import (
+        domain_mixture_sample,
+    )
+    from cocktails_data_engineering_spark.streaming.events import (
+        stream_mixture_sample,
+    )
+
+    streamed = {r.lang: r.n_kept for r in stream_mixture_sample(spark, sf_dir).collect()}
+    batch = {
+        r.lang: r.n_kept
+        for r in domain_mixture_sample(spark, sf_dir).collect()
+        if r.n_kept > 0
+    }
+    assert streamed == batch

@@ -98,3 +98,24 @@ def test_skew_stats_shares_and_mean(spark, sf_dir):
     assert abs(mean_skew - 1.0) < 1e-3
     for r in rows:
         assert r["skew_factor"] > 0
+
+
+def test_scd2_point_in_time_join_is_total_and_unique(spark, sf_dir):
+    """Every purchase matches EXACTLY ONE dimension version (the PIT
+    invariant: validity intervals partition each user's timeline), and
+    the joined state is the purchase's own event_type run."""
+    from pyspark.sql import functions as F
+
+    from cocktails_data_engineering_spark.operators.warehouse import (
+        scd2_point_in_time_join,
+    )
+    from cocktails_data_engineering_spark.sources.tables import load
+
+    out = scd2_point_in_time_join(spark, sf_dir)
+    n_purchases = (
+        load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase").count()
+    )
+    assert out.count() == n_purchases  # total
+    assert out.select("event_id").distinct().count() == n_purchases  # unique
+    # a purchase event's valid interval is a 'purchase' run by construction
+    assert out.filter(F.col("state") != "purchase").count() == 0
