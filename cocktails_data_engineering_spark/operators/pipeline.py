@@ -242,3 +242,90 @@ def multimodal_shard_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC log replay (reconstruct a table from base snapshot + ordered batches)
+# ---------------------------------------------------------------------------
+
+def apply_cdc(state: DataFrame, upserts: DataFrame, delete_keys: DataFrame) -> DataFrame:
+    """One CDC batch: MERGE the upserts (change wins), then anti-join the
+    tombstones — the log-structured replay step."""
+    s = state.alias("s")
+    c = upserts.alias("c")
+    merged = s.join(c, F.col("s.o_orderkey") == F.col("c.o_orderkey"), "full_outer").select(
+        F.coalesce(F.col("c.o_orderkey"), F.col("s.o_orderkey")).alias("o_orderkey"),
+        F.coalesce(F.col("c.o_totalprice"), F.col("s.o_totalprice")).alias("o_totalprice"),
+        F.coalesce(F.col("c.o_orderstatus"), F.col("s.o_orderstatus")).alias(
+            "o_orderstatus"
+        ),
+    )
+    return merged.join(delete_keys, "o_orderkey", "left_anti")
+
+
+@register(
+    "cdc_replay_reconstruct",
+    oracle="""
+WITH base AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+u1 AS (SELECT o_orderkey, o_totalprice * 1.1 AS o_totalprice, o_orderstatus
+       FROM base WHERE o_orderkey % 10 = 0
+       UNION ALL
+       SELECT o_orderkey + 10000000, 100.0, 'N' FROM base WHERE o_orderkey % 1000 = 1),
+d1 AS (SELECT o_orderkey FROM base WHERE o_orderkey % 1000 = 7),
+s1 AS (
+  SELECT COALESCE(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+         COALESCE(c.o_totalprice, b.o_totalprice) AS o_totalprice,
+         COALESCE(c.o_orderstatus, b.o_orderstatus) AS o_orderstatus
+  FROM base b FULL OUTER JOIN u1 c USING (o_orderkey)
+),
+s1d AS (SELECT * FROM s1 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM d1)),
+u2 AS (SELECT o_orderkey, o_totalprice + 5.0 AS o_totalprice, o_orderstatus
+       FROM base WHERE o_orderkey % 15 = 0),
+d2 AS (SELECT o_orderkey FROM base WHERE o_orderkey % 1000 = 13),
+s2 AS (
+  SELECT COALESCE(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+         COALESCE(c.o_totalprice, b.o_totalprice) AS o_totalprice,
+         COALESCE(c.o_orderstatus, b.o_orderstatus) AS o_orderstatus
+  FROM s1d b FULL OUTER JOIN u2 c USING (o_orderkey)
+)
+SELECT * FROM s2 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM d2)
+""",
+)
+def cdc_replay_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconstruct current state from a base snapshot plus TWO ordered CDC
+    batches (upserts + tombstones each) — the log-structured time-travel
+    read every merge-on-read table format performs.  Batch 2's changes
+    apply on top of batch 1's result, so replay order matters and is
+    oracle-verified end to end.
+
+    Note batch-2 upserts are derived from the BASE key set: a key deleted
+    by batch 1 can legitimately REAPPEAR if batch 2 upserts it (CDC
+    re-insert semantics) — both engines replay the identical rule.
+
+    Scale: each batch is one keyed full-outer shuffle + one anti join —
+    cost proportional to |state| + |batch| per replayed batch; compaction
+    (materializing s_k) is exactly the `materialize` seam between folds."""
+    base = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    u1 = base.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+        "o_orderstatus",
+    ).unionByName(
+        base.filter(F.col("o_orderkey") % 1000 == 1).select(
+            (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+            F.lit(100.0).alias("o_totalprice"),
+            F.lit("N").alias("o_orderstatus"),
+        )
+    )
+    d1 = base.filter(F.col("o_orderkey") % 1000 == 7).select("o_orderkey")
+    u2 = base.filter(F.col("o_orderkey") % 15 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + 5.0).alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    d2 = base.filter(F.col("o_orderkey") % 1000 == 13).select("o_orderkey")
+
+    s1 = apply_cdc(base, u1, d1)
+    return apply_cdc(s1, u2, d2)

@@ -381,3 +381,43 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         - 1
     )
     return docs.filter(nibble < 4).select("doc_id", "lang", "source", "n_chars")
+
+
+SAMPLE_K = 10  # rows kept per (lang) group
+
+
+@register(
+    "exact_k_per_group_sample",
+    oracle=f"""
+WITH hashed AS (
+  SELECT doc_id, lang, source, n_chars,
+         md5('samp|' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, lang, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
+  FROM hashed
+)
+SELECT doc_id, lang, source, n_chars FROM ranked WHERE rk <= {SAMPLE_K}
+""",
+)
+def exact_k_per_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-{k} rows per language, chosen by hash order — the
+    deterministic eval-set builder (rate-based sampling like
+    stratified_sample_docs cannot guarantee a per-group count; ranking a
+    salted hash can).  Reproducible on any partitioning, and uniform
+    within each group because md5 order is content-blind.
+
+    Plan: ONE shuffle on the group key + in-partition rank — the
+    windowed-topk shape; per-group state is the k-row head, so skewed
+    groups cost their sort, not memory."""
+    docs = load(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("samp|"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    return (
+        docs.select("doc_id", "lang", "source", "n_chars", h.alias("h"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= SAMPLE_K)
+        .select("doc_id", "lang", "source", "n_chars")
+    )

@@ -119,3 +119,33 @@ def test_scd2_point_in_time_join_is_total_and_unique(spark, sf_dir):
     assert out.select("event_id").distinct().count() == n_purchases  # unique
     # a purchase event's valid interval is a 'purchase' run by construction
     assert out.filter(F.col("state") != "purchase").count() == 0
+
+
+def test_cdc_replay_semantics(spark, sf_dir):
+    """Replay-order semantics: a key deleted by batch 1 is gone unless
+    batch 2 re-upserts it; batch-2 prices include batch-1's reprice only
+    where batch 2 did not overwrite."""
+    from pyspark.sql import functions as F
+
+    from cocktails_data_engineering_spark.operators.pipeline import (
+        cdc_replay_reconstruct,
+    )
+    from cocktails_data_engineering_spark.sources.tables import load
+
+    out = cdc_replay_reconstruct(spark, sf_dir)
+    base = load(spark, sf_dir, "orders")
+    # deleted in b1 (k%1000==7), NOT re-upserted by b2 (k%15!=0) → absent
+    gone = out.filter(
+        (F.col("o_orderkey") % 1000 == 7) & (F.col("o_orderkey") % 15 != 0)
+    )
+    assert gone.count() == 0
+    # deleted in b1 but re-upserted by b2 → present again
+    n_reinserted_expected = base.filter(
+        (F.col("o_orderkey") % 1000 == 7) & (F.col("o_orderkey") % 15 == 0)
+    ).count()
+    reinserted = out.filter(
+        (F.col("o_orderkey") % 1000 == 7) & (F.col("o_orderkey") % 15 == 0)
+    ).count()
+    assert reinserted == n_reinserted_expected
+    # deleted in b2 → always absent (no later batch)
+    assert out.filter(F.col("o_orderkey") % 1000 == 13).count() == 0
