@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from ..functions.numerics import dsum, oracle_dsum
 from ..registry import register
-from ..sources.tables import load
+from ..sources.tables import load, load_spread
 
 _HEX = "0123456789abcdef"
 _ORACLE_NIBBLE = f"(strpos('{_HEX}', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)"
@@ -420,4 +420,64 @@ def exact_k_per_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= SAMPLE_K)
         .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+@register(
+    "mad_outlier_orders",
+    oracle="""
+WITH med AS (
+  SELECT o_orderpriority AS p,
+         ROUND(CAST(median(o_totalprice) AS DOUBLE), 6) AS med
+  FROM orders GROUP BY o_orderpriority
+),
+dev AS (
+  SELECT o.o_orderpriority AS p, m.med,
+         ABS(o.o_totalprice - m.med) AS d
+  FROM orders o JOIN med m ON m.p = o.o_orderpriority
+),
+mad AS (SELECT p, ROUND(CAST(median(d) AS DOUBLE), 6) AS mad FROM dev GROUP BY p)
+SELECT dev.p AS o_orderpriority,
+       ANY_VALUE(dev.med) AS med_price,
+       ANY_VALUE(mad.mad) AS mad_price,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CASE WHEN dev.d > 3 * 1.4826 * mad.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM dev JOIN mad ON mad.p = dev.p
+GROUP BY dev.p
+""",
+)
+def mad_outlier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection by median absolute deviation: per order
+    priority, median price, MAD, and the count of orders beyond
+    3·1.4826·MAD — the robust complement of timeseries.anomaly_zscore
+    (a z-score baseline is itself dragged by the outliers it hunts; the
+    median/MAD pair is not).  Medians are exact (parity proven by
+    percentile_quantiles) and rounded to 6 before the deviation pass so
+    both engines threshold identical values.
+
+    Plan: two grouped exact medians (each buffers one group's values) +
+    two broadcast joins of the |groups|-row stats — the scan is spread
+    (load_spread) so median buffering parallelizes."""
+    o = load_spread(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    med = o.groupBy("o_orderpriority").agg(
+        F.round(F.median("o_totalprice"), 6).alias("med")
+    )
+    dev = o.join(F.broadcast(med), "o_orderpriority").select(
+        "o_orderpriority",
+        "med",
+        F.abs(F.col("o_totalprice") - F.col("med")).alias("d"),
+    )
+    mad = dev.groupBy("o_orderpriority").agg(F.round(F.median("d"), 6).alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.first("med").alias("med_price"),
+            F.first("mad").alias("mad_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.when(F.col("d") > 3 * 1.4826 * F.col("mad"), 1).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+        )
     )
