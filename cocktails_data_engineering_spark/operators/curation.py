@@ -657,3 +657,177 @@ def incremental_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_dup"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diverse top-k (diverse eval/demo-set selection)
+
+MMR_POOL = 10  # relevance top-N candidate pool per query
+MMR_K = 3  # diverse picks per query
+MMR_LAMBDA = 0.5
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR in SQL: candidate pool = exact cosine
+    top-{MMR_POOL} per query; pairwise candidate cosines precomputed
+    ONCE; then {MMR_K} argmax steps, each penalizing by the max cosine
+    to the already-selected set."""
+    pool = f"""
+WITH vecs AS ({_SIM_ORACLE_VECS.strip()}),
+q AS (SELECT vec_id AS query_id, emb AS q_emb, norm AS q_norm
+      FROM vecs WHERE vec_id % {QUERY_MOD} = 0),
+qflat AS (
+  SELECT q.query_id, v.vec_id, q.q_norm, v.norm,
+         unnest(q.q_emb) AS qx, unnest(v.emb) AS vx
+  FROM q JOIN vecs v ON v.vec_id <> q.query_id
+),
+qscored AS (
+  SELECT query_id, vec_id,
+         ROUND(SUM(qx * vx) / (ANY_VALUE(q_norm) * ANY_VALUE(norm)), 6) AS rel
+  FROM qflat GROUP BY query_id, vec_id
+),
+cands AS (
+  SELECT query_id, vec_id, rel
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY rel DESC, vec_id) AS rk
+        FROM qscored) t
+  WHERE rk <= {MMR_POOL}
+),
+pcflat AS (
+  SELECT a.query_id, a.vec_id AS va, b.vec_id AS vb, x.norm AS nx, y.norm AS ny,
+         unnest(x.emb) AS xa, unnest(y.emb) AS xb
+  FROM cands a
+  JOIN cands b ON b.query_id = a.query_id AND b.vec_id <> a.vec_id
+  JOIN vecs x ON x.vec_id = a.vec_id
+  JOIN vecs y ON y.vec_id = b.vec_id
+),
+pc AS (
+  SELECT query_id, va, vb,
+         ROUND(SUM(xa * xb) / (ANY_VALUE(nx) * ANY_VALUE(ny)), 6) AS c
+  FROM pcflat GROUP BY query_id, va, vb
+),
+s1 AS (
+  SELECT query_id, vec_id, rel, 1 AS rank
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY rel DESC, vec_id) AS rk
+        FROM cands) t
+  WHERE rk = 1
+)"""
+    steps = []
+    prev_sel = "s1"
+    for k in range(2, MMR_K + 1):
+        sel_union = " UNION ALL ".join(
+            f"SELECT query_id, vec_id FROM s{i}" for i in range(1, k)
+        )
+        steps.append(f""",
+sel{k - 1} AS ({sel_union}),
+p{k} AS (
+  SELECT r.query_id, r.vec_id, r.rel, MAX(pc.c) AS pen
+  FROM cands r
+  JOIN pc ON pc.query_id = r.query_id AND pc.va = r.vec_id
+  JOIN sel{k - 1} s ON s.query_id = pc.query_id AND s.vec_id = pc.vb
+  WHERE NOT EXISTS (SELECT 1 FROM sel{k - 1} z
+                    WHERE z.query_id = r.query_id AND z.vec_id = r.vec_id)
+  GROUP BY r.query_id, r.vec_id, r.rel
+),
+s{k} AS (
+  SELECT query_id, vec_id, rel, {k} AS rank
+  FROM (SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id
+          ORDER BY ROUND({MMR_LAMBDA} * rel - {1 - MMR_LAMBDA} * pen, 6) DESC,
+                   vec_id) AS rk
+        FROM p{k}) t
+  WHERE rk = 1
+)""")
+        prev_sel = f"s{k}"
+    final = " UNION ALL ".join(
+        f"SELECT query_id, vec_id, rel AS relevance, rank FROM s{i}"
+        for i in range(1, MMR_K + 1)
+    )
+    return pool + "".join(steps) + f"\n{final}"
+
+
+@register("mmr_diverse_topk", oracle=_mmr_oracle())
+def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance diverse top-{MMR_K} per query: greedy
+    selection maximizing λ·relevance − (1−λ)·max-similarity-to-selected
+    over the exact cosine top-{MMR_POOL} pool — the diverse eval/demo-set
+    builder (pure relevance top-k returns near-duplicates; MMR trades
+    relevance for coverage).
+
+    Plan: the pool is the cosine-topk shape (queries broadcast, windowed
+    rank); pairwise candidate cosines are computed ONCE (≤pool² rows per
+    query, an equi-join on query_id) and materialized; each greedy step
+    is then a per-query windowed argmax over ≤pool rows — {MMR_K}
+    driver-loop steps of metadata-sized relational work, distributed
+    ACROSS queries."""
+    vecs = _sim_vectors(spark, sf_dir)
+    q = vecs.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    rel = F.round(
+        _dot(F.col("q_emb"), F.col("emb")) / (F.col("q_norm") * F.col("norm")), 6
+    )
+    scored = vecs.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id", "vec_id", rel.alias("rel"), "emb", "norm"
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("rel").desc(), "vec_id")
+    cands = materialize(
+        scored.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= MMR_POOL)
+        .drop("rk")
+    )
+
+    a = cands.select("query_id", F.col("vec_id").alias("va"),
+                     F.col("emb").alias("ea"), F.col("norm").alias("na"))
+    b = cands.select("query_id", F.col("vec_id").alias("vb"),
+                     F.col("emb").alias("eb"), F.col("norm").alias("nb"))
+    pc = materialize(
+        a.join(b, "query_id")
+        .filter(F.col("va") != F.col("vb"))
+        .select(
+            "query_id", "va", "vb",
+            F.round(
+                _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("c"),
+        )
+    )
+
+    pool = cands.select("query_id", "vec_id", "rel")
+    selected = (
+        pool.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") == 1)
+        .select("query_id", "vec_id", "rel", F.lit(1).alias("rank"))
+        .transform(materialize)
+    )
+    for k in range(2, MMR_K + 1):
+        sel_keys = selected.select("query_id", "vec_id")
+        remaining = pool.join(sel_keys, ["query_id", "vec_id"], "left_anti")
+        pen = (
+            remaining.join(
+                pc,
+                (pc.query_id == remaining.query_id) & (pc.va == remaining.vec_id),
+            )
+            .drop(pc.query_id)
+            .join(
+                sel_keys.select(
+                    F.col("query_id").alias("sq"), F.col("vec_id").alias("sv")
+                ),
+                (F.col("query_id") == F.col("sq")) & (F.col("vb") == F.col("sv")),
+            )
+            .groupBy("query_id", "vec_id", "rel")
+            .agg(F.max("c").alias("pen"))
+        )
+        mmr = F.round(
+            MMR_LAMBDA * F.col("rel") - (1 - MMR_LAMBDA) * F.col("pen"), 6
+        )
+        wm = Window.partitionBy("query_id").orderBy(mmr.desc(), "vec_id")
+        pick = (
+            pen.withColumn("rk", F.row_number().over(wm))
+            .filter(F.col("rk") == 1)
+            .select("query_id", "vec_id", "rel", F.lit(k).alias("rank"))
+        )
+        selected = selected.unionByName(pick).transform(materialize)
+    return selected.select("query_id", "vec_id", F.col("rel").alias("relevance"), "rank")

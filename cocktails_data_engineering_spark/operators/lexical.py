@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.numerics import dsum
 from ..registry import register
 from ..sources.tables import load, load_spread
 
@@ -116,4 +117,100 @@ def lexical_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nb, "doc_b")
         .select("doc_a", "doc_b", "dot", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= TAU)
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword retrieval
+
+BM25_QUERY = ("hash", "scan", "merge")  # fixture-vocab query terms
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP = 20
+
+_Q_IN = ", ".join(f"'{t}'" for t in BM25_QUERY)
+
+
+@register(
+    "bm25_keyword_search",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+toks_ne AS (SELECT * FROM toks WHERE w <> ''),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks_ne GROUP BY doc_id),
+stats AS (
+  SELECT COUNT(*) AS n,
+         ROUND(CAST(SUM(CAST(dl AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avgdl
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, w, COUNT(*) AS tf
+  FROM toks_ne WHERE w IN ({_Q_IN}) GROUP BY doc_id, w
+),
+dfreq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+contrib AS (
+  SELECT t.doc_id,
+         ROUND(ROUND(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0), 9)
+               * (t.tf * {BM25_K1 + 1.0})
+               / (t.tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * l.dl / s.avgdl)),
+               6) AS c
+  FROM tf t JOIN dfreq d USING (w) JOIN dl l USING (doc_id) CROSS JOIN stats s
+),
+scored AS (
+  SELECT doc_id, ROUND(CAST(SUM(CAST(c AS DECIMAL(18,6))) AS DOUBLE), 6) AS bm25
+  FROM contrib GROUP BY doc_id
+)
+SELECT doc_id, bm25 FROM scored ORDER BY bm25 DESC, doc_id LIMIT {BM25_TOP}
+""",
+)
+def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval over the corpus — the ranking function a
+    corpus search / RAG-retrieval layer runs.  Query = the literal terms
+    {BM25_QUERY}; idf uses the Robertson ``ln((N-df+0.5)/(df+0.5)+1)``
+    form; libm logs rounded to 9 and per-term contributions to 6 before
+    the DECIMAL sum, so scores are engine-exact (char_entropy's proven
+    rounding discipline).
+
+    Plan: one explode feeds both the doc-length and term-frequency
+    branches; (N, avgdl) is a broadcast 1-row aggregate and df a
+    broadcast |terms|-row one; the final ranking is
+    TakeOrderedAndProject (top-{BM25_TOP}, no global sort).  At scale
+    the tf table IS the inverted-index posting list, partitioned by
+    term."""
+    docs = load_spread(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(dsum(F.col("dl")) / F.count(F.lit(1)), 6).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("w").isin(*BM25_QUERY))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.round(
+        F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0), 9
+    )
+    denom = F.col("tf") + BM25_K1 * (
+        (1.0 - BM25_B) + BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    contrib = (
+        tf.join(F.broadcast(dfreq), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(idf * (F.col("tf") * (BM25_K1 + 1.0)) / denom, 6).alias("c"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.round(dsum(F.col("c")), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(BM25_TOP)
     )

@@ -339,3 +339,51 @@ def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("char_entropy_nats"),
     )
+
+
+BPE_TOP_MERGES = 20
+
+
+@register(
+    "bpe_top_merges",
+    oracle=f"""
+WITH words AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+words_ne AS (SELECT w FROM words WHERE length(w) >= 2),
+pairs AS (
+  SELECT substr(w, i, 2) AS pair
+  FROM words_ne CROSS JOIN unnest(range(1, 64)) t(i)
+  WHERE i <= length(w) - 1
+)
+SELECT pair, COUNT(*) AS n
+FROM pairs GROUP BY pair
+ORDER BY n DESC, pair LIMIT {BPE_TOP_MERGES}
+""",
+)
+def bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE vocabulary-induction step: corpus-wide adjacent
+    character-pair frequencies (every word OCCURRENCE counts, as real BPE
+    training does), top-{BPE_TOP_MERGES} merge candidates.  Iterating
+    this (merge the winner, re-count) is the whole BPE trainer; one step
+    is the oracle-checkable unit because later rounds depend on merged
+    symbols.
+
+    Plan: explode words → explode pair positions (map-side), one pair
+    count aggregate with map-side combine, TakeOrderedAndProject — the
+    word-count shape on a pair alphabet.  At scale the re-count per
+    merge round touches only words containing the merged pair (a
+    contains() pushdown)."""
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    pairs = words.select(
+        F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"), "w"
+    ).select(F.substring(F.col("w"), F.col("i"), F.lit(2)).alias("pair"))
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(BPE_TOP_MERGES)
+    )

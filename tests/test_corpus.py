@@ -121,3 +121,22 @@ def test_pii_scrub_finds_planted_pii_and_shrinks_text(spark, sf_dir):
     for r in rows:
         # redaction placeholders are shorter than the planted spans
         assert r["chars_out"] < r["chars_in"]
+
+
+def test_bm25_results_contain_query_terms(spark, sf_dir):
+    from cocktails_data_engineering_spark.operators.lexical import (
+        BM25_QUERY,
+        BM25_TOP,
+        bm25_keyword_search,
+    )
+
+    rows = bm25_keyword_search(spark, sf_dir).collect()
+    assert 0 < len(rows) <= BM25_TOP
+    scores = [r.bm25 for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    texts = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    for r in rows:
+        assert any(t in texts[r.doc_id].split(" ") for t in BM25_QUERY), r.doc_id

@@ -132,3 +132,28 @@ def test_incremental_semantic_dedup_invariants(spark, sf_dir):
     assert len({r.cluster_id for r in rows}) <= 4
     for r in rows:
         assert (r.n_matches > 0) == (r.is_dup == 1)
+
+
+def test_mmr_diverse_topk_semantics(spark, sf_dir):
+    """Per query: exactly MMR_K picks with ranks 1..K, rank 1 is the pure
+    relevance argmax, and no pick repeats."""
+    from cocktails_data_engineering_spark.operators.curation import (
+        MMR_K,
+        mmr_diverse_topk,
+    )
+    from cocktails_data_engineering_spark.operators.similarity import cosine_topk
+
+    per_q: dict[int, list] = {}
+    for r in mmr_diverse_topk(spark, sf_dir).collect():
+        per_q.setdefault(r.query_id, []).append(r)
+    assert per_q
+    top1 = {
+        r.query_id: r.vec_id
+        for r in cosine_topk(spark, sf_dir).collect()
+        if r.rank == 1
+    }
+    for qid, rs in per_q.items():
+        assert sorted(r.rank for r in rs) == list(range(1, MMR_K + 1)), qid
+        assert len({r.vec_id for r in rs}) == MMR_K, qid
+        rank1 = next(r for r in rs if r.rank == 1)
+        assert rank1.vec_id == top1[qid], qid

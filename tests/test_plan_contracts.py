@@ -231,3 +231,8 @@ def test_fuzzy_join_blocks_on_variant_key(spark, sf_dir):
     plan = _plan(spark, sf_dir, "fuzzy_join_ed1")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bm25_topk_never_global_sorts(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "bm25_keyword_search")
+    assert "TakeOrderedAndProject" in plan
