@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.numerics import DEC
+from ..functions.numerics import DEC, dsum, oracle_dsum
 from ..registry import register
 from ..sources.tables import load
 
@@ -390,4 +390,113 @@ def anomaly_zscore_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .cast("int")
         .alias("is_anomaly"),
+    )
+
+
+@register(
+    "funnel_three_step",
+    oracle="""
+WITH s1 AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS t1
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+  FROM events e JOIN s1 ON s1.user_id = e.user_id AND epoch_us(e.ts) >= s1.t1
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
+  FROM events e JOIN s2 ON s2.user_id = e.user_id AND epoch_us(e.ts) >= s2.t2
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+),
+counts AS (
+  SELECT '1_signup' AS stage, COUNT(*) AS n_users FROM s1
+  UNION ALL SELECT '2_click', COUNT(*) FROM s2
+  UNION ALL SELECT '3_purchase', COUNT(*) FROM s3
+),
+base AS (SELECT n_users AS n1 FROM counts WHERE stage = '1_signup')
+SELECT c.stage, c.n_users,
+       ROUND(CAST(c.n_users AS DOUBLE) / b.n1, 6) AS share_of_entry
+FROM counts c CROSS JOIN base b
+""",
+)
+def funnel_three_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-step funnel (signup → click → purchase, each step
+    at-or-after the previous step's first occurrence): stage sizes and
+    share of the entry cohort.  The multi-step generalization of
+    funnel_user_conversion.
+
+    Every aggregate and join is keyed on user_id — the whole funnel is
+    co-partitioned on the entity key (one logical shuffle of events),
+    and each extra step adds one more same-key join, not a new shuffle
+    pattern.  Epoch-µs integer time math keeps it engine-exact."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("us") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("us") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"))
+    )
+    counts = (
+        s1.agg(F.count(F.lit(1)).alias("n_users")).select(F.lit("1_signup").alias("stage"), "n_users")
+        .unionByName(s2.agg(F.count(F.lit(1)).alias("n_users")).select(F.lit("2_click").alias("stage"), "n_users"))
+        .unionByName(s3.agg(F.count(F.lit(1)).alias("n_users")).select(F.lit("3_purchase").alias("stage"), "n_users"))
+    )
+    base = counts.filter(F.col("stage") == "1_signup").select(F.col("n_users").alias("n1"))
+    return counts.crossJoin(F.broadcast(base)).select(
+        "stage",
+        "n_users",
+        F.round(F.col("n_users").cast("double") / F.col("n1"), 6).alias("share_of_entry"),
+    )
+
+
+@register(
+    "monthly_revenue_growth",
+    oracle=f"""
+WITH monthly AS (
+  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+         {oracle_dsum('o_totalprice')} AS revenue
+  FROM orders GROUP BY date_trunc('month', o_orderdate)
+)
+SELECT month, ROUND(revenue, 6) AS revenue,
+       ROUND((ROUND(revenue, 6) - LAG(ROUND(revenue, 6)) OVER (ORDER BY month))
+             / LAG(ROUND(revenue, 6)) OVER (ORDER BY month), 6) AS mom_growth
+FROM monthly
+""",
+)
+def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth — the trend-report shape: one
+    monthly DECIMAL-exact aggregate, then a LAG window over the (tiny)
+    month domain.
+
+    The window's ORDER BY runs over |months| rows, not over orders — the
+    single-partition step is metadata-sized, which is what makes an
+    otherwise forbidden global window acceptable here (same argument as
+    enumerate_ids' offset table)."""
+    o = load(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month")
+    ).agg(F.round(dsum(F.col("o_totalprice")), 6).alias("revenue"))
+    w = Window.orderBy("month")
+    lag = F.lag("revenue").over(w)
+    return monthly.select(
+        "month",
+        "revenue",
+        F.round((F.col("revenue") - lag) / lag, 6).alias("mom_growth"),
     )

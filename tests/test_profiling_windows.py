@@ -117,3 +117,12 @@ def test_json_parse_null_props_contract_cross_engine(spark, duck):
         """
     ).fetchone()
     assert (got["n_total"], got["n_valid"], got["n_corrupt"]) == want == (4, 2, 2)
+
+
+def test_funnel_three_step_monotone(spark, sf_dir):
+    from cocktails_data_engineering_spark.operators.timeseries import funnel_three_step
+
+    rows = {r.stage: r for r in funnel_three_step(spark, sf_dir).collect()}
+    assert set(rows) == {"1_signup", "2_click", "3_purchase"}
+    assert rows["1_signup"].n_users >= rows["2_click"].n_users >= rows["3_purchase"].n_users
+    assert rows["1_signup"].share_of_entry == 1.0
