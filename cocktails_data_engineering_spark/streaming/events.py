@@ -558,3 +558,69 @@ def stream_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_kept"))
     )
     return _run_to_memory(plan, "complete")
+
+
+def _quality_gate_oracle() -> str:
+    # threshold = per-source MEDIAN qscore (batch-derived, rounded);
+    # stream keeps docs with qscore >= threshold
+    from ..operators.curation import _SQL_QSCORE
+
+    return f"""
+WITH feats AS (
+  SELECT doc_id, source,
+         length(text) AS n_chars_actual,
+         len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tokens,
+         len(list_filter(string_split(text, ' '),
+                         w -> w IN ('the','a','of','and','to','in','is'))) AS n_stopwords
+  FROM documents
+),
+scored AS (SELECT doc_id, source, {_SQL_QSCORE} AS qscore FROM feats),
+thr AS (
+  SELECT source, ROUND(CAST(median(qscore) AS DOUBLE), 6) AS q_thr
+  FROM scored GROUP BY source
+)
+SELECT s.source, COUNT(*) AS n_kept
+FROM scored s JOIN thr t USING (source)
+WHERE s.qscore >= t.q_thr
+GROUP BY s.source
+"""
+
+
+@register("stream_quality_gate", oracle=_quality_gate_oracle())
+def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second curate-on-ingest stage: per-source quality THRESHOLDS come
+    from a static batch profile (median qscore per source — rank cuts
+    need a global view, so the stream applies yesterday's cut), the
+    stream scores each arriving document with the same pure-Catalyst
+    qscore and keeps those at-or-above threshold.  Stateless filter +
+    per-source count — with stream_mixture_sample this makes the whole
+    curation funnel's filtering stages runnable on ingest."""
+    from ..operators.text_analysis import quality_features
+
+    docs_batch = load(spark, sf_dir, "documents")
+    qscore = F.round(
+        F.col("n_stopwords").cast("double") * 100.0 / F.col("n_tokens")
+        + F.col("n_chars_actual").cast("double") / F.col("n_tokens"),
+        6,
+    )
+    thr = (
+        quality_features(docs_batch)
+        .select("source", qscore.alias("qscore"))
+        .groupBy("source")
+        .agg(F.round(F.median("qscore"), 6).alias("q_thr"))
+    )
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    gated = (
+        quality_features(stream)
+        .select("source", qscore.alias("qscore"))
+        .join(F.broadcast(thr), "source")
+        .filter(F.col("qscore") >= F.col("q_thr"))
+    )
+    plan = gated.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+    return _run_to_memory(plan, "complete")

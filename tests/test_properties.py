@@ -182,3 +182,53 @@ def test_canonicalize_url_idempotent_property(spark, parts):
         F.col("c1").isNull() | F.col("c2").isNull() | (F.col("c1") != F.col("c2"))
     ).collect()
     assert not bad, bad
+
+
+kv_rows = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=20), st.floats(
+        min_value=-100, max_value=100, allow_nan=False, allow_infinity=False
+    )),
+    min_size=0,
+    max_size=12,
+    unique_by=lambda t: t[0],
+)
+
+
+def _mk_state(spark, rows):
+    return spark.createDataFrame(
+        [(k, v, "S") for k, v in rows] or [(None, None, None)],
+        "o_orderkey long, o_totalprice double, o_orderstatus string",
+    ).filter(F.col("o_orderkey").isNotNull())
+
+
+@_slow
+@given(kv_rows, kv_rows)
+def test_apply_cdc_laws(spark, base_rows, up_rows):
+    """CDC batch laws on generated tables: empty batch is identity;
+    upserts win over base; a key both upserted and deleted in one batch
+    ends deleted (deletes apply after the merge); same-batch reapply is
+    idempotent."""
+    from cocktails_data_engineering_spark.operators.pipeline import apply_cdc
+
+    base = _mk_state(spark, base_rows)
+    ups = _mk_state(spark, up_rows)
+    empty_keys = spark.createDataFrame([], "o_orderkey long")
+
+    def snap(df):
+        return sorted(map(tuple, df.collect()))
+
+    # identity
+    assert snap(apply_cdc(base, _mk_state(spark, []), empty_keys)) == snap(base)
+    # upsert wins + delete-after-merge
+    del_keys = ups.select("o_orderkey").limit(1)
+    out = apply_cdc(base, ups, del_keys)
+    got = {r.o_orderkey: r.o_totalprice for r in out.collect()}
+    deleted = {r.o_orderkey for r in del_keys.collect()}
+    for k, v in up_rows:
+        if k in deleted:
+            assert k not in got
+        else:
+            assert got[k] == v
+    # idempotence of re-applying the same batch
+    assert snap(apply_cdc(out, ups.join(del_keys, "o_orderkey", "left_anti"),
+                          del_keys)) == snap(out)
