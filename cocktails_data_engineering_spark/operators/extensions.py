@@ -282,10 +282,9 @@ def salted_join_event_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "fuzzy_join_ed1",
-    oracle="""
-WITH toks AS (
+# Shared CTE chain: the deletion-neighborhood ED-1 pair list (used by
+# fuzzy_join_ed1 and entity_resolution_clusters).
+_FUZZY_PAIRS_CTES = """toks AS (
   SELECT DISTINCT w || '_' || CAST(doc_id % 30 AS VARCHAR) AS token
   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
   WHERE w <> ''
@@ -301,9 +300,16 @@ cand AS (
   SELECT DISTINCT a.token AS token_a, b.token AS token_b
   FROM variants a JOIN variants b
     ON a.variant = b.variant AND a.token < b.token
-)
-SELECT token_a, token_b FROM cand
-WHERE levenshtein(token_a, token_b) = 1
+),
+ed1 AS (SELECT token_a, token_b FROM cand
+        WHERE levenshtein(token_a, token_b) = 1)"""
+
+
+@register(
+    "fuzzy_join_ed1",
+    oracle=f"""
+WITH {_FUZZY_PAIRS_CTES}
+SELECT token_a, token_b FROM ed1
 """,
 )
 def fuzzy_join_ed1(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -354,3 +360,39 @@ def fuzzy_join_ed1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return cand.filter(F.levenshtein("token_a", "token_b") == 1)
+
+
+@register(
+    "entity_resolution_clusters",
+    oracle=f"""
+WITH RECURSIVE {_FUZZY_PAIRS_CTES},
+edges AS (SELECT token_a AS u, token_b AS v FROM ed1
+          UNION SELECT token_b, token_a FROM ed1),
+reach(node, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r
+),
+labels AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node)
+SELECT cluster_id, COUNT(*) AS n_members
+FROM labels GROUP BY cluster_id
+""",
+)
+def entity_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed flagship #5 — entity resolution: ED-1 fuzzy matches
+    (deletion-neighborhood blocking, fuzzy_join_ed1) become edges, and
+    connected components merge transitively-matching name variants into
+    entities; the lexicographically smallest variant is the entity id.
+    The master-data-management shape: dedup.connected_components'
+    min-label loop works unchanged on string keys.
+
+    Plan: the fuzzy pair list materializes once (CC consumes it twice for
+    the symmetric union); the CC loop is O(component diameter) rounds —
+    variant families are stars around the base form, so diameter ≈ 2."""
+    from .dedup import connected_components
+
+    pairs = fuzzy_join_ed1(spark, sf_dir).select(
+        F.col("token_a").alias("doc_a"), F.col("token_b").alias("doc_b")
+    )
+    cc = connected_components(pairs)
+    return cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_members"))

@@ -232,3 +232,40 @@ def test_apply_cdc_laws(spark, base_rows, up_rows):
     # idempotence of re-applying the same batch
     assert snap(apply_cdc(out, ups.join(del_keys, "o_orderkey", "left_anti"),
                           del_keys)) == snap(out)
+
+
+def test_entity_resolution_clusters_are_word_families(spark, sf_dir):
+    """Every ED-1 token cluster contains tokens of exactly one base word
+    (suffix variants of 'agg' never merge with 'scan'), and the cluster
+    id is the lexicographic minimum member."""
+    from cocktails_data_engineering_spark.operators.extensions import (
+        entity_resolution_clusters,
+        fuzzy_join_ed1,
+    )
+
+    clusters = entity_resolution_clusters(spark, sf_dir).collect()
+    assert clusters
+    # rebuild node->cluster from the pair list + transitivity, then check
+    # the registered summary against it
+    import itertools
+
+    pairs = [(r.token_a, r.token_b) for r in fuzzy_join_ed1(spark, sf_dir).collect()]
+    parent: dict[str, str] = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = sorted((ra, rb))
+            parent[hi] = lo
+    members: dict[str, set] = {}
+    for tok in set(itertools.chain.from_iterable(pairs)):
+        members.setdefault(find(tok), set()).add(tok)
+    want = {min(ms): len(ms) for ms in members.values()}
+    got = {r.cluster_id: r.n_members for r in clusters}
+    assert got == want
