@@ -481,3 +481,205 @@ def mad_outlier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("n_outliers"),
         )
     )
+
+
+@register(
+    "ols_trend_by_priority",
+    oracle="""
+WITH monthly AS (
+  SELECT o_orderpriority AS p,
+         CAST(date_part('year', o_orderdate) * 12 + date_part('month', o_orderdate)
+              AS BIGINT) AS x,
+         ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 6) AS y
+  FROM orders GROUP BY o_orderpriority, x
+),
+sums AS (
+  SELECT p, COUNT(*) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx,
+         ROUND(CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE), 6) AS sy,
+         ROUND(CAST(SUM(CAST(x * y AS DECIMAL(28,6))) AS DOUBLE), 6) AS sxy,
+         CAST(SUM(x * x) AS DOUBLE) AS sxx
+  FROM monthly GROUP BY p
+)
+SELECT p AS o_orderpriority, n AS n_months, slope,
+       ROUND(sy / n - slope * sx / n, 6) AS intercept
+FROM (SELECT *, ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope
+      FROM sums) t
+""",
+)
+def ols_trend_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares trend: monthly revenue per order priority
+    regressed on the month index — the in-database ML primitive behind
+    every trend forecast.  All sums accumulate in DECIMAL (exact,
+    order-free); slope/intercept are computed by the identical double
+    formula in both engines and rounded to 6 — engine-exact regression
+    without a single UDF.
+
+    Plan: two grouped aggregates (monthly rollup, then the 5 regression
+    sums) — the second is |priorities|×|months| rows in, |priorities|
+    out; nothing bigger than the monthly table ever shuffles."""
+    o = load(spark, sf_dir, "orders")
+    x = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("bigint")
+    monthly = o.groupBy(
+        F.col("o_orderpriority").alias("p"), x.alias("x")
+    ).agg(F.round(dsum(F.col("o_totalprice")), 6).alias("y"))
+    sums = monthly.groupBy("p").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.round(dsum(F.col("y")), 6).alias("sy"),
+        F.round(
+            F.sum((F.col("x") * F.col("y")).cast("decimal(28,6)")).cast("double"), 6
+        ).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    # slope is ROUNDED before the intercept uses it: sub-round-6 slope
+    # ulps would otherwise be amplified by sx (~n·x̄) into visible
+    # intercept divergence across engines
+    slope = F.round(
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+        6,
+    )
+    return sums.select(
+        F.col("p").alias("o_orderpriority"),
+        F.col("n").alias("n_months"),
+        slope.alias("slope"),
+        F.round(
+            F.col("sy") / F.col("n") - slope * F.col("sx") / F.col("n"), 6
+        ).alias("intercept"),
+    )
+
+
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _corr_pairs():
+    cols = _CORR_COLS
+    return [(cols[i], cols[j]) for i in range(len(cols)) for j in range(i + 1, len(cols))]
+
+
+_ORACLE_CORR = " UNION ALL ".join(
+    f"""SELECT '{a}' AS col_a, '{b}' AS col_b,
+       ROUND((n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS pearson_r
+FROM (SELECT COUNT(*) AS n,
+             ROUND(CAST(SUM(CAST({a} AS DECIMAL(18,6))) AS DOUBLE), 6) AS sx,
+             ROUND(CAST(SUM(CAST({b} AS DECIMAL(18,6))) AS DOUBLE), 6) AS sy,
+             ROUND(CAST(SUM(CAST({a} * {b} AS DECIMAL(28,6))) AS DOUBLE), 6) AS sxy,
+             ROUND(CAST(SUM(CAST({a} * {a} AS DECIMAL(28,6))) AS DOUBLE), 6) AS sxx,
+             ROUND(CAST(SUM(CAST({b} * {b} AS DECIMAL(28,6))) AS DOUBLE), 6) AS syy
+      FROM lineitem) t"""
+    for a, b in _corr_pairs()
+)
+
+
+@register("corr_matrix_lineitem", oracle=_ORACLE_CORR)
+def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations between the lineitem measures — the
+    column-correlation profile an optimizer or feature-selection pass
+    computes.  One scan computes ALL moment sums (every pair's n/sx/sy/
+    sxy/sxx/syy in a single aggregate); correlations are the identical
+    double formula both sides, rounded to 6.
+
+    Plan: ONE pass over lineitem, one map-side-combined aggregate row;
+    the |pairs| output rows are driver-free projections of that row."""
+    li = load(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(F.round(dsum(F.col(c)), 6).alias(f"s_{c}"))
+        aggs.append(
+            F.round(
+                F.sum((F.col(c) * F.col(c)).cast("decimal(28,6)")).cast("double"), 6
+            ).alias(f"ss_{c}")
+        )
+    for a, b in _corr_pairs():
+        aggs.append(
+            F.round(
+                F.sum((F.col(a) * F.col(b)).cast("decimal(28,6)")).cast("double"), 6
+            ).alias(f"sp_{a}_{b}")
+        )
+    one = li.agg(*aggs)
+    outs = []
+    for a, b in _corr_pairs():
+        r = (
+            F.col("n") * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+        ) / (
+            F.sqrt(F.col("n") * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}"))
+            * F.sqrt(F.col("n") * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}"))
+        )
+        outs.append(
+            one.select(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.round(r, 6).alias("pearson_r"),
+            )
+        )
+    res = outs[0]
+    for df in outs[1:]:
+        res = res.unionByName(df)
+    return res
+
+
+@register(
+    "ab_test_lift",
+    oracle="""
+WITH assign AS (
+  SELECT DISTINCT user_id,
+         CASE WHEN (strpos('0123456789abcdef',
+                    substr(md5('ab|' || CAST(user_id AS VARCHAR)), 1, 1)) - 1) < 8
+              THEN 'A' ELSE 'B' END AS arm
+  FROM events
+),
+conv AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+),
+arms AS (
+  SELECT a.arm, COUNT(*) AS n_users,
+         CAST(SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_converted
+  FROM assign a LEFT JOIN conv c USING (user_id)
+  GROUP BY a.arm
+)
+SELECT arm, n_users, n_converted,
+       ROUND(CAST(n_converted AS DOUBLE) / n_users, 6) AS conv_rate
+FROM arms
+""",
+)
+def ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users deterministically hash-assigned to
+    arms (md5 nibble — the same stable-bucketing discipline as
+    train_test_split_stats, so assignment is reproducible on any engine
+    and never leaks across sessions), conversion = ever purchased,
+    per-arm size and conversion rate.
+
+    Plan: the assignment is a map-side expression on the distinct-user
+    roll; one user-keyed join against the converter set; a |arms|-row
+    aggregate.  The experimentation shape on event logs."""
+    ev = load(spark, sf_dir, "events")
+    nibble = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.concat(F.lit("ab|"), F.col("user_id").cast("string"))), 1, 1),
+        )
+        - 1
+    )
+    assign = ev.select("user_id").distinct().select(
+        "user_id", F.when(nibble < 8, "A").otherwise("B").alias("arm")
+    )
+    conv = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    arms = (
+        assign.join(conv.withColumn("c", F.lit(1)), "user_id", "left")
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(F.coalesce("c", F.lit(0))).cast("long").alias("n_converted"),
+        )
+    )
+    return arms.select(
+        "arm",
+        "n_users",
+        "n_converted",
+        F.round(F.col("n_converted").cast("double") / F.col("n_users"), 6).alias(
+            "conv_rate"
+        ),
+    )
