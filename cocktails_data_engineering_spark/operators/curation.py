@@ -831,3 +831,69 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         selected = selected.unionByName(pick).transform(materialize)
     return selected.select("query_id", "vec_id", F.col("rel").alias("relevance"), "rank")
+
+
+# ---------------------------------------------------------------------------
+# Cluster purity (label entropy per k-means cluster)
+
+@register(
+    "kmeans_cluster_purity",
+    oracle=f"""
+WITH vecs AS ({_SIM_ORACLE_VECS.strip()}),
+init AS (
+  SELECT vec_id AS cid, emb AS cemb
+  FROM vecs ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4
+),
+{_oracle_round('init', 'r0').strip()},
+{_oracle_cent('r0_a', 'cent1').strip()},
+{_oracle_round('cent1', 'r1').strip()},
+cl AS (
+  SELECT a.cid, v.label, COUNT(*) AS cnt
+  FROM r1_a a JOIN vecs v USING (vec_id)
+  GROUP BY a.cid, v.label
+),
+per AS (
+  SELECT cid, SUM(cnt) AS n, MAX(cnt) AS maj,
+         ROUND(CAST(SUM(CAST(cnt * ROUND(ln(CAST(cnt AS DOUBLE)), 9)
+                             AS DECIMAL(18,6))) AS DOUBLE), 6) AS s
+  FROM cl GROUP BY cid
+)
+SELECT cid AS cluster_id, CAST(n AS BIGINT) AS n_members,
+       ROUND(CAST(maj AS DOUBLE) / n, 6) AS majority_share,
+       ROUND(ROUND(ln(CAST(n AS DOUBLE)), 9) - s / n, 6) AS label_entropy
+FROM per
+""",
+)
+def kmeans_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality readout: per k-means cluster (the oracle-exact one
+    Lloyd round), the label distribution's majority share and Shannon
+    entropy — how well unsupervised structure recovers the labels.  Uses
+    the H = ln N − Σ n·ln n / N identity with libm logs rounded to 9
+    before DECIMAL sums (char_entropy's proven discipline).
+
+    Plan: the broadcast-centroid assignment + one (cluster, label) count
+    and one |clusters|-row rollup — nothing after the assignment is
+    data-sized."""
+    vecs = _sim_vectors(spark, sf_dir).select("vec_id", "label", "emb")
+    kvecs = vecs.select("vec_id", "emb")
+    cents1 = _update(_assign(kvecs, _init_centroids(kvecs)))
+    assign = _assign(kvecs, cents1).select("vec_id", "cid")
+    cl = (
+        assign.join(vecs.select("vec_id", "label"), "vec_id")
+        .groupBy("cid", "label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ln_cnt = F.round(F.log(F.col("cnt").cast("double")), 9)
+    per = cl.groupBy("cid").agg(
+        F.sum("cnt").alias("n"),
+        F.max("cnt").alias("maj"),
+        F.round(dsum(F.col("cnt") * ln_cnt), 6).alias("s"),
+    )
+    return per.select(
+        F.col("cid").alias("cluster_id"),
+        F.col("n").cast("long").alias("n_members"),
+        F.round(F.col("maj").cast("double") / F.col("n"), 6).alias("majority_share"),
+        F.round(
+            F.round(F.log(F.col("n").cast("double")), 9) - F.col("s") / F.col("n"), 6
+        ).alias("label_entropy"),
+    )

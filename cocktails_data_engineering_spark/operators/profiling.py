@@ -683,3 +683,52 @@ def ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "conv_rate"
         ),
     )
+
+
+@register(
+    "chi2_lang_source",
+    oracle="""
+WITH obs AS (SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY lang, source),
+rt AS (SELECT lang, SUM(o) AS rl FROM obs GROUP BY lang),
+ct AS (SELECT source, SUM(o) AS cs FROM obs GROUP BY source),
+n AS (SELECT SUM(o) AS n FROM obs),
+cells AS (
+  SELECT o.lang, o.source, o.o,
+         ROUND(CAST(rt.rl AS DOUBLE) * ct.cs / n.n, 6) AS e
+  FROM obs o JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN n
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       ROUND(CAST(SUM(CAST(ROUND((o - e) * (o - e) / e, 6) AS DECIMAL(18,6)))
+                  AS DOUBLE), 6) AS chi2
+FROM cells
+""",
+)
+def chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence statistic for the lang × source
+    contingency table — the categorical counterpart of the Pearson
+    matrix (is language mix independent of source?).  Expected counts
+    and per-cell terms are rounded before the DECIMAL sum, so the
+    statistic is engine-exact.
+
+    Plan: one contingency aggregate; row/column margins are re-aggregates
+    of the (tiny) cell table; everything after the first groupBy is
+    metadata-sized."""
+    docs = load(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    rt = obs.groupBy("lang").agg(F.sum("o").alias("rl"))
+    ct = obs.groupBy("source").agg(F.sum("o").alias("cs"))
+    n = obs.agg(F.sum("o").alias("n"))
+    cells = (
+        obs.join(F.broadcast(rt), "lang")
+        .join(F.broadcast(ct), "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "o",
+            F.round(F.col("rl").cast("double") * F.col("cs") / F.col("n"), 6).alias("e"),
+        )
+    )
+    term = F.round((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e"), 6)
+    return cells.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.round(dsum(term), 6).alias("chi2"),
+    )
