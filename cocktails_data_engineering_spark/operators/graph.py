@@ -339,8 +339,11 @@ def cooccurrence_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(a1, "e_src")
         .join(a2, "e_dst")
         .agg(
-            F.sum(F.size(F.array_intersect("adj_src", "adj_dst")))
-            .alias("t")
+            # coalesce: SUM over zero rows is NULL — an empty edge set
+            # must report 0 triangles, as the pre-adjacency count did
+            F.coalesce(
+                F.sum(F.size(F.array_intersect("adj_src", "adj_dst"))), F.lit(0)
+            ).alias("t")
         )
     )
     summary = edges.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
