@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from ..functions.numerics import DEC, dsum, oracle_dsum
 from ..registry import register
-from ..sources.tables import load
+from ..sources.tables import load, load_spread
 
 
 @register(
@@ -500,3 +500,57 @@ def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         F.round((F.col("revenue") - lag) / lag, 6).alias("mom_growth"),
     )
+
+
+@register(
+    "latency_percentiles_by_type",
+    oracle="""
+SELECT event_type,
+       ROUND(CAST(quantile_cont(value, 0.5) AS DOUBLE), 6) AS p50,
+       ROUND(CAST(quantile_cont(value, 0.9) AS DOUBLE), 6) AS p90,
+       ROUND(CAST(quantile_cont(value, 0.99) AS DOUBLE), 6) AS p99
+FROM events
+WHERE value IS NOT NULL
+GROUP BY event_type
+""",
+)
+def latency_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact P50/P90/P99 of the event value per type — the SLO/latency
+    readout.  Spark's ``percentile`` and DuckDB's ``quantile_cont`` share
+    the same linear-interpolation definition (pos = (n−1)·q), so the
+    exact quantiles agree to rounding — extending the proven median
+    parity to arbitrary q.
+
+    Plan: exact percentiles buffer each group's values (the documented
+    exactness cost — approx_percentile_prices is the sketch alternative);
+    one shuffle on event_type, values spread first."""
+    ev = load_spread(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+    )
+
+
+@register(
+    "weekday_hourly_profile",
+    oracle="""
+SELECT CAST(date_part('dow', ts) AS INT) AS dow,
+       CAST(date_part('hour', ts) AS INT) AS hour,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY dow, hour
+""",
+)
+def weekday_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday × hour activity heatmap — the seasonality profile behind
+    capacity planning.  Cross-engine DOW trap handled explicitly:
+    DuckDB's dow is 0=Sunday while Spark's dayofweek is 1=Sunday, so the
+    Spark side subtracts 1 to the same 0-based convention.
+
+    Plan: map-side date-part projection + one ≤168-group aggregate."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
