@@ -732,3 +732,52 @@ def chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_cells"),
         F.round(dsum(term), 6).alias("chi2"),
     )
+
+
+_DECILES = [i / 10 for i in range(1, 10)]
+
+
+@register(
+    "equidepth_histogram_prices",
+    oracle=f"""
+WITH b AS (
+  SELECT list_transform(quantile_cont(o_totalprice, {_DECILES}),
+                        q -> ROUND(CAST(q AS DOUBLE), 6)) AS bs
+  FROM orders
+)
+SELECT len(list_filter(b.bs, q -> o.o_totalprice > q)) AS bucket,
+       COUNT(*) AS n,
+       MIN(o.o_totalprice) AS min_price,
+       MAX(o.o_totalprice) AS max_price
+FROM orders o CROSS JOIN b
+GROUP BY bucket
+""",
+)
+def equidepth_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (decile) histogram of order prices — the data-skipping
+    statistic equi-WIDTH histograms can't provide under skew.  The
+    scalable shape: decile BOUNDARIES come from one exact-percentile
+    aggregate (1 row, broadcast back), bucket assignment is a map-side
+    comparison count — never the NTILE global sort that would funnel
+    every row through one partition.  Boundaries are rounded to 6 before
+    bucketing so both engines split ties identically.
+
+    Plan: one percentile aggregate (spread scan) + broadcast 1-row join
+    + a ≤10-group aggregate."""
+    o = load_spread(spark, sf_dir, "orders").select("o_totalprice")
+    bounds = o.agg(
+        F.transform(
+            F.percentile("o_totalprice", F.array(*[F.lit(q) for q in _DECILES])),
+            lambda q: F.round(q, 6),
+        ).alias("bs")
+    )
+    bucket = F.size(F.filter("bs", lambda b: F.col("o_totalprice") > b))
+    return (
+        o.crossJoin(F.broadcast(bounds))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )

@@ -554,3 +554,106 @@ def weekday_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.dayofweek("ts") - 1).cast("int").alias("dow"),
         F.hour("ts").cast("int").alias("hour"),
     ).agg(F.count(F.lit(1)).alias("n_events"))
+
+
+@register(
+    "dau_wau_stickiness",
+    oracle="""
+WITH days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
+dau AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         COUNT(DISTINCT user_id) AS dau
+  FROM events GROUP BY day
+),
+wau AS (
+  SELECT d.day, COUNT(DISTINCT e.user_id) AS wau
+  FROM days d JOIN events e
+    ON CAST(date_trunc('day', e.ts) AS DATE) BETWEEN d.day - 6 AND d.day
+  GROUP BY d.day
+)
+SELECT strftime(d.day, '%Y-%m-%d') AS day, dau.dau, wau.wau,
+       ROUND(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+FROM days d JOIN dau USING (day) JOIN wau USING (day)
+""",
+)
+def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness ratio per day — the
+    engagement metric trio.  EXACT distinct over the trailing window by
+    joining each day to its 7-day event slice (|days| × window fan-out);
+    this is the exactness baseline whose 100 TB path is the mergeable
+    HLL day-sketch union (hll_rolling_7d_users) — same numbers to sketch
+    error, a fraction of the cost.
+
+    Plan: the day spine is metadata-sized; the window join fans events
+    ≤7×, then two distinct aggregates keyed (day, user)."""
+    ev = load(spark, sf_dir, "events").select(
+        F.to_date(F.date_trunc("day", "ts")).alias("day"), "user_id"
+    )
+    days = ev.select("day").distinct()
+    dau = ev.groupBy("day").agg(F.count_distinct("user_id").alias("dau"))
+    wau = (
+        days.alias("d")
+        .join(
+            ev.alias("e"),
+            (F.col("e.day") >= F.date_sub(F.col("d.day"), 6))
+            & (F.col("e.day") <= F.col("d.day")),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
+    return (
+        days.join(dau, "day")
+        .join(wau, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias("stickiness"),
+        )
+    )
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events
+),
+trans AS (
+  SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY from_type, to_type
+),
+tot AS (SELECT from_type, SUM(n) AS row_n FROM trans GROUP BY from_type)
+SELECT t.from_type, t.to_type, t.n,
+       ROUND(CAST(t.n AS DOUBLE) / tt.row_n, 6) AS p_next
+FROM trans t JOIN tot tt USING (from_type)
+""",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral transition matrix: per user-ordered event
+    stream, counts and conditional probabilities of (current → next)
+    event type — the Markov-chain view of user behavior (session-flow
+    analysis, anomaly priors).
+
+    Plan: ONE shuffle of events on user_id for the LEAD window, then a
+    |types|²-sized aggregate; the probability normalization joins the
+    (tiny) row totals back broadcast."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    trans = seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = trans.groupBy("from_type").agg(F.sum("n").alias("row_n"))
+    return trans.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("row_n"), 6).alias("p_next"),
+    )
