@@ -781,3 +781,142 @@ def equidepth_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("max_price"),
         )
     )
+
+
+@register(
+    "impute_value_by_type",
+    oracle="""
+WITH holed AS (
+  SELECT event_type,
+         CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END AS value
+  FROM events
+),
+means AS (
+  SELECT event_type,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(value), 6) AS fill_mean
+  FROM holed GROUP BY event_type
+)
+SELECT h.event_type,
+       COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN h.value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_imputed,
+       ANY_VALUE(m.fill_mean) AS fill_mean,
+       ROUND(CAST(SUM(CAST(COALESCE(h.value, m.fill_mean) AS DECIMAL(18,6)))
+                  AS DOUBLE) / COUNT(*), 6) AS imputed_mean
+FROM holed h JOIN means m USING (event_type)
+GROUP BY h.event_type
+""",
+)
+def impute_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean imputation per group — the feature-engineering null-fill
+    step: a planted hole pattern (every 13th event) is filled with the
+    group's DECIMAL-exact mean of the surviving values; reports hole
+    counts and the post-imputation mean.
+
+    Plan: one grouped mean over the non-null subset (broadcast back) +
+    one grouped rollup of the COALESCEd column — two passes, both
+    map-side-combined; the fill itself is a broadcast-join projection."""
+    ev = load(spark, sf_dir, "events")
+    holed = ev.select(
+        "event_type",
+        F.when(F.col("event_id") % 13 == 0, F.lit(None)).otherwise(F.col("value")).alias("value"),
+    )
+    means = holed.groupBy("event_type").agg(
+        F.round(dsum(F.col("value")) / F.count("value"), 6).alias("fill_mean")
+    )
+    return (
+        holed.join(F.broadcast(means), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(F.col("value").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_imputed"),
+            F.first("fill_mean").alias("fill_mean"),
+            F.round(
+                dsum(F.coalesce("value", "fill_mean")) / F.count(F.lit(1)), 6
+            ).alias("imputed_mean"),
+        )
+    )
+
+
+PMI_TOP = 20
+PMI_MIN_SUPPORT = 20  # co-occurrence count floor
+
+
+@register(
+    "word_pmi_pairs",
+    oracle=f"""
+WITH dw AS (
+  SELECT DISTINCT doc_id, w
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> ''
+),
+n AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM dw),
+wf AS (SELECT w, COUNT(*) AS dfw FROM dw GROUP BY w),
+pairs AS (
+  SELECT a.w AS w_a, b.w AS w_b, COUNT(*) AS co
+  FROM dw a JOIN dw b ON a.doc_id = b.doc_id AND a.w < b.w
+  GROUP BY a.w, b.w
+),
+scored AS (
+  SELECT p.w_a, p.w_b, p.co,
+         ROUND(ROUND(ln(CAST(p.co AS DOUBLE) * n.nd
+                        / (fa.dfw * CAST(fb.dfw AS DOUBLE))), 9), 6) AS pmi
+  FROM pairs p
+  JOIN wf fa ON fa.w = p.w_a
+  JOIN wf fb ON fb.w = p.w_b
+  CROSS JOIN n
+  WHERE p.co >= {PMI_MIN_SUPPORT}
+)
+SELECT w_a, w_b, co, pmi FROM scored
+ORDER BY pmi DESC, w_a, w_b LIMIT {PMI_TOP}
+""",
+)
+def word_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by pointwise mutual information: document-level
+    co-occurrence counts vs independent document frequencies,
+    PMI = ln(co·N / (df_a·df_b)), support-floored, top-{PMI_TOP}.  The
+    phrase-discovery member of the text family (rounded-log discipline).
+
+    Plan: per-doc distinct words, then the co-occurrence equi-join on
+    doc_id (fan-out bounded by words-per-doc, the same guarantee as the
+    graph co-occurrence build); df and N ride broadcasts;
+    TakeOrderedAndProject for the top-k."""
+    docs = load(spark, sf_dir, "documents")
+    dw = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+    n = dw.agg(F.count_distinct("doc_id").alias("nd"))
+    wf = dw.groupBy("w").agg(F.count(F.lit(1)).alias("dfw"))
+    a = dw.select("doc_id", F.col("w").alias("w_a"))
+    b = dw.select("doc_id", F.col("w").alias("w_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("w_a") < F.col("w_b"))
+        .groupBy("w_a", "w_b")
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= PMI_MIN_SUPPORT)
+    )
+    pmi = F.round(
+        F.round(
+            F.log(
+                F.col("co").cast("double")
+                * F.col("nd")
+                / (F.col("dfw_a") * F.col("dfw_b").cast("double"))
+            ),
+            9,
+        ),
+        6,
+    )
+    return (
+        pairs.join(F.broadcast(wf.select(F.col("w").alias("w_a"), F.col("dfw").alias("dfw_a"))), "w_a")
+        .join(F.broadcast(wf.select(F.col("w").alias("w_b"), F.col("dfw").alias("dfw_b"))), "w_b")
+        .crossJoin(F.broadcast(n))
+        .select("w_a", "w_b", "co", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w_a", "w_b")
+        .limit(PMI_TOP)
+    )
