@@ -214,3 +214,41 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(BM25_TOP)
     )
+
+
+@register(
+    "positional_index_terms",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, CAST(t.i - 1 AS INT) AS pos, t.w
+  FROM documents,
+       LATERAL (SELECT UNNEST(string_split(text, ' ')) AS w,
+                       generate_subscripts(string_split(text, ' '), 1) AS i) t
+  WHERE t.w IN ({_Q_IN})
+)
+SELECT w AS word, doc_id,
+       CAST(COUNT(*) AS BIGINT) AS tf,
+       array_to_string(list_sort(list(pos)), ',') AS positions
+FROM toks GROUP BY w, doc_id
+""",
+)
+def positional_index_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional inverted-index build for the BM25 query terms: per
+    (term, document), the term frequency and the SORTED token-position
+    list (emitted comma-joined: the driver compare hashes scalars) — the posting-list structure phrase and proximity queries need
+    on top of bm25_keyword_search's ranking.
+
+    Plan: posexplode keeps the position during tokenization (map-side);
+    one (term, doc) aggregate with a sorted collect_list — at scale the
+    aggregate's key IS the posting-list partitioning (index partitioned
+    by term)."""
+    docs = load_spread(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    ).filter(F.col("w").isin(*BM25_QUERY))
+    return toks.groupBy(F.col("w").alias("word"), "doc_id").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.array_join(
+            F.array_sort(F.collect_list(F.col("pos").cast("int"))), ","
+        ).alias("positions"),
+    )

@@ -657,3 +657,47 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.col("row_n"), 6).alias("p_next"),
     )
+
+
+@register(
+    "last_touch_attribution",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS last_touch
+  FROM events
+)
+SELECT COALESCE(last_touch, 'none') AS touch_type,
+       COUNT(*) AS n_purchases
+FROM seq WHERE event_type = 'purchase'
+GROUP BY touch_type
+""",
+)
+def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credited to the most recent
+    preceding NON-purchase event of the same user (the marketing-
+    attribution shape; 'none' = a purchase with no prior touch).  One
+    ignore-nulls LAG over the user-ordered stream — the same
+    carry-forward idiom as the as-of join and forward fill.
+
+    Plan: ONE shuffle of events on user_id; the attribution rollup is
+    |event types| rows."""
+    ev = load(spark, sf_dir, "events")
+    # lag(... IGNORE NULLS) spelled as last-over-preceding-frame (PySpark's
+    # lag() has no ignorenulls) — identical semantics to the oracle's LAG
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.select("event_type", touch.alias("last_touch"))
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("last_touch", F.lit("none")).alias("touch_type"))
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
