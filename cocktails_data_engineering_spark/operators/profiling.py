@@ -920,3 +920,79 @@ def word_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "w_a", "w_b")
         .limit(PMI_TOP)
     )
+
+
+@register(
+    "ab_test_wilson_bounds",
+    oracle="""
+WITH assign AS (
+  SELECT DISTINCT user_id,
+         CASE WHEN (strpos('0123456789abcdef',
+                    substr(md5('ab|' || CAST(user_id AS VARCHAR)), 1, 1)) - 1) < 8
+              THEN 'A' ELSE 'B' END AS arm
+  FROM events
+),
+conv AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+arms AS (
+  SELECT a.arm, COUNT(*) AS n,
+         CAST(SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS k
+  FROM assign a LEFT JOIN conv c USING (user_id)
+  GROUP BY a.arm
+)
+SELECT arm, n AS n_users, k AS n_converted,
+       ROUND((CAST(k AS DOUBLE) / n + 1.9208 / n
+              - 1.96 * sqrt((CAST(k AS DOUBLE) / n) * (1 - CAST(k AS DOUBLE) / n) / n
+                            + 0.9604 / (n * CAST(n AS DOUBLE))))
+             / (1 + 3.8416 / n), 6) AS wilson_low,
+       ROUND((CAST(k AS DOUBLE) / n + 1.9208 / n
+              + 1.96 * sqrt((CAST(k AS DOUBLE) / n) * (1 - CAST(k AS DOUBLE) / n) / n
+                            + 0.9604 / (n * CAST(n AS DOUBLE))))
+             / (1 + 3.8416 / n), 6) AS wilson_high
+FROM arms
+""",
+)
+def ab_test_wilson_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B readout with uncertainty: per-arm Wilson 95% score interval on
+    the conversion rate (z = 1.96; the interval that behaves at small n
+    and extreme rates, unlike the normal approximation).  Pure
+    arithmetic + one correctly-rounded sqrt, written identically in both
+    engines and rounded to 6 — engine-exact inference without any
+    stats-library dependency.
+
+    Plan: identical to ab_test_lift (distinct-user roll + one user-keyed
+    join); the bounds are projections of the |arms|-row aggregate."""
+    ev = load(spark, sf_dir, "events")
+    nibble = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(
+                F.md5(F.concat(F.lit("ab|"), F.col("user_id").cast("string"))), 1, 1
+            ),
+        )
+        - 1
+    )
+    assign = ev.select("user_id").distinct().select(
+        "user_id", F.when(nibble < 8, "A").otherwise("B").alias("arm")
+    )
+    conv = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    arms = (
+        assign.join(conv.withColumn("c", F.lit(1)), "user_id", "left")
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce("c", F.lit(0))).cast("long").alias("k"),
+        )
+    )
+    p = F.col("k").cast("double") / F.col("n")
+    halfw = 1.96 * F.sqrt(
+        p * (1 - p) / F.col("n") + 0.9604 / (F.col("n") * F.col("n").cast("double"))
+    )
+    denom = 1 + 3.8416 / F.col("n")
+    return arms.select(
+        "arm",
+        F.col("n").alias("n_users"),
+        F.col("k").alias("n_converted"),
+        F.round((p + 1.9208 / F.col("n") - halfw) / denom, 6).alias("wilson_low"),
+        F.round((p + 1.9208 / F.col("n") + halfw) / denom, 6).alias("wilson_high"),
+    )
