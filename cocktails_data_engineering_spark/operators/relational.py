@@ -1138,3 +1138,36 @@ def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority", "quartile")
     )
+
+
+@register(
+    "dense_rank_top_price_levels",
+    oracle="""
+WITH ranked AS (
+  SELECT o_orderpriority, o_totalprice,
+         DENSE_RANK() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC) AS lvl
+  FROM orders
+)
+SELECT o_orderpriority, CAST(lvl AS INT) AS lvl, o_totalprice,
+       COUNT(*) AS n_orders
+FROM ranked WHERE lvl <= 3
+GROUP BY o_orderpriority, lvl, o_totalprice
+""",
+)
+def dense_rank_top_price_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 distinct price LEVELS per priority with ties retained —
+    DENSE_RANK semantics (row_number would drop tied orders; rank would
+    skip levels), completing the ranking-function family next to
+    row_number / percent_rank / cume_dist / ntile.
+
+    Plan: one priority-keyed window; the level filter prunes before the
+    rollup."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc())
+    return (
+        o.select("o_orderpriority", "o_totalprice", F.dense_rank().over(w).alias("lvl"))
+        .filter(F.col("lvl") <= 3)
+        .groupBy("o_orderpriority", F.col("lvl").cast("int").alias("lvl"), "o_totalprice")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )

@@ -624,3 +624,57 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     plan = gated.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
     return _run_to_memory(plan, "complete")
+
+
+ERROR_ALERT_RATE = 0.25
+
+
+@register(
+    "stream_error_rate_alert",
+    oracle=f"""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_errors,
+       ROUND(CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS error_rate,
+       CAST(CASE WHEN CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                           AS DOUBLE) / COUNT(*) >= {ERROR_ALERT_RATE}
+                 THEN 1 ELSE 0 END AS INT) AS is_alert
+FROM events
+GROUP BY date_trunc('hour', ts)
+""",
+)
+def stream_error_rate_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SLO monitor: hourly error rate over the watermarked
+    event stream with a threshold alert flag — the alerting shape a
+    pipeline health dashboard runs on ingest.  Watermark bounds window
+    state; availableNow runs the backlog to completion so the batch
+    oracle applies exactly."""
+    events = read_events_stream(spark, sf_dir)
+    err = F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+    plan = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            err.cast("long").alias("n_errors"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+            "n_errors",
+            F.round(
+                F.col("n_errors").cast("double") / F.col("n_events"), 6
+            ).alias("error_rate"),
+            F.when(
+                F.col("n_errors").cast("double") / F.col("n_events")
+                >= ERROR_ALERT_RATE,
+                1,
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("is_alert"),
+        )
+    )
+    return _run_to_memory(plan, "complete")
