@@ -102,14 +102,14 @@ def _update(assigned: DataFrame) -> DataFrame:
 
 # DuckDB twin of one Lloyd round, as reusable SQL fragments.  Parallel
 # unnest in one SELECT zips lists by position; lists are 1-indexed.
-_ORACLE_VECS = """
+_ORACLE_VECS = f"""
 vecs AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
   FROM embeddings
 ),
 init AS (
   SELECT vec_id AS cid, emb AS cemb
-  FROM vecs ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4
+  FROM vecs ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {K}
 )"""
 
 

@@ -48,6 +48,7 @@ from ..functions.numerics import dsum, oracle_dsum
 from ..registry import register
 from ..sources.tables import load
 from .clustering import (
+    K as _K,
     _ORACLE_VECS,
     _assign,
     _init_centroids,
@@ -575,7 +576,7 @@ corpus AS (SELECT * FROM vecs WHERE vec_id % {BATCH_MOD} <> 0),
 batch AS (SELECT * FROM vecs WHERE vec_id % {BATCH_MOD} = 0),
 init AS (
   SELECT vec_id AS cid, emb AS cemb
-  FROM corpus ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4
+  FROM corpus ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_K}
 ),
 {_oracle_round('init', 'r0', 'corpus').strip()},
 {_oracle_cent('r0_a', 'cent1', 'corpus').strip()},
@@ -842,7 +843,7 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH vecs AS ({_SIM_ORACLE_VECS.strip()}),
 init AS (
   SELECT vec_id AS cid, emb AS cemb
-  FROM vecs ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4
+  FROM vecs ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_K}
 ),
 {_oracle_round('init', 'r0').strip()},
 {_oracle_cent('r0_a', 'cent1').strip()},

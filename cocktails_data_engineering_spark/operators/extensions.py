@@ -204,7 +204,7 @@ _ORACLE_NIBBLE = f"(strpos('{_HEX}', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))
 SELECT CASE WHEN {_ORACLE_NIBBLE} < 13 THEN 'train' ELSE 'test' END AS split,
        lang,
        COUNT(*) AS n_docs,
-       SUM(n_chars) AS total_chars
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM documents
 GROUP BY 1, 2
 ORDER BY split, lang
@@ -293,8 +293,7 @@ variants AS (
   SELECT token,
          CASE WHEN i = 0 THEN token
               ELSE substr(token, 1, i - 1) || substr(token, i + 1) END AS variant
-  FROM toks CROSS JOIN unnest(range(0, 64)) t(i)
-  WHERE i <= length(token)
+  FROM toks CROSS JOIN unnest(range(0, length(token) + 1)) t(i)
 ),
 cand AS (
   SELECT DISTINCT a.token AS token_a, b.token AS token_b

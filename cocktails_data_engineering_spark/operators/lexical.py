@@ -57,7 +57,8 @@ norms AS (
   SELECT doc_id, SUM(tf * tf) AS nrm FROM kept GROUP BY doc_id
 ),
 dots AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.tf * b.tf) AS dot
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
   FROM kept a JOIN kept b ON a.word = b.word AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )

@@ -245,16 +245,20 @@ s2 AS (
 ),
 s3 AS (
   SELECT doc_id, url, scheme,
-         regexp_replace(lower(split_part(rest, '/', 1)), ':80$', '') AS host,
-         CASE WHEN length(rest) > length(split_part(rest, '/', 1))
-              THEN substring(rest, length(split_part(rest, '/', 1)) + 1)
-              ELSE '/' END AS pathq
+         split_part(rest, '?', 1) AS restpath,
+         CASE WHEN rest LIKE '%?%' THEN split_part(rest, '?', 2) ELSE '' END AS query
   FROM s2
 ),
 s4 AS (
-  SELECT doc_id, url, scheme, host,
-         split_part(pathq, '?', 1) AS path,
-         CASE WHEN pathq LIKE '%?%' THEN split_part(pathq, '?', 2) ELSE '' END AS query
+  SELECT doc_id, url, scheme, query,
+         CASE WHEN scheme = 'http'
+              THEN regexp_replace(lower(split_part(restpath, '/', 1)), ':80$', '')
+              WHEN scheme = 'https'
+              THEN regexp_replace(lower(split_part(restpath, '/', 1)), ':443$', '')
+              ELSE lower(split_part(restpath, '/', 1)) END AS host,
+         CASE WHEN length(restpath) > length(split_part(restpath, '/', 1))
+              THEN substring(restpath, length(split_part(restpath, '/', 1)) + 1)
+              ELSE '/' END AS path
   FROM s3
 )
 SELECT doc_id, url,
@@ -297,21 +301,31 @@ def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def canonicalize_url(url):
     """Canonical-URL Column expression (idempotent by construction):
-    lowercase scheme+host, strip :80, drop fragment, sort query params,
-    strip trailing path slashes."""
+    lowercase scheme+host, strip the scheme's DEFAULT port only (:80 for
+    http, :443 for https — ``https://h:80`` keeps its port), drop
+    fragment, sort query params, strip trailing path slashes.
+
+    The query string is split off BEFORE hostport extraction so host-only
+    URLs (``http://host?a=1``) keep their query instead of having it
+    swallowed into the host token."""
     nofrag = F.split_part(url, F.lit("#"), F.lit(1))
     scheme = F.lower(F.split_part(nofrag, F.lit("://"), F.lit(1)))
     rest = F.split_part(nofrag, F.lit("://"), F.lit(2))
-    hostport = F.split_part(rest, F.lit("/"), F.lit(1))
-    host = F.regexp_replace(F.lower(hostport), ":80$", "")
-    pathq = F.when(
-        F.length(rest) > F.length(hostport),
-        F.substring(rest, F.length(hostport) + 1, F.lit(1 << 30)),
-    ).otherwise(F.lit("/"))
-    path = F.split_part(pathq, F.lit("?"), F.lit(1))
+    restpath = F.split_part(rest, F.lit("?"), F.lit(1))
     query = F.when(
-        pathq.contains("?"), F.split_part(pathq, F.lit("?"), F.lit(2))
+        rest.contains("?"), F.split_part(rest, F.lit("?"), F.lit(2))
     ).otherwise(F.lit(""))
+    hostport = F.split_part(restpath, F.lit("/"), F.lit(1))
+    hostl = F.lower(hostport)
+    host = (
+        F.when(scheme == "http", F.regexp_replace(hostl, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostl, ":443$", ""))
+        .otherwise(hostl)
+    )
+    path = F.when(
+        F.length(restpath) > F.length(hostport),
+        F.substring(restpath, F.length(hostport) + 1, F.lit(1 << 30)),
+    ).otherwise(F.lit("/"))
     canon_path = F.when(path != "/", F.regexp_replace(path, "/+$", "")).otherwise(path)
     canon_query = F.when(
         query != "",

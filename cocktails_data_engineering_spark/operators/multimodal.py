@@ -101,7 +101,7 @@ def binary_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT {_SQL_MODALITY} AS modality,
        COUNT(*) AS n_objects,
-       SUM(octet_length(encode(text))) AS total_bytes,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
        MIN(octet_length(encode(text))) AS min_bytes,
        MAX(octet_length(encode(text))) AS max_bytes
 FROM documents

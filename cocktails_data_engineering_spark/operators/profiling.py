@@ -745,7 +745,7 @@ WITH b AS (
                         q -> ROUND(CAST(q AS DOUBLE), 6)) AS bs
   FROM orders
 )
-SELECT len(list_filter(b.bs, q -> o.o_totalprice > q)) AS bucket,
+SELECT CAST(len(list_filter(b.bs, q -> o.o_totalprice > q)) AS INT) AS bucket,
        COUNT(*) AS n,
        MIN(o.o_totalprice) AS min_price,
        MAX(o.o_totalprice) AS max_price

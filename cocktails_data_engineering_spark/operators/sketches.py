@@ -114,7 +114,7 @@ SELECT o_orderkey % {_N_BLOCKS} AS block,
                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
                 CAST(epoch_us(o_orderdate) AS VARCHAR),
                 o_orderpriority)), 1, 8) AS BIGINT) AS DECIMAL(20,0)))
-            AS DECIMAL(38,0)) AS checksum
+            AS VARCHAR) AS checksum
 FROM orders
 GROUP BY o_orderkey % {_N_BLOCKS}
 """,
@@ -169,7 +169,9 @@ def block_checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("block")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.sum("h").cast("decimal(38,0)").alias("checksum"),
+            # VARCHAR on both engines: DECIMAL(38,0) exceeds int64 and
+            # cannot round-trip a pandas fetch losslessly (driver-red r4).
+            F.sum("h").cast("decimal(38,0)").cast("string").alias("checksum"),
         )
     )
 

@@ -353,8 +353,7 @@ WITH words AS (
 words_ne AS (SELECT w FROM words WHERE length(w) >= 2),
 pairs AS (
   SELECT substr(w, i, 2) AS pair
-  FROM words_ne CROSS JOIN unnest(range(1, 64)) t(i)
-  WHERE i <= length(w) - 1
+  FROM words_ne CROSS JOIN unnest(range(1, length(w))) t(i)
 )
 SELECT pair, COUNT(*) AS n
 FROM pairs GROUP BY pair

@@ -207,8 +207,8 @@ def jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "csv_roundtrip_agg",
     oracle="""
-SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
-       SUM(length(text)) AS total_text_chars
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(length(text)) AS BIGINT) AS total_text_chars
 FROM documents GROUP BY lang
 """,
 )
@@ -240,8 +240,8 @@ def csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "jsonl_roundtrip_agg",
     oracle="""
-SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
-       SUM(length(text)) AS total_text_chars
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(length(text)) AS BIGINT) AS total_text_chars
 FROM documents GROUP BY source
 """,
 )

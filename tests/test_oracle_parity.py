@@ -11,19 +11,24 @@ import math
 
 import pytest
 
+from cocktails_data_engineering_spark.functions.typekinds import (
+    audit_arrow_schema,
+    kind_mismatches,
+)
 from cocktails_data_engineering_spark.plans.queries import all_oracles, all_queries
 
 
 def _norm(v):
-    """Normalize a cell for cross-engine comparison."""
+    """Normalize a cell for cross-engine comparison.
+
+    NO int→float coercion (driver-strict): numerically equal Python
+    values already compare/hash equal across int/float/Decimal, and the
+    representation-level drift the driver's typed hash would catch is
+    asserted separately via the Arrow type audit below."""
     if v is None:
         return None
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return v
-    if isinstance(v, int):
-        return float(v) if abs(v) < 2**52 else v
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
     return v
 
 
@@ -40,6 +45,17 @@ def compare_query(spark, duck, sf_dir, name, fn, sql):
     sdf = fn(spark, sf_dir)
     spark_rows = [tuple(r) for r in sdf.collect()]
     spark_cols = sdf.columns
+
+    # Driver-strict TYPE check (the check that would have caught r4's
+    # three red rows in round 1): the oracle result must contain no
+    # column that cannot round-trip a pandas fetch losslessly (HUGEINT,
+    # decimal precision > 18), and every column's type KIND must agree
+    # with the Spark result's (int vs float vs decimal vs string ...).
+    arrow_schema = duck.execute(sql).arrow().schema
+    bad_types = audit_arrow_schema(arrow_schema)
+    assert not bad_types, f"{name}: non-round-trippable oracle types: {bad_types}"
+    kind_drift = kind_mismatches(sdf.schema, arrow_schema)
+    assert not kind_drift, f"{name}: result-type kind drift: {kind_drift}"
 
     duck_res = duck.execute(sql)
     duck_cols = [d[0] for d in duck_res.description]

@@ -5,7 +5,12 @@ sys.path.insert(0, "/root/repo")
 import duckdb
 from pyspark.sql import SparkSession
 
-spark = SparkSession.builder.master("local[8]").appName("driver-sim").getOrCreate()
+from cocktails_data_engineering_spark.functions.typekinds import (
+    audit_arrow_schema,
+    kind_mismatches,
+)
+
+spark = SparkSession.builder.master("local[8]").appName("driver-sim").config("spark.ui.showConsoleProgress","false").getOrCreate()
 spark.sparkContext.setLogLevel("ERROR")
 
 import __spark_entry__ as e
@@ -26,7 +31,6 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem","ev
 
 def norm(v):
     if isinstance(v, float) and math.isnan(v): return "NaN"
-    if isinstance(v, int): return float(v) if abs(v) < 2**52 else v
     return v
 
 bad = []
@@ -35,11 +39,15 @@ for name in sorted(os_):
     scols = sorted(sdf.columns)
     idx = [sdf.columns.index(c) for c in scols]
     s = Counter(tuple(norm(r[i]) for i in idx) for r in sdf.collect())
+    arrow_schema = con.execute(os_[name]).arrow().schema
+    type_problems = audit_arrow_schema(arrow_schema) + kind_mismatches(
+        sdf.schema, arrow_schema
+    )
     res = con.execute(os_[name])
     dcols = sorted(d[0] for d in res.description)
     didx = [[d[0] for d in res.description].index(c) for c in dcols]
     d = Counter(tuple(norm(r[i]) for i in didx) for r in res.fetchall())
-    ok = (scols == dcols) and (s == d)
+    ok = (scols == dcols) and (s == d) and not type_problems
     print(("OK  " if ok else "FAIL"), name, sum(s.values()), "rows")
     if not ok: bad.append(name)
 print("MISMATCHES:", bad)
