@@ -253,25 +253,73 @@ def json_parse_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Sketch-based percentiles
 # ---------------------------------------------------------------------------
-@register("approx_percentile_prices")  # sketch ⇒ rows-only; error bound in tests
+_APPROX_PS = [0.25, 0.5, 0.75, 0.95]
+_APPROX_ACCURACY = 10000
+# bound the sketch by exact quantiles at p ± this rank slack: 100x the
+# sketch's guaranteed 1/accuracy rank error, so the contract holds under
+# any partitioning / merge order while still being a real bound
+_RANK_SLACK = 0.01
+
+
+def approx_quantiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw sketch quantiles per priority (used by the bounded-contract
+    query below and by the error-bound pytest)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.percentile_approx(
+                "o_totalprice", _APPROX_PS, _APPROX_ACCURACY
+            ).alias("approx_quantiles"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "approx_percentile_prices",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       ROUND(quantile_cont(o_totalprice, 0.5), 6) AS exact_p50,
+       TRUE AS within_bound
+FROM orders GROUP BY o_orderpriority
+""",
+)
 def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles of order totals per priority via the
     percentile_approx sketch (accuracy 10000) — the single-pass,
     fixed-memory companion to the exact percentile_quantiles: sketches
     merge associatively across partitions, so at 100 TB this costs one
     map-side sketch per task + a tiny merge, versus the exact
-    operator's full sort.  tests/test_profiling_windows.py bounds the
-    sketch error against the exact values."""
+    operator's full sort.
+
+    Bounded-contract oracle: the sketch's values are engine-specific, so
+    the emitted columns are the exact median (percentile ≡ DuckDB
+    quantile_cont, both linearly interpolated) plus ``within_bound`` —
+    TRUE iff every sketch quantile lies between the exact quantiles at
+    p ± 1% rank slack (the sketch guarantees 0.01%).  The oracle states
+    the contract as a literal TRUE; a sketch regression flips the Spark
+    side to FALSE and fails the value hash.  The tighter empirical bound
+    is asserted in tests/test_profiling_windows.py."""
     orders = load(spark, sf_dir, "orders")
-    return (
-        orders.groupBy("o_orderpriority")
-        .agg(
-            F.percentile_approx(
-                "o_totalprice", [0.25, 0.5, 0.75, 0.95], 10000
-            ).alias("approx_quantiles"),
-            F.count(F.lit(1)).alias("n_orders"),
+    lo_ps = F.array(*[F.lit(max(p - _RANK_SLACK, 0.0)) for p in _APPROX_PS])
+    hi_ps = F.array(*[F.lit(min(p + _RANK_SLACK, 1.0)) for p in _APPROX_PS])
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.percentile_approx("o_totalprice", _APPROX_PS, _APPROX_ACCURACY).alias("ap"),
+        F.percentile("o_totalprice", lo_ps).alias("lo"),
+        F.percentile("o_totalprice", hi_ps).alias("hi"),
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("exact_p50"),
+    )
+    within = F.lit(True)
+    for i in range(len(_APPROX_PS)):
+        within = within & (F.col("ap")[i] >= F.col("lo")[i]) & (
+            F.col("ap")[i] <= F.col("hi")[i]
         )
-        .orderBy("o_orderpriority")
+    return agg.select(
+        "o_orderpriority", "n_orders", "exact_p50", within.alias("within_bound")
     )
 
 

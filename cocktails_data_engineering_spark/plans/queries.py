@@ -78,6 +78,7 @@ _SAMPLE_FRONT = (
     "mad_outlier_orders",
     "equidepth_histogram_prices",
     "impute_value_by_type",
+    "approx_percentile_prices",  # promoted to bounded-contract oracle in r5
     # curation / retrieval
     "domain_mixture_sample",
     "quality_percentile_filter",

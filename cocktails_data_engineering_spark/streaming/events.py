@@ -23,7 +23,9 @@ stateful-operator API — with state keyed and partitioned by user.
 from __future__ import annotations
 
 import itertools
+import os
 from collections.abc import Iterator
+from contextlib import contextmanager
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -42,36 +44,83 @@ _COUNTER = itertools.count()
 LAST_UPSERT_BATCH_COUNT = [0]
 
 
+# One-time raw parquet schemas per (sf_dir, table): every streaming query
+# needs the file schema before readStream, and re-deriving it costs a
+# full spark.read.parquet footer job per query — it dominated
+# stream_stream_interval_join's startup (two streams = two schema reads).
+_SCHEMA_CACHE: dict = {}
+
+
+def _raw_table_schema(spark: SparkSession, sf_dir: str, table: str):
+    key = (sf_dir, table)
+    if key not in _SCHEMA_CACHE:
+        # Batch load first: sets version-dependent reader confs the stream
+        # reader inherits (ts as int64 nanos or TIMESTAMP_NTZ depends on
+        # the Spark version — see sources/tables.normalize_events_ts).
+        load(spark, sf_dir, table)
+        _SCHEMA_CACHE[key] = spark.read.parquet(f"{sf_dir}/{table}.parquet").schema
+    return _SCHEMA_CACHE[key]
+
+
+def _read_table_stream(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """readStream over one parquet table file (file stream sources need a
+    directory basePath; the glob filter selects the single table file)."""
+    return (
+        spark.readStream.schema(_raw_table_schema(spark, sf_dir, table))
+        .option("pathGlobFilter", f"{table}.parquet")
+        .parquet(sf_dir)
+    )
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet with the same ns→µs timestamp
     normalization as the batch catalog (sources/tables.load)."""
-    # Batch load first: sets any reader confs and gives us the raw schema
-    # (ts as int64 nanos or TIMESTAMP_NTZ, depending on Spark version) the
-    # stream reader needs.
-    load(spark, sf_dir, "events")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # File stream sources need a directory basePath; select the one table
-    # file with a glob filter.
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    return normalize_events_ts(stream)
+    return normalize_events_ts(_read_table_stream(spark, sf_dir, "events"))
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the documents parquet (shared schema cache)."""
+    return _read_table_stream(spark, sf_dir, "documents")
+
+
+# Streaming STATE partitioning is a deployment knob, not a data knob: each
+# shuffle partition of a stateful operator owns a state store whose open /
+# commit cost is paid every micro-batch regardless of row volume.  On a
+# 1000-executor cluster you want hundreds of state partitions for
+# parallelism; on a single node the per-store overhead dominates tiny
+# backlogs (stream_stream_interval_join: 5.8 s at 32 stores vs 1.8 s at 4,
+# identical results).  Results are partitioning-independent either way.
+STREAM_STATE_PARTITIONS = int(
+    os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8")
+)
+
+
+@contextmanager
+def _stream_state_partitions(spark: SparkSession):
+    """Scope spark.sql.shuffle.partitions to STREAM_STATE_PARTITIONS for a
+    streaming query's lifetime (the conf is read at stream start and bakes
+    into the run's state layout), restoring the batch setting after."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def _run_to_memory(result: DataFrame, output_mode: str) -> DataFrame:
     """Execute a streaming plan to completion into a memory sink; return
     the sink table as a static DataFrame."""
     name = f"stream_result_{next(_COUNTER)}"
-    q = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_state_partitions(result.sparkSession):
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return result.sparkSession.table(name)
 
 
@@ -297,12 +346,7 @@ def stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     any earlier batch; state = one key per distinct doc).  Run to
     completion, the surviving key set equals batch DISTINCT — the oracle.
     """
-    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
+    stream = read_documents_stream(spark, sf_dir)
     fingerprinted = stream.select(
         F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))).alias("fingerprint")
     )
@@ -319,13 +363,14 @@ def run_foreach_batch(plan: DataFrame, output_mode: str = "complete") -> list[pd
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         collected.append(batch_df.toPandas())
 
-    q = (
-        plan.writeStream.foreachBatch(sink)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_state_partitions(plan.sparkSession):
+        q = (
+            plan.writeStream.foreachBatch(sink)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return collected
 
 
@@ -419,13 +464,14 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged.write.mode("overwrite").parquet(new_path)
         state_path[0] = new_path
 
-    q = (
-        stream.writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_state_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     assert state_path[0] is not None, "stream produced no batches"
     final = spark.read.parquet(state_path[0]).select(
         "user_id", "n_purchases", F.col("sum_dec").cast("double").alias("sum_value")
@@ -546,12 +592,7 @@ def stream_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs_batch = load(spark, sf_dir, "documents")
     rates = mixture_rates(spark, docs_batch)
 
-    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
+    stream = read_documents_stream(spark, sf_dir)
     plan = (
         mixture_keep_filter(stream, rates)
         .groupBy("lang")
@@ -610,12 +651,7 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.median("qscore"), 6).alias("q_thr"))
     )
 
-    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
+    stream = read_documents_stream(spark, sf_dir)
     gated = (
         quality_features(stream)
         .select("source", qscore.alias("qscore"))

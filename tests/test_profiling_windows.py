@@ -60,7 +60,7 @@ def test_approx_percentile_within_tolerance_of_exact(spark, sf_dir):
     orders = load(spark, sf_dir, "orders")
     approx = {
         r["o_orderpriority"]: r["approx_quantiles"]
-        for r in profiling.approx_percentile_prices(spark, sf_dir).collect()
+        for r in profiling.approx_quantiles_by_priority(spark, sf_dir).collect()
     }
     for prio, quantiles in approx.items():
         prices = sorted(

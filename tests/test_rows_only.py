@@ -42,7 +42,6 @@ def test_rows_only_set_is_pinned(spark):
     rows_only = set(all_queries()) - set(all_oracles())
     assert rows_only == {
         "approx_distinct_users",
-        "approx_percentile_prices",
         "approx_topk_words",
         "hll_distinct_by_type",
         "hll_rolling_7d_users",
