@@ -841,3 +841,91 @@ SELECT doc_id, {_SPARK_STACK} AS (band_id, band_key) FROM mins
         "matched_corpus_doc",
         F.when(F.col("matched_corpus_doc").isNull(), 1).otherwise(0).cast("int").alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Jaccard CONTAINMENT near-dup pairs (asymmetric: quote / partial-copy)
+# ---------------------------------------------------------------------------
+
+# prune shingles present in more than this fraction of documents before the
+# pair join (boilerplate shingles dominate Σ df² and carry no signal — the
+# same prefix-filter trade as lexical.DF_CAP_RATIO and HOT_BUCKET_CAP)
+CONTAIN_DF_RATIO = 0.10
+CONTAIN_TAU = 0.5
+
+_CONTAIN_ORACLE = f"""
+WITH sh AS ({_ORACLE_SHINGLES.strip()}),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM sh),
+kept AS (
+  SELECT sh.doc_id, sh.shingle FROM sh
+  JOIN (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle) d USING (shingle)
+  WHERE d.df <= (SELECT n FROM nd) * {CONTAIN_DF_RATIO}
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, n_shared,
+       ROUND(CAST(n_shared AS DOUBLE) / sa.sz, 6) AS cont_a,
+       ROUND(CAST(n_shared AS DOUBLE) / sb.sz, 6) AS cont_b
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE ROUND(CAST(n_shared AS DOUBLE) / sa.sz, 6) >= {CONTAIN_TAU}
+   OR ROUND(CAST(n_shared AS DOUBLE) / sb.sz, 6) >= {CONTAIN_TAU}
+"""
+
+
+@register("containment_dup_pairs", oracle=_CONTAIN_ORACLE)
+def containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup detection by Jaccard CONTAINMENT
+    |A∩B| / |A|: catches quotes, partial copies, and
+    document-inside-document duplication that symmetric Jaccard misses
+    (a 100-word quote inside a 10 000-word page has tiny Jaccard but
+    containment ≈ 1 on the quote side).  The third metric of the
+    shingle family beside minhash_near_dedup (symmetric, sketched) and
+    ngram_jaccard_dedup (symmetric, exact).
+
+    Plan at 100 TB: document-frequency pruning (> {CONTAIN_DF_RATIO:.0%}
+    of docs) bounds the shared-shingle equi-join to Σ min(df, cap)²
+    like every candidates→verify member; intersection counts and set
+    sizes are integers, the two divisions are rounded to 6 on both
+    engines, and the threshold compares the ROUNDED value so boundary
+    ulps cannot flip membership."""
+    sh = _shingles(load_spread(spark, sf_dir, "documents"))
+    nd = sh.agg(F.countDistinct("doc_id").alias("n"))
+    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    keep = (
+        df_counts.crossJoin(F.broadcast(nd))
+        .filter(F.col("df") <= F.col("n") * CONTAIN_DF_RATIO)
+        .select("shingle")
+    )
+    kept = sh.join(F.broadcast(keep), "shingle")
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = kept.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    cont_a = F.round(F.col("n_shared").cast("double") / F.col("sz_a"), 6)
+    cont_b = F.round(F.col("n_shared").cast("double") / F.col("sz_b"), 6)
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            cont_a.alias("cont_a"),
+            cont_b.alias("cont_b"),
+        )
+        .filter((F.col("cont_a") >= CONTAIN_TAU) | (F.col("cont_b") >= CONTAIN_TAU))
+    )

@@ -395,3 +395,82 @@ def entity_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cc = connected_components(pairs)
     return cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_members"))
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood blocking (the other classic ER candidate generator)
+# ---------------------------------------------------------------------------
+_SN_WINDOW = 2  # compare each token with its next 2 sorted neighbors
+_SN_MAX_ED = 2
+
+# same token domain as fuzzy_join_ed1 (the _FUZZY_PAIRS_CTES toks CTE)
+_SN_TOKS = """
+  SELECT DISTINCT w || '_' || CAST(doc_id % 30 AS VARCHAR) AS token
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> ''
+"""
+
+
+@register(
+    "sorted_neighborhood_pairs",
+    oracle=f"""
+WITH toks AS ({_SN_TOKS}),
+nb AS (
+  SELECT token,
+         lead(token, 1) OVER (PARTITION BY substr(token, 1, 1) ORDER BY token) AS n1,
+         lead(token, 2) OVER (PARTITION BY substr(token, 1, 1) ORDER BY token) AS n2
+  FROM toks
+),
+pairs AS (
+  SELECT token AS token_a, n1 AS token_b FROM nb WHERE n1 IS NOT NULL
+  UNION ALL
+  SELECT token AS token_a, n2 AS token_b FROM nb WHERE n2 IS NOT NULL
+)
+SELECT token_a, token_b, CAST(levenshtein(token_a, token_b) AS INT) AS ed
+FROM pairs
+WHERE levenshtein(token_a, token_b) <= {_SN_MAX_ED}
+""",
+)
+def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking: sort the key domain, compare each
+    token only with its next {_SN_WINDOW} sorted neighbors, verify with
+    edit distance ≤ {_SN_MAX_ED}.  The OTHER classic entity-resolution
+    candidate generator beside deletion-neighborhood hashing
+    (fuzzy_join_ed1): deletion variants catch any single edit anywhere,
+    sorted neighbors catch longer shared-prefix families — production ER
+    runs both and unions the candidate sets.
+
+    Plan at 100 TB: the sort is PARTITIONED by the token's first
+    character (the standard multi-pass SN trick), so each partition
+    sorts independently — no global window, no single-reducer sort; the
+    candidate count is exactly {_SN_WINDOW}·|tokens| and the verify cost
+    is linear, never N²."""
+    docs = load(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            F.explode(F.split("text", " ")).alias("w"),
+            (F.col("doc_id") % 30).cast("string").alias("sfx"),
+        )
+        .filter(F.col("w") != "")
+        .select(F.concat("w", F.lit("_"), "sfx").alias("token"))
+        .distinct()
+    )
+    w = Window.partitionBy(F.substring("token", 1, 1)).orderBy("token")
+    nb = toks.select(
+        "token",
+        F.lead("token", 1).over(w).alias("n1"),
+        F.lead("token", 2).over(w).alias("n2"),
+    )
+    pairs = (
+        nb.filter(F.col("n1").isNotNull()).select(
+            F.col("token").alias("token_a"), F.col("n1").alias("token_b")
+        )
+    ).unionAll(
+        nb.filter(F.col("n2").isNotNull()).select(
+            F.col("token").alias("token_a"), F.col("n2").alias("token_b")
+        )
+    )
+    ed = F.levenshtein("token_a", "token_b")
+    return pairs.select("token_a", "token_b", ed.alias("ed")).filter(
+        F.col("ed") <= _SN_MAX_ED
+    )

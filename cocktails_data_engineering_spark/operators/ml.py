@@ -1,0 +1,362 @@
+"""In-database ML: classifier training/evaluation and distribution fits
+executed entirely as relational plans — no UDFs, no driver-side math.
+
+The reference's pipeline ends at "store the documents"
+(``scripts/spiders/web_spider_oo.py:283-308``); a training-data platform
+additionally needs model-shaped quality signals computed IN the engine:
+a supervised classifier over the corpus metadata (label noise detection,
+weak supervision), a Zipf fit (corpus naturalness check — scraped spam
+and boilerplate deviate from Zipf), and embedding-distribution drift
+monitoring between an incoming batch and the corpus (the alarm that
+triggers re-curation).  All three follow the repo's engine-exact
+discipline (docs/DRIVER_CONTRACT.md): integer counts, DECIMAL
+accumulation, ``ROUND(x, 6)`` at every double emission, ties broken by
+explicit secondary keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.numerics import dsum
+from ..registry import register
+from ..sources.tables import load, load_spread
+from .clustering import DIM
+from .curation import BATCH_MOD
+
+# ---------------------------------------------------------------------------
+# Multinomial Naive Bayes: train on the corpus, evaluate on the corpus,
+# emit the confusion matrix (the label-noise / separability profile).
+# ---------------------------------------------------------------------------
+
+_NB_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS word
+  FROM documents
+),
+tf AS (SELECT doc_id, lang AS true_lang, word, COUNT(*) AS tf
+       FROM toks GROUP BY doc_id, lang, word),
+wl AS (SELECT word, lang, COUNT(*) AS cwl FROM toks GROUP BY word, lang),
+cl AS (SELECT lang, COUNT(*) AS cl FROM toks GROUP BY lang),
+v AS (SELECT COUNT(DISTINCT word) AS v FROM toks),
+nd AS (SELECT lang, COUNT(DISTINCT doc_id) AS nd FROM toks GROUP BY lang),
+nt AS (SELECT COUNT(DISTINCT doc_id) AS nt FROM toks),
+langs AS (
+  SELECT cl.lang AS cand_lang, cl.cl, v.v, nd.nd, nt.nt,
+         ROUND(ln(CAST(nd.nd AS DOUBLE) / nt.nt), 6) AS logprior,
+         ROUND(ln(CAST(1 AS DOUBLE) / (cl.cl + v.v)), 6) AS default_logp
+  FROM cl CROSS JOIN v JOIN nd ON nd.lang = cl.lang CROSS JOIN nt
+),
+scored AS (
+  SELECT t.doc_id, t.true_lang, l.cand_lang,
+         ROUND(
+           MAX(l.logprior)
+           + CAST(SUM(CAST(t.tf * COALESCE(
+                 ROUND(ln(CAST(wl.cwl + 1 AS DOUBLE) / (l.cl + l.v)), 6),
+                 l.default_logp) AS DECIMAL(18,6))) AS DOUBLE),
+           6) AS score
+  FROM tf t
+  CROSS JOIN langs l
+  LEFT JOIN wl ON wl.word = t.word AND wl.lang = l.cand_lang
+  GROUP BY t.doc_id, t.true_lang, l.cand_lang
+),
+pred AS (
+  SELECT doc_id, true_lang, cand_lang AS pred_lang
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, cand_lang) AS rk
+        FROM scored) t
+  WHERE rk = 1
+)
+SELECT true_lang, pred_lang, COUNT(*) AS n_docs
+FROM pred GROUP BY true_lang, pred_lang
+"""
+
+
+@register("naive_bayes_lang_confusion", oracle=_NB_ORACLE)
+def naive_bayes_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes trained in-engine on (word, lang) counts
+    with Laplace smoothing, applied back to every document; emits the
+    confusion matrix.  High-confusion cells localize label noise — the
+    weak-supervision quality gate a curation pipeline runs before
+    training on metadata labels.
+
+    Engine-exactness: counts are integers; every ``ln`` is rounded to 6
+    on both engines before use; per-document scores accumulate the
+    integer-tf × rounded-logp products in DECIMAL (order-free), so the
+    argmax compares identical doubles and ties break on the language
+    name.
+
+    Plan at 100 TB: one token scan feeds the tf / (word,lang) / totals
+    aggregates (all map-side combined); the model — |langs| priors plus
+    per-language totals — broadcasts; scoring is one equi-join of the
+    doc-term table against (word,lang) stats, shuffled on the word key
+    (bounded by corpus vocabulary, never N²); the argmax is a per-doc
+    window."""
+    toks = (
+        load_spread(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.split(F.lower("text"), " ")).alias("word"),
+        )
+        .filter(F.col("word") != "")
+    )
+    tf = toks.groupBy("doc_id", F.col("lang").alias("true_lang"), "word").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    wl = toks.groupBy("word", "lang").agg(F.count(F.lit(1)).alias("cwl"))
+    cl = toks.groupBy("lang").agg(F.count(F.lit(1)).alias("cl"))
+    v = toks.agg(F.countDistinct("word").alias("v"))
+    nd = toks.groupBy("lang").agg(F.countDistinct("doc_id").alias("nd"))
+    nt = toks.agg(F.countDistinct("doc_id").alias("nt"))
+    langs = (
+        cl.crossJoin(F.broadcast(v))
+        .join(nd, "lang")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            F.col("lang").alias("cand_lang"),
+            "cl",
+            "v",
+            F.round(F.log(F.col("nd").cast("double") / F.col("nt")), 6).alias(
+                "logprior"
+            ),
+            F.round(F.log(F.lit(1.0) / (F.col("cl") + F.col("v"))), 6).alias(
+                "default_logp"
+            ),
+        )
+    )
+    seen_logp = F.round(
+        F.log((F.col("cwl") + 1).cast("double") / (F.col("cl") + F.col("v"))), 6
+    )
+    scored = (
+        tf.crossJoin(F.broadcast(langs))
+        .join(
+            wl.select("word", F.col("lang").alias("cand_lang"), "cwl"),
+            ["word", "cand_lang"],
+            "left",
+        )
+        .select(
+            "doc_id",
+            "true_lang",
+            "cand_lang",
+            "logprior",
+            (F.col("tf") * F.coalesce(seen_logp, F.col("default_logp"))).alias("term"),
+        )
+        .groupBy("doc_id", "true_lang", "cand_lang")
+        .agg(F.round(F.max("logprior") + dsum(F.col("term")), 6).alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("cand_lang"))
+    pred = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("true_lang", F.col("cand_lang").alias("pred_lang"))
+    )
+    return pred.groupBy("true_lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency fit (corpus naturalness)
+# ---------------------------------------------------------------------------
+
+ZIPF_TOP_N = 500
+
+_ZIPF_ORACLE = f"""
+WITH wc AS (
+  SELECT word, COUNT(*) AS n
+  FROM (SELECT unnest(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS word
+        FROM documents)
+  GROUP BY word
+),
+top AS (SELECT word, n FROM wc ORDER BY n DESC, word LIMIT {ZIPF_TOP_N}),
+pts AS (
+  SELECT ROUND(ln(CAST(ROW_NUMBER() OVER (ORDER BY n DESC, word) AS DOUBLE)), 6) AS x,
+         ROUND(ln(CAST(n AS DOUBLE)), 6) AS y
+  FROM top
+),
+sums AS (
+  SELECT COUNT(*) AS n,
+         ROUND(CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE), 6) AS sx,
+         ROUND(CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE), 6) AS sy,
+         ROUND(CAST(SUM(CAST(x * y AS DECIMAL(28,6))) AS DOUBLE), 6) AS sxy,
+         ROUND(CAST(SUM(CAST(x * x AS DECIMAL(28,6))) AS DOUBLE), 6) AS sxx,
+         ROUND(CAST(SUM(CAST(y * y AS DECIMAL(28,6))) AS DOUBLE), 6) AS syy
+  FROM pts
+)
+SELECT n AS n_words, slope,
+       ROUND(sy / n - slope * sx / n, 6) AS intercept,
+       ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM (SELECT *, ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope
+      FROM sums) t
+"""
+
+
+@register("zipf_fit_words", oracle=_ZIPF_ORACLE)
+def zipf_fit_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: least-squares slope of
+    ln(frequency) on ln(rank) for the top-{ZIPF_TOP_N} words, plus R².
+    Natural language sits near slope −1 with high R²; machine-generated
+    spam, boilerplate floods, and encoding garbage bend the curve — a
+    one-row corpus health check curation pipelines run per ingest batch.
+
+    Engine-exactness: the OLS follows ols_trend_by_priority's discipline
+    — DECIMAL moment sums, slope rounded to 6 BEFORE the intercept
+    formula reuses it (sub-round ulps amplify through n·x̄).
+
+    Plan: word count (map-side combined) → TakeOrderedAndProject keeps
+    {ZIPF_TOP_N} rows → the rank window and regression run on a
+    constant-size set, so the global ORDER BY costs nothing at any
+    corpus size."""
+    wc = (
+        load_spread(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = wc.orderBy(F.desc("n"), F.asc("word")).limit(ZIPF_TOP_N)
+    rk = F.row_number().over(Window.orderBy(F.desc("n"), F.asc("word")))
+    pts = top.select(
+        F.round(F.log(rk.cast("double")), 6).alias("x"),
+        F.round(F.log(F.col("n").cast("double")), 6).alias("y"),
+    )
+    sums = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(dsum(F.col("x")), 6).alias("sx"),
+        F.round(dsum(F.col("y")), 6).alias("sy"),
+        F.round(
+            F.sum((F.col("x") * F.col("y")).cast("decimal(28,6)")).cast("double"), 6
+        ).alias("sxy"),
+        F.round(
+            F.sum((F.col("x") * F.col("x")).cast("decimal(28,6)")).cast("double"), 6
+        ).alias("sxx"),
+        F.round(
+            F.sum((F.col("y") * F.col("y")).cast("decimal(28,6)")).cast("double"), 6
+        ).alias("syy"),
+    )
+    slope = F.round(
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+        6,
+    )
+    r2 = F.round(
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        * (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        ),
+        6,
+    )
+    return sums.select(
+        F.col("n").alias("n_words"),
+        slope.alias("slope"),
+        F.round(
+            F.col("sy") / F.col("n") - slope * F.col("sx") / F.col("n"), 6
+        ).alias("intercept"),
+        r2.alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-distribution drift: incoming batch vs corpus, per label
+# ---------------------------------------------------------------------------
+
+_DRIFT_ORACLE = f"""
+WITH vecs AS (
+  SELECT vec_id, label,
+         CASE WHEN vec_id % {BATCH_MOD} = 0 THEN 'batch' ELSE 'corpus' END AS side,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+cent AS (
+  SELECT label, side, i,
+         ROUND(CAST(SUM(CAST(emb[i] AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*), 6) AS c
+  FROM vecs CROSS JOIN generate_series(1, {DIM}) t(i)
+  GROUP BY label, side, i
+),
+counts AS (
+  SELECT label,
+         CAST(SUM(CASE WHEN side = 'corpus' THEN 1 ELSE 0 END) AS BIGINT) AS n_corpus,
+         CAST(SUM(CASE WHEN side = 'batch' THEN 1 ELSE 0 END) AS BIGINT) AS n_batch
+  FROM vecs GROUP BY label
+)
+SELECT counts.label, n_corpus, n_batch,
+       ROUND(sqrt(CAST(SUM(CAST((a.c - b.c) * (a.c - b.c) AS DECIMAL(28,12)))
+                       AS DOUBLE)), 6) AS l2_drift
+FROM cent a
+JOIN cent b ON a.label = b.label AND a.i = b.i
+           AND a.side = 'corpus' AND b.side = 'batch'
+JOIN counts ON counts.label = a.label
+GROUP BY counts.label, n_corpus, n_batch
+"""
+
+
+@register("embedding_drift_by_label", oracle=_DRIFT_ORACLE)
+def embedding_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor for embeddings: L2 distance between the
+    per-label centroid of the incoming batch (vec_id % {BATCH_MOD} == 0,
+    the same split as incremental_semantic_dedup) and of the standing
+    corpus.  A drifting label means the upstream embedding model or the
+    data mix changed — the alarm that triggers re-curation before the
+    batch contaminates training.
+
+    Engine-exactness: per-dimension means accumulate in DECIMAL and round
+    to 6; the squared-difference sum accumulates the products of those
+    identical doubles in DECIMAL; sqrt is IEEE-correctly-rounded in both
+    engines.
+
+    Plan: one posexplode scan → (label, side, dim) means (map-side
+    combined, ≤ |labels|·2·{DIM} rows out); the drift join runs on that
+    metadata-sized table.  Nothing but the first aggregate ever sees the
+    full vector table."""
+    vecs = load_spread(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.when(F.col("vec_id") % BATCH_MOD == 0, "batch")
+        .otherwise("corpus")
+        .alias("side"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    cent = (
+        vecs.select("label", "side", F.posexplode("emb").alias("i", "x"))
+        .groupBy("label", "side", "i")
+        .agg(
+            F.round(
+                F.sum(F.col("x").cast("decimal(18,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("c")
+        )
+    )
+    counts = vecs.groupBy("label").agg(
+        F.sum(F.when(F.col("side") == "corpus", 1).otherwise(0)).alias("n_corpus"),
+        F.sum(F.when(F.col("side") == "batch", 1).otherwise(0)).alias("n_batch"),
+    )
+    a = cent.filter(F.col("side") == "corpus").select(
+        "label", "i", F.col("c").alias("ca")
+    )
+    b = cent.filter(F.col("side") == "batch").select(
+        "label", "i", F.col("c").alias("cb")
+    )
+    return (
+        a.join(b, ["label", "i"])
+        .groupBy("label")
+        .agg(
+            F.round(
+                F.sqrt(
+                    F.sum(
+                        ((F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb")))
+                        .cast("decimal(28,12)")
+                    ).cast("double")
+                ),
+                6,
+            ).alias("l2_drift")
+        )
+        .join(counts, "label")
+        .select("label", "n_corpus", "n_batch", "l2_drift")
+    )

@@ -773,3 +773,119 @@ def checksum_drilldown_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.o_totalprice").alias("price_a"),
         F.col("b.o_totalprice").alias("price_b"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction planning (bin packing by running size)
+# ---------------------------------------------------------------------------
+_COMPACT_TARGET = 64 * 1024  # target compacted-file size (bytes, fixture-scaled)
+
+
+@register(
+    "compaction_bin_packing",
+    oracle=f"""
+WITH files AS (
+  SELECT source, doc_id AS file_id, n_chars AS bytes,
+         COALESCE(SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM documents
+),
+planned AS (
+  SELECT source, file_id, bytes,
+         CAST(before / {_COMPACT_TARGET} AS INT) AS bin
+  FROM files
+)
+SELECT source, bin,
+       COUNT(*) AS n_files,
+       CAST(SUM(bytes) AS BIGINT) AS total_bytes
+FROM planned GROUP BY source, bin
+""",
+)
+def compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan: assign each file (simulated here by a
+    document's byte size) to a target-sized output bin by running
+    cumulative size within its partition — the OPTIMIZE/compact planning
+    step every lakehouse table needs once streaming ingest has sprayed
+    thousands of under-sized files.
+
+    The assignment is the deterministic first-fit of files in id order:
+    bin = floor(bytes_before / target).  Deterministic means the plan is
+    reproducible and both engines agree exactly — no greedy heuristic
+    with engine-dependent iteration order.
+
+    Plan at 100 TB: the window is partitioned by the table partition key
+    (source), so each partition's running sum is independent — this is
+    per-partition metadata work over file MANIFESTS (rows = #files, not
+    #records), never over table data."""
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    files = load(spark, sf_dir, "documents").select(
+        "source",
+        F.col("doc_id").alias("file_id"),
+        F.col("n_chars").alias("bytes"),
+        F.coalesce(F.sum("n_chars").over(w), F.lit(0)).alias("before"),
+    )
+    return (
+        files.select(
+            "source",
+            "bytes",
+            (F.col("before") / _COMPACT_TARGET).cast("int").alias("bin"),
+        )
+        .groupBy("source", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("bytes").alias("total_bytes"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pareto frontier (skyline): best price for every date horizon
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pareto_frontier_orders",
+    oracle="""
+WITH daily AS (
+  SELECT o_orderdate AS d, MAX(o_totalprice) AS day_max
+  FROM orders GROUP BY o_orderdate
+)
+SELECT d AS o_orderdate, day_max AS max_price
+FROM (
+  SELECT d, day_max,
+         MAX(day_max) OVER (ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_before
+  FROM daily
+) t
+WHERE best_before IS NULL OR day_max > best_before
+""",
+)
+def pareto_frontier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): the days whose maximum order price
+    beats every EARLIER day — the non-dominated set under (earlier date,
+    higher price).  The skyline/top-k-tradeoff operator behind
+    best-offer-so-far, record-progression, and cheapest-by-deadline
+    queries.
+
+    Scalable shape: raw rows collapse to per-day maxima FIRST (map-side
+    combined aggregate; output is calendar-sized), and only that
+    metadata-sized series goes through the running-max window — the
+    global ORDER BY the textbook skyline needs never touches row-level
+    data.  The window is single-partition, but over |distinct dates|
+    rows (~2.4 k for 100 TB of TPC-H), which is free."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(F.max("o_totalprice").alias("day_max"))
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    frontier = daily.select(
+        "d", "day_max", F.max("day_max").over(w).alias("best_before")
+    ).filter(F.col("best_before").isNull() | (F.col("day_max") > F.col("best_before")))
+    return frontier.select(
+        F.col("d").alias("o_orderdate"), F.col("day_max").alias("max_price")
+    )

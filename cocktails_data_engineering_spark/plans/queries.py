@@ -31,6 +31,7 @@ _OPERATOR_MODULES = (
     "cocktails_data_engineering_spark.operators.warehouse",
     "cocktails_data_engineering_spark.operators.timeseries",
     "cocktails_data_engineering_spark.operators.curation",
+    "cocktails_data_engineering_spark.operators.ml",
     "cocktails_data_engineering_spark.operators.text_analysis",
     "cocktails_data_engineering_spark.operators.graph",
     "cocktails_data_engineering_spark.operators.crawl",

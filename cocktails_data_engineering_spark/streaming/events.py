@@ -28,7 +28,7 @@ from collections.abc import Iterator
 from contextlib import contextmanager
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -714,3 +714,46 @@ def stream_error_rate_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(plan, "complete")
+
+
+@register(
+    "stream_topk_trending",
+    oracle=f"""
+WITH counts AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+         event_type, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT window_start, event_type, n_events, rk
+FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY window_start
+                     ORDER BY n_events DESC, event_type) AS INT) AS rk
+      FROM counts) t
+WHERE rk <= 3
+""",
+)
+def stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending detection: top-3 event types per hourly window, computed
+    by a STREAMING watermarked count with the rank applied to the
+    continuously-maintained result table — the live "what's hot now"
+    dashboard query.
+
+    Streaming semantics: ranking is not incrementally expressible inside
+    a streaming agg (a late event can reorder a window's ranks), so the
+    canonical shape splits it: the stream maintains the additive counts
+    (bounded state per window×type, watermark-evicted), and the rank is
+    a cheap deterministic window over the RESULT table each refresh —
+    at 100 TB the ranked set is windows×types (metadata-sized), not
+    events.  Ties break on event_type; run to completion the ranks
+    equal the batch oracle's."""
+    events = read_events_stream(spark, sf_dir)
+    counted = _run_to_memory(tumbling_plan(events), "complete").select(
+        "window_start", "event_type", "n_events"
+    )
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        counted.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("window_start", "event_type", "n_events", "rk")
+    )

@@ -236,3 +236,52 @@ def test_fuzzy_join_blocks_on_variant_key(spark, sf_dir):
 def test_bm25_topk_never_global_sorts(spark, sf_dir):
     plan = _plan(spark, sf_dir, "bm25_keyword_search")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_containment_join_is_df_pruned_equi_join(spark, sf_dir):
+    """Containment pairs must come from the shared-shingle equi-join
+    (bounded by the df prune) — never an all-pairs comparison."""
+    plan = _plan(spark, sf_dir, "containment_dup_pairs")
+    assert "CartesianProduct" not in plan
+
+
+def test_sorted_neighborhood_window_is_partitioned(spark, sf_dir):
+    """The SN sort must be partitioned by the blocking key (first char):
+    a single-partition global sort would serialize the token domain."""
+    plan = _plan(spark, sf_dir, "sorted_neighborhood_pairs")
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_naive_bayes_scores_through_equi_join(spark, sf_dir):
+    """NB scoring joins doc terms to (word, lang) stats on the word key;
+    the only nested-loop is the broadcast of the |langs|-row model."""
+    plan = _plan(spark, sf_dir, "naive_bayes_lang_confusion")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_zipf_topn_never_global_sorts(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "zipf_fit_words")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_pareto_frontier_windows_daily_aggregate_only(spark, sf_dir):
+    """The skyline's running max must run AFTER the per-day rollup: the
+    (single-partition, calendar-sized) window sits above an aggregate,
+    never above the raw orders scan."""
+    df = plans.all_queries()["pareto_frontier_orders"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    w = plan.find("Window")
+    agg = plan.find("HashAggregate")
+    assert w != -1 and agg != -1
+    # plan strings print top-down: the window node appears above (before)
+    # the aggregate it consumes
+    assert w < agg
+
+
+def test_embedding_drift_no_quadratic_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "embedding_drift_by_label")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
