@@ -895,7 +895,9 @@ def containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes are integers, the two divisions are rounded to 6 on both
     engines, and the threshold compares the ROUNDED value so boundary
     ulps cannot flip membership."""
-    sh = _shingles(load_spread(spark, sf_dir, "documents"))
+    # one shingle scan feeds four consumers (df counts, corpus size, both
+    # join sides) — materialize it once instead of re-exploding the text
+    sh = materialize(_shingles(load_spread(spark, sf_dir, "documents")))
     nd = sh.agg(F.countDistinct("doc_id").alias("n"))
     df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     keep = (
@@ -928,4 +930,49 @@ def containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             cont_b.alias("cont_b"),
         )
         .filter((F.col("cont_a") >= CONTAIN_TAU) | (F.col("cont_b") >= CONTAIN_TAU))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingle novelty (memorization-risk / boilerplate signal)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "shingle_novelty_score",
+    oracle=f"""
+WITH sh AS ({_ORACLE_SHINGLES.strip()}),
+df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle)
+SELECT sh.doc_id,
+       COUNT(*) AS n_shingles,
+       CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       ROUND(CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS novelty
+FROM sh JOIN df USING (shingle)
+GROUP BY sh.doc_id
+""",
+)
+def shingle_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the share of a document's word-3-shingles
+    that appear NOWHERE else in the corpus (corpus document frequency
+    = 1).  Low novelty flags boilerplate and near-copies the pairwise
+    dedup family then localizes; high novelty marks the unique long-tail
+    content worth keeping — the cheap corpus-level triage that runs
+    before any pair generation.
+
+    Plan at 100 TB: shingle df is one content-keyed aggregate (map-side
+    combined); the score join is shingle-keyed with the per-doc rollup
+    on doc_id — two shuffles total, both linear in the shingle count,
+    and integer counts + one rounded division keep it engine-exact."""
+    sh = materialize(_shingles(load_spread(spark, sf_dir, "documents")))
+    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    uniq = F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+    return (
+        sh.join(df_counts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            uniq.alias("n_unique"),
+            F.round(uniq.cast("double") / F.count(F.lit(1)), 6).alias("novelty"),
+        )
     )

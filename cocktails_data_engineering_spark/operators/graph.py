@@ -359,3 +359,82 @@ def cooccurrence_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_wedges",
         (F.lit(3.0) * F.col("t") / F.col("n_wedges")).alias("global_clustering"),
     )
+
+
+# ---------------------------------------------------------------------------
+# K-core decomposition (bounded peeling rounds)
+# ---------------------------------------------------------------------------
+KCORE_K = 3
+KCORE_ROUNDS = 3
+
+_KCORE_UND = """
+SELECT DISTINCT a, b FROM (
+  SELECT o_custkey % 30 AS a, o_orderkey % 30 AS b FROM orders
+  UNION ALL
+  SELECT o_orderkey % 30 AS a, o_custkey % 30 AS b FROM orders
+) WHERE a <> b
+"""
+
+
+def _kcore_oracle() -> str:
+    ctes = [f"e0 AS ({_KCORE_UND})"]
+    for r in range(KCORE_ROUNDS):
+        ctes.append(
+            f"""n{r + 1} AS (
+  SELECT a AS node FROM e{r} GROUP BY a HAVING COUNT(*) >= {KCORE_K}
+)"""
+        )
+        ctes.append(
+            f"""e{r + 1} AS (
+  SELECT e.a, e.b FROM e{r} e
+  JOIN n{r + 1} x ON x.node = e.a
+  JOIN n{r + 1} y ON y.node = e.b
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT a AS node, COUNT(*) AS degree
+FROM e{KCORE_ROUNDS} GROUP BY a
+"""
+    )
+
+
+@register("kcore_crawl_graph", oracle=_kcore_oracle())
+def kcore_crawl_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{KCORE_K}-core peeling over the undirected crawl graph:
+    {KCORE_ROUNDS} rounds of "drop every node with degree < {KCORE_K},
+    recompute degrees" — the dense-subgraph extractor that separates a
+    link graph's spam farms and hub cores from its long tail (a crawler
+    prioritization signal next to PageRank).
+
+    Fixed unrolled rounds keep both engines on the identical computation
+    (the oracle chains one CTE pair per round), the same bounded-
+    iteration discipline as pagerank_crawl_graph.
+
+    Plan at 100 TB: each round is one degree aggregate (map-side
+    combined) + two semi-join-shaped filters of the edge list against
+    the surviving-node set — everything keyed on node ids, monotonically
+    shrinking, never quadratic."""
+    orders = load(spark, sf_dir, "orders")
+    fwd = orders.select(
+        (F.col("o_custkey") % 30).alias("a"), (F.col("o_orderkey") % 30).alias("b")
+    )
+    bwd = orders.select(
+        (F.col("o_orderkey") % 30).alias("a"), (F.col("o_custkey") % 30).alias("b")
+    )
+    edges = fwd.unionAll(bwd).filter(F.col("a") != F.col("b")).distinct()
+    for _ in range(KCORE_ROUNDS):
+        alive = (
+            edges.groupBy("a")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= KCORE_K)
+            .select(F.col("a").alias("node"))
+        )
+        edges = (
+            edges.join(F.broadcast(alive.select(F.col("node").alias("a"))), "a", "left_semi")
+            .join(F.broadcast(alive.select(F.col("node").alias("b"))), "b", "left_semi")
+            .transform(materialize)
+        )
+    return edges.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..checkpointing import materialize
 from ..functions.numerics import dsum
 from ..registry import register
 from ..sources.tables import load, load_spread
@@ -94,6 +95,10 @@ def naive_bayes_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-term table against (word,lang) stats, shuffled on the word key
     (bounded by corpus vocabulary, never N²); the argmax is a per-doc
     window."""
+    # the raw token explosion is ~3x the input and is consumed six times;
+    # instead of re-scanning (or worse, checkpointing the blowup), collapse
+    # it ONCE into the doc-term table and derive every model statistic from
+    # that — tf is the smallest table all six consumers can share
     toks = (
         load_spread(spark, sf_dir, "documents")
         .select(
@@ -103,14 +108,20 @@ def naive_bayes_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("word") != "")
     )
-    tf = toks.groupBy("doc_id", F.col("lang").alias("true_lang"), "word").agg(
-        F.count(F.lit(1)).alias("tf")
+    tf = materialize(
+        toks.groupBy("doc_id", F.col("lang").alias("true_lang"), "word").agg(
+            F.count(F.lit(1)).alias("tf")
+        )
     )
-    wl = toks.groupBy("word", "lang").agg(F.count(F.lit(1)).alias("cwl"))
-    cl = toks.groupBy("lang").agg(F.count(F.lit(1)).alias("cl"))
-    v = toks.agg(F.countDistinct("word").alias("v"))
-    nd = toks.groupBy("lang").agg(F.countDistinct("doc_id").alias("nd"))
-    nt = toks.agg(F.countDistinct("doc_id").alias("nt"))
+    wl = tf.groupBy("word", F.col("true_lang").alias("lang")).agg(
+        F.sum("tf").alias("cwl")
+    )
+    cl = tf.groupBy(F.col("true_lang").alias("lang")).agg(F.sum("tf").alias("cl"))
+    v = tf.agg(F.countDistinct("word").alias("v"))
+    nd = tf.groupBy(F.col("true_lang").alias("lang")).agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    nt = tf.agg(F.countDistinct("doc_id").alias("nt"))
     langs = (
         cl.crossJoin(F.broadcast(v))
         .join(nd, "lang")

@@ -1044,3 +1044,50 @@ def ab_test_wilson_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((p + 1.9208 / F.col("n") - halfw) / denom, 6).alias("wilson_low"),
         F.round((p + 1.9208 / F.col("n") + halfw) / denom, 6).alias("wilson_high"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted sampling (Efraimidis–Spirakis top-k)
+# ---------------------------------------------------------------------------
+WEIGHTED_SAMPLE_K = 50
+
+
+@register(
+    "weighted_sample_docs",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id, lang, n_chars,
+         -ln((CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                   AS BIGINT) AS DOUBLE) + 1) / 4294967296.0)
+           / n_chars AS k
+  FROM documents
+)
+SELECT doc_id, lang, n_chars, ROUND(k, 6) AS sample_key
+FROM keyed
+ORDER BY k, doc_id
+LIMIT {WEIGHTED_SAMPLE_K}
+""",
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis): each
+    row gets key −ln(u)/w with u a DETERMINISTIC md5-derived uniform and
+    w = n_chars; the k smallest keys are a weighted sample where longer
+    documents are proportionally more likely — the distributed,
+    reproducible answer to "sample 50 docs by length" that rate-based
+    sampling cannot give (exact k) and rand()-based sampling cannot give
+    (same rows on every run, every partitioning, every cluster).
+
+    Plan at 100 TB: the key is a map-side projection; selection is
+    TakeOrderedAndProject (per-partition top-k, tiny merge) — no global
+    sort, no shuffle of non-winners."""
+    docs = load(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "double"
+    )
+    key = -F.log((h + 1) / F.lit(4294967296.0)) / F.col("n_chars")
+    return (
+        docs.select("doc_id", "lang", "n_chars", key.alias("k"))
+        .orderBy("k", "doc_id")
+        .limit(WEIGHTED_SAMPLE_K)
+        .select("doc_id", "lang", "n_chars", F.round("k", 6).alias("sample_key"))
+    )

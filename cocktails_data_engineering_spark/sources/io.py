@@ -265,3 +265,34 @@ def jsonl_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         F.sum(F.length("text")).alias("total_text_chars"),
     )
+
+
+@register(
+    "orc_roundtrip_agg",
+    oracle="""
+SELECT lang, source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(length(text)) AS BIGINT) AS total_text_chars
+FROM documents GROUP BY lang, source
+""",
+)
+def orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source — the third columnar-interchange format beside
+    parquet (native) and the text formats (csv/jsonl): write documents as
+    ORC, read back, aggregate per (lang, source).  The oracle aggregates
+    the original parquet, so a value match certifies the full
+    type-preserving roundtrip through the ORC writer/reader (Spark ships
+    ORC support in-core; a lakehouse ingests both).
+    """
+    docs = load(spark, sf_dir, "documents")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"cocktails_spark_orc_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    docs.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.length("text")).alias("total_text_chars"),
+    )
