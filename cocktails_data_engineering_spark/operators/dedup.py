@@ -976,3 +976,92 @@ def shingle_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(uniq.cast("double") / F.count(F.lit(1)), 6).alias("novelty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Aligned block-hash near-dedup (fixed-chunk dedup over the token stream)
+# ---------------------------------------------------------------------------
+BLOCKS = 4
+BLOCK_MATCH_MIN = 2
+
+
+@register(
+    "aligned_block_dedup",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+q AS (
+  SELECT doc_id, ws,
+         CAST(floor((len(ws) + {BLOCKS - 1}) / {BLOCKS}.0) AS INT) AS q
+  FROM w
+),
+blocks AS (
+  SELECT doc_id, g.i,
+         md5(array_to_string(ws[g.i * q + 1 : g.i * q + q], ' ')) AS h
+  FROM q CROSS JOIN (SELECT unnest(range(0, {BLOCKS})) AS i) g
+)
+SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_blocks
+FROM blocks x JOIN blocks y
+  ON x.i = y.i AND x.h = y.h AND x.doc_id < y.doc_id
+GROUP BY doc_a, doc_b
+HAVING COUNT(*) >= {BLOCK_MATCH_MIN}
+""",
+)
+def aligned_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-chunk block-hash near-dedup over the TOKEN stream: split
+    each document's word sequence into {BLOCKS} aligned quarters, hash
+    each quarter, and pair documents sharing ≥{BLOCK_MATCH_MIN}
+    (position, hash) blocks.  One md5 equality certifies an entire
+    quarter verbatim-identical, so this catches the "same document with
+    one edited region" duplicates (common in template/boilerplate
+    corpora) with exact evidence — cheaper and stricter than MinHash,
+    blind to global reorderings (that's MinHash's job; the two are
+    complementary sieves).
+
+    Position alignment is the fixed-chunk trade-off: a word INSERTED in
+    quarter 1 shifts quarters 2-4 (content-defined chunk boundaries are
+    the documented extension).  Substituted-in-place edits — the
+    dominant near-dup class here — keep the other quarters aligned.
+
+    Plan at 100 TB: {BLOCKS} hashes per doc map-side; candidates come
+    from an equi-join on (block index, hash) — collisions only, never
+    all-pairs; pair aggregate keyed on the (a, b) pair.  Same
+    banded-candidate discipline as the MinHash-LSH family."""
+    docs = load_spread(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    q = F.floor((F.size(ws) + (BLOCKS - 1)) / F.lit(float(BLOCKS))).cast("int")
+    base = docs.select("doc_id", ws.alias("ws"), q.alias("q"))
+    blocks = base.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        F.md5(
+                            F.array_join(
+                                F.slice(F.col("ws"), F.lit(i) * F.col("q") + 1, F.col("q")),
+                                " ",
+                            )
+                        ).alias("h"),
+                    )
+                    for i in range(BLOCKS)
+                ]
+            )
+        ).alias("blk"),
+    ).select("doc_id", F.col("blk.i").alias("i"), F.col("blk.h").alias("h"))
+    x = blocks.alias("x")
+    y = blocks.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.i") == F.col("y.i"))
+            & (F.col("x.h") == F.col("y.h"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .groupBy(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_blocks"))
+        .filter(F.col("n_blocks") >= BLOCK_MATCH_MIN)
+    )

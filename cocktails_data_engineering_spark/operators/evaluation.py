@@ -1,0 +1,404 @@
+"""In-database model evaluation and distribution-drift monitoring.
+
+A training-data pipeline does not stop at producing features: the same
+engine that builds the corpus scores the models trained on it (ROC AUC,
+cumulative gain / lift) and watches the input distributions for drift
+(PSI, two-sample KS) so retraining triggers fire from SQL, not from a
+separate single-node tool.  The reference defers all analysis to the
+store (``/root/reference/README.md:2``); these are the evaluation reads
+that follow.
+
+Every statistic here is computed from integer counts and exact-rational
+divisions so both engines agree bit-for-bit, and every cumulative step
+uses the repo's two-phase range-partitioned pattern (no single-partition
+window over row-scale data — the same discipline as
+``relational.assign_dense_ids``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.numerics import dsum
+from ..registry import register
+from ..sources.tables import load, load_spread
+
+
+def ordered_running_sums(df: DataFrame, key: str, cols: list[str]) -> DataFrame:
+    """Global-order cumulative sums with no global window.
+
+    For each row, adds ``cum_<c>`` = sum of ``c`` over all rows with a
+    smaller-or-equal ``key`` (inclusive running total in ascending key
+    order; ``key`` must be unique per row).  Phase 1 range-repartitions
+    on the key and cumsums locally; phase 2 broadcasts per-partition
+    totals turned into offsets via a triangular join over the
+    O(partitions) count table — identical structure to
+    ``relational.assign_dense_ids``, so the plan survives any row count.
+    """
+    n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    parts = df.repartitionByRange(n_parts, F.col(key)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    local_w = (
+        Window.partitionBy("_pid")
+        .orderBy(key)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = parts.select(
+        "*", *[F.sum(c).over(local_w).alias(f"_local_{c}") for c in cols]
+    )
+    totals = parts.groupBy("_pid").agg(
+        *[F.sum(c).alias(f"_t_{c}") for c in cols]
+    )
+    a, b = totals.alias("a"), totals.alias("b")
+    offsets = (
+        a.join(b, F.col("b._pid") < F.col("a._pid"), "left")
+        .groupBy(F.col("a._pid").alias("_pid"))
+        .agg(
+            *[
+                F.coalesce(F.sum(f"b._t_{c}"), F.lit(0)).alias(f"_off_{c}")
+                for c in cols
+            ]
+        )
+    )
+    out = local.join(F.broadcast(offsets), "_pid")
+    for c in cols:
+        out = out.withColumn(f"cum_{c}", F.col(f"_local_{c}") + F.col(f"_off_{c}"))
+    return out.drop(
+        "_pid", *[f"_local_{c}" for c in cols], *[f"_off_{c}" for c in cols]
+    )
+
+
+# Binary classification readout shared by the ranking metrics: label =
+# "order fully shipped" (o_orderstatus = 'F'), score = the order's total
+# price used as a stand-in model score (continuous, mostly untied).
+_ORACLE_BY_SCORE = """
+SELECT o_totalprice AS score,
+       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS pos,
+       SUM(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS neg
+FROM orders GROUP BY score
+"""
+
+
+def _by_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_spread(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_totalprice").alias("score")).agg(
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("pos"),
+        F.sum(F.when(F.col("o_orderstatus") != "F", 1).otherwise(0)).alias("neg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROC AUC via the Mann-Whitney rank-sum (tie-corrected, integer-exact)
+# ---------------------------------------------------------------------------
+@register(
+    "roc_auc_orders",
+    oracle=f"""
+WITH s AS ({_ORACLE_BY_SCORE.strip()}),
+c AS (
+  SELECT pos, neg,
+         COALESCE(SUM(neg) OVER (ORDER BY score
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cneg
+  FROM s
+),
+t AS (
+  SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+         CAST(SUM(neg) AS BIGINT) AS n_neg,
+         CAST(SUM(pos * (2 * cneg + neg)) AS BIGINT) AS u2
+  FROM c
+)
+SELECT n_pos, n_neg,
+       ROUND(CAST(u2 AS DOUBLE) / (2.0 * n_pos * n_neg), 6) AS auc
+FROM t
+""",
+)
+def roc_auc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC, in-database: P(score of a random positive > score of a
+    random negative), with ties counted half — the Mann-Whitney U
+    statistic.  Grouping by distinct score first makes the whole
+    computation integer arithmetic (``U·2 = Σ pos·(2·neg_below + neg)``),
+    so the only float op is the final division — engine-exact with no
+    rounding games.
+
+    Plan at 100 TB: one groupBy(score) aggregate (map-side combined),
+    then the two-phase range-partitioned running sum over DISTINCT
+    scores — no global window, no sort of the raw rows, and the final
+    reduce is a one-row aggregate."""
+    s = _by_score(spark, sf_dir)
+    c = ordered_running_sums(s, "score", ["neg"])
+    cneg = F.col("cum_neg") - F.col("neg")  # exclusive: negatives strictly below
+    return c.agg(
+        F.sum("pos").alias("n_pos"),
+        F.sum("neg").alias("n_neg"),
+        F.sum(F.col("pos") * (2 * cneg + F.col("neg"))).alias("u2"),
+    ).select(
+        "n_pos",
+        "n_neg",
+        F.round(
+            F.col("u2").cast("double") / (2.0 * F.col("n_pos") * F.col("n_neg")), 6
+        ).alias("auc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov–Smirnov distance between label populations
+# ---------------------------------------------------------------------------
+@register(
+    "ks_statistic_status",
+    oracle=f"""
+WITH s AS ({_ORACLE_BY_SCORE.strip()}),
+c AS (
+  SELECT SUM(pos) OVER (ORDER BY score
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cpos,
+         SUM(neg) OVER (ORDER BY score
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cneg
+  FROM s
+),
+t AS (SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+             CAST(SUM(neg) AS BIGINT) AS n_neg FROM s)
+SELECT t.n_pos, t.n_neg,
+       ROUND(MAX(abs(CAST(c.cpos AS DOUBLE) / t.n_pos
+                     - CAST(c.cneg AS DOUBLE) / t.n_neg)), 6) AS ks
+FROM c CROSS JOIN t
+GROUP BY t.n_pos, t.n_neg
+""",
+)
+def ks_statistic_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance between the price
+    distributions of fulfilled ('F') and other orders: the max gap
+    between the two empirical CDFs — the standard drift / separability
+    test that needs no binning choices.  CDF values are exact integer
+    ratios evaluated once in IEEE double, so both engines see identical
+    gaps and the max agrees bit-for-bit.
+
+    Plan: groupBy(score) + the two-phase running sum (both populations
+    cumulated in one pass) + a one-row max — the raw table is never
+    globally sorted."""
+    s = _by_score(spark, sf_dir)
+    c = ordered_running_sums(s, "score", ["pos", "neg"])
+    t = F.broadcast(
+        s.agg(F.sum("pos").alias("n_pos"), F.sum("neg").alias("n_neg"))
+    )
+    gap = F.abs(
+        F.col("cum_pos").cast("double") / F.col("n_pos")
+        - F.col("cum_neg").cast("double") / F.col("n_neg")
+    )
+    return (
+        c.crossJoin(t)
+        .groupBy("n_pos", "n_neg")
+        .agg(F.round(F.max(gap), 6).alias("ks"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cumulative gain / lift by score decile
+# ---------------------------------------------------------------------------
+_GAIN_QS = [i / 10 for i in range(1, 10)]
+
+
+@register(
+    "gain_deciles_orders",
+    oracle=f"""
+WITH b AS (
+  SELECT list_transform(quantile_cont(o_totalprice, {_GAIN_QS}),
+                        q -> ROUND(CAST(q AS DOUBLE), 6)) AS bs
+  FROM orders
+),
+d AS (
+  SELECT 10 - CAST(len(list_filter(b.bs, q -> o.o_totalprice > q)) AS INT)
+           AS decile,
+         COUNT(*) AS n,
+         SUM(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_pos
+  FROM orders o CROSS JOIN b
+  GROUP BY decile
+),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot_n,
+             CAST(SUM(n_pos) AS BIGINT) AS tot_pos FROM d),
+c AS (
+  SELECT decile, CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+         SUM(n) OVER (ORDER BY decile) AS cum_n,
+         SUM(n_pos) OVER (ORDER BY decile) AS cum_pos
+  FROM d
+)
+SELECT c.decile, c.n, c.n_pos,
+       ROUND(CAST(c.cum_pos AS DOUBLE) / t.tot_pos, 6) AS cum_gain,
+       ROUND(CAST(c.cum_pos AS DOUBLE) * t.tot_n
+             / (CAST(c.cum_n AS DOUBLE) * t.tot_pos), 6) AS lift
+FROM c CROSS JOIN t
+""",
+)
+def gain_deciles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-gain / lift table by score decile (decile 1 = highest
+    scores): "targeting the top k/10 of the ranking captures what share
+    of the positives, at what lift over random" — the business-facing
+    companion of AUC.  Decile boundaries come from one exact-percentile
+    aggregate broadcast back (never an NTILE global sort); gain and lift
+    are exact integer ratios.
+
+    Plan: percentile aggregate (1 row) + broadcast bucket-assign +
+    ≤10-group aggregate; every cumulative step after that runs on a
+    10-row table."""
+    o = load_spread(spark, sf_dir, "orders").select("o_totalprice", "o_orderstatus")
+    bounds = o.agg(
+        F.transform(
+            F.percentile("o_totalprice", F.array(*[F.lit(q) for q in _GAIN_QS])),
+            lambda q: F.round(q, 6),
+        ).alias("bs")
+    )
+    decile = 10 - F.size(F.filter("bs", lambda b: F.col("o_totalprice") > b))
+    d = (
+        o.crossJoin(F.broadcast(bounds))
+        .groupBy(decile.alias("decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias(
+                "n_pos"
+            ),
+        )
+    )
+    t = F.broadcast(
+        d.agg(F.sum("n").alias("tot_n"), F.sum("n_pos").alias("tot_pos"))
+    )
+    # cumulative over the ≤10-row decile table: triangular self-join, the
+    # same O(groups) pattern as assign_dense_ids' offset table
+    a, b = d.alias("a"), d.alias("b")
+    c = (
+        a.join(b, F.col("b.decile") <= F.col("a.decile"))
+        .groupBy(
+            F.col("a.decile").alias("decile"),
+            F.col("a.n").alias("n"),
+            F.col("a.n_pos").alias("n_pos"),
+        )
+        .agg(F.sum("b.n").alias("cum_n"), F.sum("b.n_pos").alias("cum_pos"))
+    )
+    return c.crossJoin(t).select(
+        "decile",
+        "n",
+        "n_pos",
+        F.round(F.col("cum_pos").cast("double") / F.col("tot_pos"), 6).alias(
+            "cum_gain"
+        ),
+        F.round(
+            F.col("cum_pos").cast("double")
+            * F.col("tot_n")
+            / (F.col("cum_n").cast("double") * F.col("tot_pos")),
+            6,
+        ).alias("lift"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Population Stability Index: monthly price-distribution drift
+# ---------------------------------------------------------------------------
+_PSI_QS = [i / 10 for i in range(1, 10)]
+
+
+@register(
+    "psi_price_drift",
+    oracle=f"""
+WITH m AS (
+  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+         o_totalprice AS price
+  FROM orders
+),
+ref AS (SELECT MIN(month) AS ref_month FROM m),
+b AS (
+  SELECT list_transform(quantile_cont(price, {_PSI_QS}),
+                        q -> ROUND(CAST(q AS DOUBLE), 6)) AS bs
+  FROM m CROSS JOIN ref WHERE m.month = ref.ref_month
+),
+binned AS (
+  SELECT month, CAST(len(list_filter(b.bs, q -> m.price > q)) AS INT) AS bucket
+  FROM m CROSS JOIN b
+),
+grid AS (
+  SELECT mo.month, g.bucket
+  FROM (SELECT DISTINCT month FROM m) mo
+  CROSS JOIN (SELECT unnest(range(0, 10)) AS bucket) g
+),
+counts AS (
+  SELECT g.month, g.bucket, COUNT(binned.bucket) AS n
+  FROM grid g LEFT JOIN binned
+    ON binned.month = g.month AND binned.bucket = g.bucket
+  GROUP BY g.month, g.bucket
+),
+mt AS (SELECT month, SUM(n) AS mn FROM counts GROUP BY month),
+shares AS (
+  SELECT c.month, c.bucket,
+         CAST(c.n + 1 AS DOUBLE) / (mt.mn + 10) AS p
+  FROM counts c JOIN mt USING (month)
+),
+terms AS (
+  SELECT s.month, s.bucket,
+         ROUND((s.p - r.p) * ln(s.p / r.p), 6) AS term
+  FROM shares s
+  JOIN (SELECT sh.bucket, sh.p FROM shares sh CROSS JOIN ref
+        WHERE sh.month = ref.ref_month) r USING (bucket)
+)
+SELECT month,
+       ROUND(CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE), 6) AS psi
+FROM terms GROUP BY month
+""",
+)
+def psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the order-price distribution, per
+    month, against the FIRST month as the reference: decile boundaries
+    are frozen on the reference month, each month's (Laplace-smoothed)
+    bucket shares are compared with ``Σ (p−q)·ln(p/q)`` — the standard
+    "has my feature drifted enough to retrain" monitor, alerting at the
+    usual 0.1/0.25 thresholds.  Smoothed shares are exact rationals; each
+    term is rounded before an order-independent DECIMAL sum, so the
+    statistic is engine-exact.
+
+    Plan: one exact-percentile aggregate over the reference month
+    (broadcast), map-side bucket assignment, one (month, bucket) count
+    — the month×10 grid and everything after it is metadata-sized."""
+    m = load_spread(spark, sf_dir, "orders").select(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+            "month"
+        ),
+        F.col("o_totalprice").alias("price"),
+    )
+    ref = m.agg(F.min("month").alias("ref_month"))
+    bounds = (
+        m.crossJoin(F.broadcast(ref))
+        .filter(F.col("month") == F.col("ref_month"))
+        .agg(
+            F.transform(
+                F.percentile("price", F.array(*[F.lit(q) for q in _PSI_QS])),
+                lambda q: F.round(q, 6),
+            ).alias("bs")
+        )
+    )
+    binned = m.crossJoin(F.broadcast(bounds)).select(
+        "month",
+        F.size(F.filter("bs", lambda b: F.col("price") > b)).alias("bucket"),
+    )
+    months = m.select("month").distinct()
+    buckets = months.sparkSession.range(10).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    grid = months.crossJoin(F.broadcast(buckets))
+    raw = binned.groupBy("month", "bucket").agg(F.count(F.lit(1)).alias("_n"))
+    counts = grid.join(raw, ["month", "bucket"], "left").select(
+        "month", "bucket", F.coalesce(F.col("_n"), F.lit(0)).alias("n")
+    )
+    mt = counts.groupBy("month").agg(F.sum("n").alias("mn"))
+    shares = counts.join(F.broadcast(mt), "month").select(
+        "month",
+        "bucket",
+        ((F.col("n") + 1).cast("double") / (F.col("mn") + 10)).alias("p"),
+    )
+    refshare = (
+        shares.crossJoin(F.broadcast(ref))
+        .filter(F.col("month") == F.col("ref_month"))
+        .select("bucket", F.col("p").alias("q"))
+    )
+    terms = shares.join(F.broadcast(refshare), "bucket").select(
+        "month",
+        F.round(
+            (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")), 6
+        ).alias("term"),
+    )
+    return terms.groupBy("month").agg(F.round(dsum(F.col("term")), 6).alias("psi"))

@@ -371,3 +371,103 @@ def embedding_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(counts, "label")
         .select("label", "n_corpus", "n_batch", "l2_drift")
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association rules (frequent brand pairs)
+# ---------------------------------------------------------------------------
+ASSOC_TOP = 20
+
+
+@register(
+    "assoc_rules_brands",
+    oracle=f"""
+WITH baskets AS (
+  SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+n AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM baskets),
+items AS (SELECT brand, COUNT(*) AS cnt FROM baskets GROUP BY brand),
+pairs AS (
+  SELECT a.brand AS brand_a, b.brand AS brand_b, COUNT(*) AS n_ab
+  FROM baskets a JOIN baskets b
+    ON a.okey = b.okey AND a.brand < b.brand
+  GROUP BY brand_a, brand_b
+)
+SELECT p.brand_a, p.brand_b, CAST(p.n_ab AS BIGINT) AS n_ab,
+       ROUND(CAST(p.n_ab AS DOUBLE) / n.n_orders, 6) AS support,
+       ROUND(CAST(p.n_ab AS DOUBLE) / ia.cnt, 6) AS confidence,
+       ROUND(CAST(p.n_ab AS DOUBLE) * n.n_orders
+             / (CAST(ia.cnt AS DOUBLE) * ib.cnt), 6) AS lift
+FROM pairs p
+JOIN items ia ON ia.brand = p.brand_a
+JOIN items ib ON ib.brand = p.brand_b
+CROSS JOIN n
+ORDER BY lift DESC, brand_a, brand_b
+LIMIT {ASSOC_TOP}
+""",
+)
+def assoc_rules_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over order baskets: which part brands are
+    bought together more than chance (support / confidence / lift for
+    brand pairs within an order) — the in-database market-basket /
+    co-occurrence miner, the relational sibling of word_pmi_pairs.
+
+    All three metrics are exact integer ratios (pair count, item counts,
+    basket count), so the ranking is engine-exact.
+
+    Plan at 100 TB: the basket build is one broadcast join against the
+    (small) part dim + a distinct keyed on (order, brand); the pair
+    self-join is keyed on the ORDER KEY, so its cost is Σ basket_size²
+    — bounded by the per-order line cap, never corpus-quadratic — and
+    the rule table lives in brand²-space (tiny).  Top-k is
+    TakeOrderedAndProject."""
+    li = load_spread(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    baskets = materialize(baskets)
+    n = F.broadcast(baskets.agg(F.countDistinct("okey").alias("n_orders")))
+    items = baskets.groupBy("brand").agg(F.count(F.lit(1)).alias("cnt"))
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.brand") < F.col("b.brand")),
+        )
+        .groupBy(
+            F.col("a.brand").alias("brand_a"), F.col("b.brand").alias("brand_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    ia = F.broadcast(items.select(F.col("brand").alias("brand_a"), F.col("cnt").alias("cnt_a")))
+    ib = F.broadcast(items.select(F.col("brand").alias("brand_b"), F.col("cnt").alias("cnt_b")))
+    return (
+        pairs.join(ia, "brand_a")
+        .join(ib, "brand_b")
+        .crossJoin(n)
+        .select(
+            "brand_a",
+            "brand_b",
+            F.col("n_ab").alias("n_ab"),
+            F.round(F.col("n_ab").cast("double") / F.col("n_orders"), 6).alias(
+                "support"
+            ),
+            F.round(F.col("n_ab").cast("double") / F.col("cnt_a"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                F.col("n_ab").cast("double")
+                * F.col("n_orders")
+                / (F.col("cnt_a").cast("double") * F.col("cnt_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "brand_a", "brand_b")
+        .limit(ASSOC_TOP)
+    )

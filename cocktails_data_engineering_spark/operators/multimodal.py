@@ -331,3 +331,4 @@ def audio_chunk_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         start.alias("seg_start_s"),
         F.least(start + SEG_LEN_S, F.col("duration_s")).alias("seg_end_s"),
     )
+

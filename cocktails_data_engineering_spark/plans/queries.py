@@ -37,6 +37,7 @@ _OPERATOR_MODULES = (
     "cocktails_data_engineering_spark.operators.crawl",
     "cocktails_data_engineering_spark.operators.link_pipeline",
     "cocktails_data_engineering_spark.operators.profiling",
+    "cocktails_data_engineering_spark.operators.evaluation",
     "cocktails_data_engineering_spark.operators.extensions",
     "cocktails_data_engineering_spark.operators.relational",
     "cocktails_data_engineering_spark.operators.tpch",
