@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..checkpointing import materialize
 from ..registry import register
 from ..sources.tables import load, load_spread
 
@@ -204,4 +205,221 @@ def hll_rolling_7d_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         F.hll_sketch_estimate(F.hll_union_agg("sk").over(w)).alias("approx_users_7d"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: mergeable approximate frequencies with one-sided error
+# ---------------------------------------------------------------------------
+CM_DEPTH = 4
+CM_WIDTH = 512
+CM_PROBE_TOPK = 10
+
+# Deterministic row-d hash: first 8 md5 hex nibbles of "word#d" mod width —
+# identical arithmetic in Spark (conv) and DuckDB (0x-prefix cast).
+_CM_BUCKET_SQL = (
+    "CAST(('0x' || substr(md5(word || '#' || CAST({d} AS VARCHAR)), 1, 8)) "
+    f"AS BIGINT) % {CM_WIDTH}"
+)
+
+
+def _cm_bucket(word, d: int):
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(word, F.lit(f"#{d}"))), 1, 8), 16, 10
+        ).cast("long")
+        % CM_WIDTH
+    )
+
+
+@register(
+    "countmin_word_freq",
+    oracle=f"""
+WITH w2 AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+),
+words AS (SELECT word FROM w2 WHERE word <> ''),
+truec AS (SELECT word, COUNT(*) AS true_count FROM words GROUP BY word),
+top AS (SELECT word, true_count FROM truec
+        ORDER BY true_count DESC, word LIMIT {CM_PROBE_TOPK}),
+cells AS (
+  SELECT g.d, {_CM_BUCKET_SQL.format(d="g.d")} AS bucket, COUNT(*) AS c
+  FROM words CROSS JOIN (SELECT unnest(range(0, {CM_DEPTH})) AS d) g
+  GROUP BY 1, 2
+),
+est AS (
+  SELECT t.word, t.true_count, MIN(c.c) AS cm_estimate
+  FROM top t
+  CROSS JOIN (SELECT unnest(range(0, {CM_DEPTH})) AS d) g
+  JOIN cells c ON c.d = g.d
+   AND c.bucket = CAST(('0x' || substr(md5(t.word || '#' ||
+                        CAST(g.d AS VARCHAR)), 1, 8)) AS BIGINT) % {CM_WIDTH}
+  GROUP BY 1, 2
+)
+SELECT word, CAST(true_count AS BIGINT) AS true_count,
+       CAST(cm_estimate AS BIGINT) AS cm_estimate,
+       CAST(cm_estimate - true_count AS BIGINT) AS overcount
+FROM est
+""",
+)
+def countmin_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch over the corpus word stream ({CM_DEPTH}×{CM_WIDTH}
+    cells), probed for the exact top-{CM_PROBE_TOPK} words: estimate =
+    min over rows of the hashed bucket's count, never under the true
+    frequency (one-sided error) — the frequency twin of the HLL family.
+
+    The sketch is the point at 100 TB: {CM_DEPTH}·{CM_WIDTH} = 2 Ki
+    counters summarize ANY stream size, partial sketches from different
+    shards/days merge by cell-wise addition (the groupBy here IS that
+    merge), and a frequency probe touches {CM_DEPTH} broadcast cells
+    instead of rescanning the corpus.  Hashes are fixed md5-derived
+    integers, so the whole construction — unlike a seeded library sketch
+    — is engine-exact and fully oracle-checked (the overcount column is
+    real sketch error, identical in both engines).
+
+    Plan: one exploded word scan feeds both the exact top-k (for the
+    probe set) and the {CM_DEPTH}-way cell aggregate; cells and probe
+    rows are metadata-sized, every join below the scan is broadcast."""
+    words = materialize(
+        load_spread(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    top = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .orderBy(F.desc("true_count"), "word")
+        .limit(CM_PROBE_TOPK)
+    )
+    cells = None
+    for d in range(CM_DEPTH):
+        part = words.select(
+            F.lit(d).alias("d"), _cm_bucket(F.col("word"), d).alias("bucket")
+        )
+        cells = part if cells is None else cells.unionAll(part)
+    cells = cells.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    probes = None
+    for d in range(CM_DEPTH):
+        p = top.select(
+            "word",
+            "true_count",
+            F.lit(d).alias("d"),
+            _cm_bucket(F.col("word"), d).alias("bucket"),
+        )
+        probes = p if probes is None else probes.unionAll(p)
+    return (
+        probes.join(cells, ["d", "bucket"])
+        .groupBy("word", "true_count")
+        .agg(F.min("c").alias("cm_estimate"))
+        .select(
+            "word",
+            "true_count",
+            "cm_estimate",
+            (F.col("cm_estimate") - F.col("true_count")).alias("overcount"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter join prefilter: shrink the big side before it shuffles
+# ---------------------------------------------------------------------------
+BLOOM_M = 8192
+BLOOM_K = 3
+BLOOM_NATION = 1
+
+_BLOOM_POS_SQL = (
+    "CAST(('0x' || substr(md5(CAST({key} AS VARCHAR) || ':' "
+    f"|| CAST({{i}} AS VARCHAR)), 1, 8)) AS BIGINT) % {BLOOM_M}"
+)
+
+
+def _bloom_pos(key, i: int):
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(key.cast("string"), F.lit(f":{i}"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % BLOOM_M
+    )
+
+
+@register(
+    "bloom_prefilter_join",
+    oracle=f"""
+WITH keys AS (
+  SELECT c_custkey AS k FROM customer WHERE c_nationkey = {BLOOM_NATION}
+),
+bits AS (
+  SELECT DISTINCT {_BLOOM_POS_SQL.format(key="k", i="g.i")} AS b
+  FROM keys CROSS JOIN (SELECT unnest(range(0, {BLOOM_K})) AS i) g
+),
+passed AS (
+  SELECT o_orderkey, o_custkey FROM orders
+  WHERE {_BLOOM_POS_SQL.format(key="o_custkey", i="0")} IN (SELECT b FROM bits)
+    AND {_BLOOM_POS_SQL.format(key="o_custkey", i="1")} IN (SELECT b FROM bits)
+    AND {_BLOOM_POS_SQL.format(key="o_custkey", i="2")} IN (SELECT b FROM bits)
+)
+SELECT (SELECT COUNT(*) FROM orders) AS n_orders,
+       (SELECT COUNT(*) FROM passed) AS n_pass_bloom,
+       (SELECT COUNT(*) FROM passed WHERE o_custkey IN (SELECT k FROM keys))
+         AS n_true_match,
+       (SELECT COUNT(*) FROM passed WHERE o_custkey NOT IN (SELECT k FROM keys))
+         AS n_false_pos
+""",
+)
+def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join prefilter: build an m={BLOOM_M}, k={BLOOM_K}
+    Bloom filter over the small side's join keys (customers of one
+    nation) and drop big-side rows MAP-SIDE before any shuffle or join
+    — the runtime-filter pattern (Spark AQE calls it an
+    InSubqueryExec/bloom runtime filter) made explicit and measurable:
+    the query reports exactly how many rows the filter passed and how
+    many were false positives (no false negatives, by construction).
+
+    At 100 TB this is the difference between shuffling the whole fact
+    table and shuffling ~|matching| rows: the bit set is kilobytes,
+    broadcast to every scan task; the membership tests are {BLOOM_K}
+    hash+lookups per row, fully inside codegen (md5/conv/array — no
+    Python).  Hashes are md5-derived so both engines build the
+    identical filter and agree on every false positive.
+
+    Plan: small-side distinct-bit aggregate (≤{BLOOM_M} rows) collapses
+    to one broadcast array; the fact scan filters with array_contains;
+    the exact verify is a broadcast semi/anti join of the SURVIVORS
+    only."""
+    cust = load(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey") == BLOOM_NATION
+    )
+    keys = cust.select(F.col("c_custkey").alias("k"))
+    bits_rows = None
+    for i in range(BLOOM_K):
+        p = keys.select(_bloom_pos(F.col("k"), i).alias("b"))
+        bits_rows = p if bits_rows is None else bits_rows.unionAll(p)
+    bloom = bits_rows.distinct().agg(F.collect_set("b").alias("bits"))
+    orders = load_spread(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    probed = orders.crossJoin(F.broadcast(bloom))
+    passed = probed.filter(
+        F.array_contains("bits", _bloom_pos(F.col("o_custkey"), 0))
+        & F.array_contains("bits", _bloom_pos(F.col("o_custkey"), 1))
+        & F.array_contains("bits", _bloom_pos(F.col("o_custkey"), 2))
+    ).select("o_orderkey", "o_custkey")
+    passed = materialize(passed)
+    n_orders = orders.agg(F.count(F.lit(1)).alias("n_orders"))
+    n_pass = passed.agg(F.count(F.lit(1)).alias("n_pass_bloom"))
+    n_true = (
+        passed.join(F.broadcast(keys), passed.o_custkey == keys.k, "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_true_match"))
+    )
+    n_fp = (
+        passed.join(F.broadcast(keys), passed.o_custkey == keys.k, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_false_pos"))
+    )
+    return (
+        F.broadcast(n_orders)
+        .crossJoin(F.broadcast(n_pass))
+        .crossJoin(F.broadcast(n_true))
+        .crossJoin(F.broadcast(n_fp))
     )

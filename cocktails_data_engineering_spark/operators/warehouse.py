@@ -33,9 +33,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.numerics import dsum, oracle_dsum
+from ..functions.numerics import DEC, dsum, oracle_dsum
 from ..registry import register
-from ..sources.tables import load
+from ..sources.tables import load, load_spread
 
 # Snapshot-diff simulation knobs (deterministic, mirrored in the oracle):
 # every 97th order is deleted, every 13th surviving order gets a +10.00
@@ -888,4 +888,82 @@ def pareto_frontier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("best_before").isNull() | (F.col("day_max") > F.col("best_before")))
     return frontier.select(
         F.col("d").alias("o_orderdate"), F.col("day_max").alias("max_price")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance for a JOIN view (full delta rule)
+# ---------------------------------------------------------------------------
+IVM_CUTOFF = "1995-01-01"
+
+_IVM_REV = "l_extendedprice * (1 - l_discount)"
+
+
+@register(
+    "ivm_join_delta",
+    oracle=f"""
+SELECT strftime(date_trunc('month', o.o_orderdate), '%Y-%m') AS month,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       ROUND({oracle_dsum(_IVM_REV)}, 6) AS revenue
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY month
+""",
+)
+def ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view via the full bilinear delta
+    rule.  The view is monthly line revenue over orders ⋈ lineitem; both
+    base tables receive a batch of new rows (everything dated ≥
+    {IVM_CUTOFF} plays the delta).  Instead of re-joining the full
+    tables, the maintained result is
+
+        V_new = V_old  ∪  ΔO ⋈ L_old  ∪  O_old ⋈ ΔL  ∪  ΔO ⋈ ΔL
+
+    re-aggregated by month — the algebra every materialized-view engine
+    (and streaming join) implements.  The oracle recomputes the view
+    FROM SCRATCH on the full tables, so a value match proves the delta
+    decomposition exactly reconstructs the direct join: partial DECIMAL
+    sums are associative, so "sum of four partial aggregates" ==
+    "one aggregate over the union".
+
+    Plan at 100 TB: the three delta joins are keyed on the same
+    orderkey; the delta sides are batch-sized, so ΔO ⋈ L_old and
+    O_old ⋈ ΔL broadcast their delta when it fits and the big sides
+    are touched ONCE each — never the old ⋈ old recompute, which is the
+    entire point (V_old is a stored metadata-sized aggregate)."""
+    cutoff = F.lit(IVM_CUTOFF).cast("date")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_spread(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    o_old, o_new = o.filter(F.col("o_orderdate") < cutoff), o.filter(
+        F.col("o_orderdate") >= cutoff
+    )
+    l_old, l_new = li.filter(F.col("l_shipdate") < cutoff), li.filter(
+        F.col("l_shipdate") >= cutoff
+    )
+
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+    def monthly(orders_side: DataFrame, lines_side: DataFrame) -> DataFrame:
+        j = orders_side.join(
+            lines_side, orders_side.o_orderkey == lines_side.l_orderkey
+        )
+        return j.groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+                "month"
+            )
+        ).agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(rev.cast(DEC)).alias("rev_part"),
+        )
+
+    v_old = monthly(o_old, l_old)  # the stored view (recomputed here once)
+    parts = (
+        v_old.unionAll(monthly(o_new, l_old))
+        .unionAll(monthly(o_old, l_new))
+        .unionAll(monthly(o_new, l_new))
+    )
+    return parts.groupBy("month").agg(
+        F.sum("n_lines").alias("n_lines"),
+        F.round(F.sum("rev_part").cast("double"), 6).alias("revenue"),
     )

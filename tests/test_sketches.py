@@ -114,3 +114,37 @@ def test_hll_rolling_7d_within_tolerance(spark, sf_dir, duck):
     assert set(est) == set(exact)
     for day, n in exact.items():
         assert abs(est[day] - n) <= max(2, 0.05 * n), (day, est[day], n)
+
+
+def test_countmin_overcount_one_sided(spark, sf_dir):
+    from cocktails_data_engineering_spark.operators.sketches import countmin_word_freq
+
+    rows = countmin_word_freq(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.cm_estimate >= r.true_count  # CMS never undercounts
+        assert r.overcount == r.cm_estimate - r.true_count
+
+
+def test_bloom_prefilter_no_false_negatives(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from cocktails_data_engineering_spark.operators.sketches import (
+        BLOOM_NATION,
+        bloom_prefilter_join,
+    )
+    from cocktails_data_engineering_spark.sources.tables import load
+
+    row = bloom_prefilter_join(spark, sf_dir).collect()[0]
+    # exact ground truth: orders of customers in the filtered nation
+    cust = load(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey") == BLOOM_NATION
+    )
+    exact = (
+        load(spark, sf_dir, "orders")
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .count()
+    )
+    assert row.n_true_match == exact  # every true match passes the bloom
+    assert row.n_pass_bloom == row.n_true_match + row.n_false_pos
+    assert row.n_pass_bloom <= row.n_orders

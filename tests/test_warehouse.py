@@ -149,3 +149,31 @@ def test_cdc_replay_semantics(spark, sf_dir):
     assert reinserted == n_reinserted_expected
     # deleted in b2 → always absent (no later batch)
     assert out.filter(F.col("o_orderkey") % 1000 == 13).count() == 0
+
+
+def test_ivm_join_delta_matches_direct_join(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from cocktails_data_engineering_spark.functions.numerics import DEC
+    from cocktails_data_engineering_spark.operators.warehouse import ivm_join_delta
+    from cocktails_data_engineering_spark.sources.tables import load
+
+    got = {r.month: (r.n_lines, r.revenue) for r in ivm_join_delta(spark, sf_dir).collect()}
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    direct = (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC))
+                .cast("double"),
+                6,
+            ).alias("revenue"),
+        )
+    )
+    want = {r.month: (r.n_lines, r.revenue) for r in direct.collect()}
+    assert got == want
