@@ -402,3 +402,55 @@ def psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("term"),
     )
     return terms.groupBy("month").agg(F.round(dsum(F.col("term")), 6).alias("psi"))
+
+
+# ---------------------------------------------------------------------------
+# Composed flagship #6: the model-monitoring metrics table
+# ---------------------------------------------------------------------------
+def _monitoring_oracle() -> str:
+    from ..registry import get_spec
+
+    auc = get_spec("roc_auc_orders").oracle.strip()
+    ks = get_spec("ks_statistic_status").oracle.strip()
+    psi = get_spec("psi_price_drift").oracle.strip()
+    gain = get_spec("gain_deciles_orders").oracle.strip()
+    return f"""
+SELECT 'roc_auc' AS metric, auc AS value FROM ({auc}) a
+UNION ALL SELECT 'ks_statistic', ks FROM ({ks}) k
+UNION ALL SELECT 'psi_max', MAX(psi) FROM ({psi}) p
+UNION ALL SELECT 'gain_top_decile', cum_gain FROM ({gain}) g WHERE decile = 1
+"""
+
+
+@register("model_monitoring_pipeline", oracle=_monitoring_oracle())
+def model_monitoring_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed flagship #6 — the one-call model-monitoring readout: a
+    tall (metric, value) table with discrimination (ROC AUC), ranking
+    yield (top-decile cumulative gain), population separation (KS), and
+    worst-month input drift (max PSI).  This is the table a scheduler
+    materializes per model per day; threshold alerts are a WHERE clause
+    on top.
+
+    Composition reuses the four metric operators verbatim — same plans,
+    same engine-exact arithmetic — and the oracle nests the four
+    individual oracles, so the flagship's correctness is exactly the
+    conjunction of its parts.
+
+    Plan: the four branches share the orders scan through the block
+    cache; each reduces to ≤O(months) rows before the final 4-row
+    union."""
+    auc = roc_auc_orders(spark, sf_dir).select(
+        F.lit("roc_auc").alias("metric"), F.col("auc").alias("value")
+    )
+    ks = ks_statistic_status(spark, sf_dir).select(
+        F.lit("ks_statistic").alias("metric"), F.col("ks").alias("value")
+    )
+    psi = psi_price_drift(spark, sf_dir).agg(
+        F.max("psi").alias("value")
+    ).select(F.lit("psi_max").alias("metric"), "value")
+    gain = (
+        gain_deciles_orders(spark, sf_dir)
+        .filter(F.col("decile") == 1)
+        .select(F.lit("gain_top_decile").alias("metric"), F.col("cum_gain").alias("value"))
+    )
+    return auc.unionAll(ks).unionAll(psi).unionAll(gain)

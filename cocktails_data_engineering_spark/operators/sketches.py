@@ -400,26 +400,22 @@ def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         bits_rows = p if bits_rows is None else bits_rows.unionAll(p)
     bloom = bits_rows.distinct().agg(F.collect_set("b").alias("bits"))
     orders = load_spread(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    probed = orders.crossJoin(F.broadcast(bloom))
-    passed = probed.filter(
+    # single fact scan: flag every row (bloom pass + exact membership via
+    # one broadcast left join) and reduce all four counts in one aggregate
+    probed = orders.crossJoin(F.broadcast(bloom)).join(
+        F.broadcast(keys.withColumn("_m", F.lit(1))),
+        F.col("o_custkey") == F.col("k"),
+        "left",
+    )
+    passes = (
         F.array_contains("bits", _bloom_pos(F.col("o_custkey"), 0))
         & F.array_contains("bits", _bloom_pos(F.col("o_custkey"), 1))
         & F.array_contains("bits", _bloom_pos(F.col("o_custkey"), 2))
-    ).select("o_orderkey", "o_custkey")
-    passed = materialize(passed)
-    n_orders = orders.agg(F.count(F.lit(1)).alias("n_orders"))
-    n_pass = passed.agg(F.count(F.lit(1)).alias("n_pass_bloom"))
-    n_true = (
-        passed.join(F.broadcast(keys), passed.o_custkey == keys.k, "left_semi")
-        .agg(F.count(F.lit(1)).alias("n_true_match"))
     )
-    n_fp = (
-        passed.join(F.broadcast(keys), passed.o_custkey == keys.k, "left_anti")
-        .agg(F.count(F.lit(1)).alias("n_false_pos"))
-    )
-    return (
-        F.broadcast(n_orders)
-        .crossJoin(F.broadcast(n_pass))
-        .crossJoin(F.broadcast(n_true))
-        .crossJoin(F.broadcast(n_fp))
+    is_true = F.col("_m").isNotNull()
+    return probed.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(passes.cast("long")).alias("n_pass_bloom"),
+        F.sum((passes & is_true).cast("long")).alias("n_true_match"),
+        F.sum((passes & ~is_true).cast("long")).alias("n_false_pos"),
     )

@@ -112,3 +112,15 @@ def test_aligned_block_dedup_pairs_share_blocks(spark, sf_dir):
             if wa[i * qa : i * qa + qa] == wb[i * qb : i * qb + qb]
         )
         assert n == p.n_blocks and n >= 2
+
+
+def test_model_monitoring_pipeline_composes_parts(spark, sf_dir):
+    from cocktails_data_engineering_spark.operators.evaluation import (
+        model_monitoring_pipeline,
+    )
+
+    rows = {r.metric: r.value for r in model_monitoring_pipeline(spark, sf_dir).collect()}
+    assert set(rows) == {"roc_auc", "ks_statistic", "psi_max", "gain_top_decile"}
+    auc = roc_auc_orders(spark, sf_dir).collect()[0].auc
+    assert rows["roc_auc"] == auc  # flagship reuses the part verbatim
+    assert all(v is not None for v in rows.values())
