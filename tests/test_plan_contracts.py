@@ -285,3 +285,52 @@ def test_embedding_drift_no_quadratic_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "embedding_drift_by_label")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_aligned_block_dedup_no_quadratic_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "aligned_block_dedup")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_running_sum_family_has_no_global_window(spark, sf_dir):
+    """AUC / KS cumulate over distinct scores via the two-phase
+    range-partitioned pattern: the plan must contain no single-partition
+    exchange feeding a Window (the global-sort bottleneck the helper
+    exists to avoid).  The only SinglePartition allowed is the final
+    one-row aggregate."""
+    for name in ("roc_auc_orders", "ks_statistic_status"):
+        plan = _plan(spark, sf_dir, name)
+        lines = plan.splitlines()
+        for i, ln in enumerate(lines):
+            if "Window" in ln and "WindowGroupLimit" not in ln:
+                ctx = "\n".join(lines[i : i + 6])
+                assert "SinglePartition" not in ctx, f"{name}: global window:\n{ctx}"
+
+
+def test_bloom_prefilter_is_single_fact_scan(spark, sf_dir):
+    """The bloom readout must scan the fact table once (flag + aggregate),
+    not once per output counter, and join only by broadcast."""
+    plan = _plan(spark, sf_dir, "bloom_prefilter_join")
+    assert plan.count("orders.parquet") <= 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_assoc_rules_pair_join_is_orderkey_keyed(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "assoc_rules_brands")
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-k by lift, no global sort
+
+
+def test_countmin_probe_joins_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "countmin_word_freq")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ivm_join_delta_never_rejoins_old_with_old_twice(spark, sf_dir):
+    """Four branch joins (V_old + three deltas) — all equi-joins on the
+    order key, no nested loop anywhere."""
+    plan = _plan(spark, sf_dir, "ivm_join_delta")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
