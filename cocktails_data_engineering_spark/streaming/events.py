@@ -34,6 +34,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..functions.numerics import dsum, oracle_dsum
+from ..checkpointing import materialize
 from ..registry import register
 from ..sources.tables import load, normalize_events_ts
 
@@ -756,4 +757,157 @@ def stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
         counted.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
         .select("window_start", "event_type", "n_events", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming PSI drift monitor (stream side of the evaluation family)
+# ---------------------------------------------------------------------------
+_PSI_QS = [i / 10 for i in range(1, 10)]
+PSI_ALERT = 0.25
+
+
+@register(
+    "stream_psi_drift",
+    oracle=f"""
+WITH ref AS (SELECT date_trunc('day', MIN(ts)) AS d0 FROM events),
+b AS (
+  SELECT list_transform(quantile_cont(value, {_PSI_QS}),
+                        q -> ROUND(CAST(q AS DOUBLE), 6)) AS bs
+  FROM events CROSS JOIN ref
+  WHERE date_trunc('day', ts) = ref.d0
+),
+binned AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+         CAST(len(list_filter(b.bs, q -> e.value > q)) AS INT) AS bucket
+  FROM events e CROSS JOIN b
+),
+grid AS (
+  SELECT w.window_start, g.bucket
+  FROM (SELECT DISTINCT window_start FROM binned) w
+  CROSS JOIN (SELECT unnest(range(0, 10)) AS bucket) g
+),
+counts AS (
+  SELECT g.window_start, g.bucket, COUNT(binned.bucket) AS n
+  FROM grid g LEFT JOIN binned
+    ON binned.window_start = g.window_start AND binned.bucket = g.bucket
+  GROUP BY 1, 2
+),
+wt AS (SELECT window_start, SUM(n) AS wn FROM counts GROUP BY window_start),
+shares AS (
+  SELECT c.window_start, c.bucket,
+         CAST(c.n + 1 AS DOUBLE) / (wt.wn + 10) AS p
+  FROM counts c JOIN wt USING (window_start)
+),
+refshare AS (
+  SELECT bucket,
+         CAST(COUNT(*) + 1 AS DOUBLE)
+           / ((SELECT COUNT(*) FROM events e2 CROSS JOIN ref
+               WHERE date_trunc('day', e2.ts) = ref.d0) + 10) AS q
+  FROM (SELECT CAST(len(list_filter(b.bs, q -> e.value > q)) AS INT) AS bucket
+        FROM events e CROSS JOIN b CROSS JOIN ref
+        WHERE date_trunc('day', e.ts) = ref.d0) rb
+  RIGHT JOIN (SELECT unnest(range(0, 10)) AS bucket) gg USING (bucket)
+  GROUP BY bucket
+),
+terms AS (
+  SELECT s.window_start,
+         ROUND((s.p - r.q) * ln(s.p / r.q), 6) AS term
+  FROM shares s JOIN refshare r USING (bucket)
+)
+SELECT window_start,
+       ROUND(CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE), 6) AS psi,
+       CAST(CASE WHEN CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE)
+                      >= {PSI_ALERT} THEN 1 ELSE 0 END AS INT) AS is_drift
+FROM terms GROUP BY window_start
+""",
+)
+def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming input-drift monitor: hourly PSI of the event-value
+    distribution against decile boundaries FROZEN on the first day of
+    data — the curate-on-ingest sibling of the batch
+    ``psi_price_drift``, alerting (PSI ≥ {PSI_ALERT}) the hour the
+    input distribution moves instead of at the next batch audit.
+
+    Streaming shape: the reference boundaries are 9 scalars computed
+    once batch-side (O(1) driver collect, same discipline as the Lloyd
+    convergence scalar) and baked into the stream plan as literals, so
+    the stream itself is a map-side bucket assignment + watermarked
+    (window, bucket) count — additive, bounded state, no stream-side
+    join at all.  PSI folds over the RESULT table each refresh
+    (windows×10 rows, metadata-sized).  Run to completion with
+    availableNow, the batch oracle applies exactly."""
+    ev_batch = spark.read.schema(_raw_table_schema(spark, sf_dir, "events")).parquet(
+        f"{sf_dir}/events.parquet"
+    )
+    from ..sources.tables import normalize_events_ts
+
+    ev_batch = normalize_events_ts(ev_batch)
+    d0 = ev_batch.agg(F.date_trunc("day", F.min("ts")).alias("d0")).collect()[0][0]
+    ref_rows = ev_batch.filter(F.date_trunc("day", F.col("ts")) == F.lit(d0))
+    bounds = ref_rows.agg(
+        F.transform(
+            F.percentile("value", F.array(*[F.lit(q) for q in _PSI_QS])),
+            lambda q: F.round(q, 6),
+        ).alias("bs")
+    ).collect()[0][0]
+    blit = F.array(*[F.lit(float(x)) for x in bounds])
+
+    def bucket_of(col):
+        return F.size(F.filter(blit, lambda b: col > b))
+
+    events = read_events_stream(spark, sf_dir)
+    plan = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            bucket_of(F.col("value")).alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "bucket",
+            "n",
+        )
+    )
+    raw = materialize(_run_to_memory(plan, "complete"))
+
+    windows = raw.select("window_start").distinct()
+    buckets = spark.range(10).select(F.col("id").cast("int").alias("bucket"))
+    grid = windows.crossJoin(F.broadcast(buckets))
+    counts = grid.join(raw, ["window_start", "bucket"], "left").select(
+        "window_start", "bucket", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+    )
+    wt = counts.groupBy("window_start").agg(F.sum("n").alias("wn"))
+    shares = counts.join(F.broadcast(wt), "window_start").select(
+        "window_start",
+        "bucket",
+        ((F.col("n") + 1).cast("double") / (F.col("wn") + 10)).alias("p"),
+    )
+    ref_binned = ref_rows.select(bucket_of(F.col("value")).alias("bucket"))
+    ref_n = ref_rows.count()
+    refshare = (
+        buckets.join(
+            ref_binned.groupBy("bucket").agg(F.count(F.lit(1)).alias("rn")),
+            "bucket",
+            "left",
+        )
+        .select(
+            "bucket",
+            (
+                (F.coalesce(F.col("rn"), F.lit(0)) + 1).cast("double")
+                / F.lit(float(ref_n + 10))
+            ).alias("q"),
+        )
+    )
+    terms = shares.join(F.broadcast(refshare), "bucket").select(
+        "window_start",
+        F.round((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")), 6).alias(
+            "term"
+        ),
+    )
+    psi = F.round(dsum(F.col("term")), 6)
+    return terms.groupBy("window_start").agg(
+        psi.alias("psi"),
+        F.when(psi >= PSI_ALERT, 1).otherwise(0).cast("int").alias("is_drift"),
     )

@@ -95,3 +95,16 @@ def test_stream_mixture_sample_equals_batch(spark, sf_dir):
         if r.n_kept > 0
     }
     assert streamed == batch
+
+
+def test_stream_psi_drift_flags_match_threshold(spark, sf_dir):
+    from cocktails_data_engineering_spark.streaming.events import (
+        PSI_ALERT,
+        stream_psi_drift,
+    )
+
+    rows = stream_psi_drift(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.psi >= 0.0
+        assert r.is_drift == (1 if r.psi >= PSI_ALERT else 0)
