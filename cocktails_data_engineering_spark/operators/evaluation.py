@@ -454,3 +454,97 @@ def model_monitoring_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("gain_top_decile").alias("metric"), F.col("cum_gain").alias("value"))
     )
     return auc.unionAll(ks).unionAll(psi).unionAll(gain)
+
+
+# ---------------------------------------------------------------------------
+# nDCG@k: graded ranking quality of the score ordering
+# ---------------------------------------------------------------------------
+NDCG_K = 100
+
+
+@register(
+    "ndcg_orders",
+    oracle=f"""
+WITH ranked AS (
+  SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS rel,
+         ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders
+),
+topk AS (SELECT rel, rk FROM ranked WHERE rk <= {NDCG_K}),
+p AS (SELECT CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_pos FROM orders),
+dcg_t AS (
+  SELECT ROUND(CAST(SUM(CAST(ROUND(rel / (ln(rk + 1) / ln(2)), 6)
+                  AS DECIMAL(18,6))) AS DOUBLE), 6) AS dcg
+  FROM topk
+),
+idcg_t AS (
+  SELECT ROUND(CAST(SUM(CAST(ROUND(1.0 / (ln(i + 1) / ln(2)), 6)
+                  AS DECIMAL(18,6))) AS DOUBLE), 6) AS idcg
+  FROM (SELECT unnest(range(1, {NDCG_K} + 1)) AS i) g CROSS JOIN p
+  WHERE i <= LEAST(p.n_pos, {NDCG_K})
+)
+SELECT CAST({NDCG_K} AS INT) AS k, dcg, idcg,
+       ROUND(dcg / idcg, 6) AS ndcg
+FROM dcg_t CROSS JOIN idcg_t
+""",
+)
+def ndcg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@{NDCG_K} of the price-score ranking against the binary
+    fulfillment label: DCG = Σ rel_i / log2(i+1) over the top
+    {NDCG_K} positions, normalized by the ideal DCG — the position-
+    discounted ranking metric that complements AUC (AUC weighs all
+    pairs; nDCG weighs the head, which is what a retrieval or feed
+    ranker actually ships).  Per-position terms are rounded before the
+    DECIMAL sum (libm-vs-JVM log discipline), so the metric is
+    engine-exact.
+
+    Plan at 100 TB: the only row-scale work is the top-k itself —
+    TakeOrderedAndProject ({NDCG_K} rows per partition, tiny merge) —
+    then every subsequent step runs on ≤{NDCG_K} rows; the ideal-DCG
+    spine is a range() literal."""
+    o = load_spread(spark, sf_dir, "orders")
+    topk = (
+        o.select(
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("rel"),
+            "o_totalprice",
+            "o_orderkey",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(NDCG_K)
+        .select(
+            "rel",
+            F.row_number()
+            .over(Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")))
+            .alias("rk"),
+        )
+    )
+    n_pos = F.broadcast(
+        o.agg(
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias(
+                "n_pos"
+            )
+        )
+    )
+    log2 = lambda c: F.log(c + 1) / F.log(F.lit(2.0))  # noqa: E731
+    dcg = topk.agg(
+        F.round(dsum(F.round(F.col("rel") / log2(F.col("rk")), 6)), 6).alias("dcg")
+    )
+    spine = spark.range(1, NDCG_K + 1).select(F.col("id").alias("i"))
+    idcg = (
+        spine.crossJoin(n_pos)
+        .filter(F.col("i") <= F.least(F.col("n_pos"), F.lit(NDCG_K)))
+        .agg(
+            F.round(dsum(F.round(1.0 / log2(F.col("i")), 6)), 6).alias("idcg")
+        )
+    )
+    return (
+        F.broadcast(dcg)
+        .crossJoin(F.broadcast(idcg))
+        .select(
+            F.lit(NDCG_K).cast("int").alias("k"),
+            "dcg",
+            "idcg",
+            F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
+        )
+    )

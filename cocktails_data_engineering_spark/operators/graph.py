@@ -438,3 +438,89 @@ def kcore_crawl_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges.groupBy(F.col("a").alias("node")).agg(
         F.count(F.lit(1)).alias("degree")
     )
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity (Pearson r of endpoint degrees)
+# ---------------------------------------------------------------------------
+@register(
+    "degree_assortativity",
+    oracle=f"""
+WITH e AS (
+SELECT DISTINCT a, b FROM (
+  SELECT o_custkey % 97 AS a, o_orderkey % 401 AS b FROM orders
+  UNION ALL
+  SELECT o_orderkey % 401 AS a, o_custkey % 97 AS b FROM orders
+) WHERE a <> b
+),
+deg AS (SELECT a AS node, COUNT(*) AS d FROM e GROUP BY a),
+de AS (
+  SELECT da.d AS x, db.d AS y
+  FROM e JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM de
+)
+SELECT m,
+       ROUND((CAST(sxy AS DOUBLE) / m - (CAST(sx AS DOUBLE) / m) * (CAST(sy AS DOUBLE) / m))
+             / (sqrt(CAST(sxx AS DOUBLE) / m - (CAST(sx AS DOUBLE) / m) * (CAST(sx AS DOUBLE) / m))
+                * sqrt(CAST(syy AS DOUBLE) / m - (CAST(sy AS DOUBLE) / m) * (CAST(sy AS DOUBLE) / m))),
+             6) AS assortativity
+FROM s
+""",
+)
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the undirected crawl graph: the Pearson
+    correlation of endpoint degrees over the directed edge list —
+    positive means hubs link to hubs (social-network shape), negative
+    means hubs link to leaves (web/spam-farm shape; this bipartite-ish
+    fixture graph is strongly disassortative); the one-number
+    structural fingerprint used beside PageRank and k-core when
+    deciding crawl policy.
+
+    All accumulations are INTEGER (degrees and their products), so only
+    the final closed-form expression runs in double — identical IEEE
+    evaluation order on both engines, one ROUND(6).
+
+    Plan at 100 TB: one degree aggregate, two node-keyed joins to
+    decorate edge endpoints, one scalar reduce — linear in edges, and
+    the degree table broadcasts when the vertex set allows."""
+    orders = load(spark, sf_dir, "orders")
+    fwd = orders.select(
+        (F.col("o_custkey") % 97).alias("a"), (F.col("o_orderkey") % 401).alias("b")
+    )
+    bwd = orders.select(
+        (F.col("o_orderkey") % 401).alias("a"), (F.col("o_custkey") % 97).alias("b")
+    )
+    edges = fwd.unionAll(bwd).filter(F.col("a") != F.col("b")).distinct()
+    edges = materialize(edges)
+    deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    de = (
+        edges.join(
+            F.broadcast(deg.select(F.col("a"), F.col("d").alias("x"))), "a"
+        ).join(
+            F.broadcast(
+                deg.select(F.col("a").alias("b"), F.col("d").alias("y"))
+            ),
+            "b",
+        )
+    ).select("x", "y")
+    s = de.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    md = F.col("m").cast("double")
+    mx, my = F.col("sx") / md, F.col("sy") / md
+    cov = F.col("sxy") / md - mx * my
+    sdx = F.sqrt(F.col("sxx") / md - mx * mx)
+    sdy = F.sqrt(F.col("syy") / md - my * my)
+    return s.select("m", F.round(cov / (sdx * sdy), 6).alias("assortativity"))

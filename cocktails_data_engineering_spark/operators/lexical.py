@@ -27,7 +27,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.numerics import dsum
@@ -253,3 +253,127 @@ def positional_index_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_list(F.col("pos").cast("int"))), ","
         ).alias("positions"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion: hybrid lexical + semantic retrieval
+# ---------------------------------------------------------------------------
+RRF_K = 60
+RRF_TOP = 15
+RRF_QUERY_VEC = 0  # the query embedding: vector 0 of the embeddings table
+
+
+def _rrf_oracle() -> str:
+    from ..registry import get_spec
+
+    bm25 = get_spec("bm25_keyword_search").oracle.strip()
+    return f"""
+WITH lex AS (
+  SELECT doc_id AS id,
+         CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS rank_lex
+  FROM ({bm25}) b
+),
+vecs AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+  FROM embeddings
+),
+q AS (SELECT emb AS q_emb, norm AS q_norm FROM vecs
+      WHERE vec_id = {RRF_QUERY_VEC}),
+flat AS (
+  SELECT v.vec_id, q.q_norm, v.norm, unnest(q.q_emb) AS qx, unnest(v.emb) AS vx
+  FROM q JOIN vecs v ON v.vec_id <> {RRF_QUERY_VEC}
+),
+semscore AS (
+  SELECT vec_id,
+         ROUND(SUM(qx * vx) / (ANY_VALUE(q_norm) * ANY_VALUE(norm)), 6) AS score
+  FROM flat GROUP BY vec_id
+),
+sem AS (
+  SELECT vec_id AS id,
+         CAST(ROW_NUMBER() OVER (ORDER BY score DESC, vec_id) AS INT) AS rank_sem
+  FROM semscore QUALIFY rank_sem <= {RRF_TOP + 5}
+),
+fused AS (
+  SELECT COALESCE(lex.id, sem.id) AS id, lex.rank_lex, sem.rank_sem,
+         ROUND(COALESCE(1.0 / ({RRF_K} + lex.rank_lex), 0)
+               + COALESCE(1.0 / ({RRF_K} + sem.rank_sem), 0), 6) AS rrf
+  FROM lex FULL OUTER JOIN sem ON lex.id = sem.id
+)
+SELECT id, rank_lex, rank_sem, rrf FROM fused
+ORDER BY rrf DESC, id LIMIT {RRF_TOP}
+"""
+
+
+@register("rrf_hybrid_retrieval", oracle=_rrf_oracle())
+def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion: the BM25 keyword
+    ranking and a semantic ranking (cosine against a query embedding —
+    vector {RRF_QUERY_VEC}) are fused with
+    ``rrf(d) = Σ 1/({RRF_K} + rank_list(d))`` — the standard hybrid
+    search join that needs no score calibration between the two lists
+    (ranks only), which is exactly why engines ship it.
+
+    Ranks are small integers and the fused score an exact rational, so
+    the fusion is engine-exact; component scores reuse the established
+    rounding discipline of their operators verbatim.
+
+    Plan at 100 TB: both component rankings end in
+    TakeOrderedAndProject top-k; the fusion is a full-outer join of two
+    ≤k-row lists — metadata-sized, broadcast trivially.  The heavy
+    lifting stays in the component operators' banded / posting-list
+    plans."""
+    from ..registry import get_spec
+    from .similarity import _vectors
+
+    lex_base = get_spec("bm25_keyword_search").fn(spark, sf_dir)
+    w_lex = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    lex = lex_base.select(
+        F.col("doc_id").alias("id"),
+        F.row_number().over(w_lex).cast("int").alias("rank_lex"),
+    )
+    vecs = _vectors(spark, sf_dir)
+    q = vecs.filter(F.col("vec_id") == RRF_QUERY_VEC).select(
+        F.col("emb").alias("q_emb"), F.col("norm").alias("q_norm")
+    )
+    dot = F.aggregate(
+        F.zip_with("q_emb", "emb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    semscore = (
+        vecs.filter(F.col("vec_id") != RRF_QUERY_VEC)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(dot / (F.col("q_norm") * F.col("norm")), 6).alias("score"),
+        )
+    )
+    sem = (
+        semscore.orderBy(F.desc("score"), "vec_id")
+        .limit(RRF_TOP + 5)
+        .select(
+            F.col("vec_id").alias("id"),
+            F.row_number()
+            .over(Window.orderBy(F.desc("score"), F.asc("vec_id")))
+            .cast("int")
+            .alias("rank_sem"),
+        )
+    )
+    fused = (
+        lex.withColumnRenamed("id", "lid")
+        .join(sem.withColumnRenamed("id", "sid"), F.col("lid") == F.col("sid"), "full")
+        .select(
+            F.coalesce(F.col("lid"), F.col("sid")).alias("id"),
+            "rank_lex",
+            "rank_sem",
+            F.round(
+                F.coalesce(1.0 / (RRF_K + F.col("rank_lex")), F.lit(0.0))
+                + F.coalesce(1.0 / (RRF_K + F.col("rank_sem")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf"), "id").limit(RRF_TOP)

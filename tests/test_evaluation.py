@@ -124,3 +124,38 @@ def test_model_monitoring_pipeline_composes_parts(spark, sf_dir):
     auc = roc_auc_orders(spark, sf_dir).collect()[0].auc
     assert rows["roc_auc"] == auc  # flagship reuses the part verbatim
     assert all(v is not None for v in rows.values())
+
+
+def test_ndcg_within_bounds(spark, sf_dir):
+    from cocktails_data_engineering_spark.operators.evaluation import ndcg_orders
+
+    r = ndcg_orders(spark, sf_dir).collect()[0]
+    assert 0.0 <= r.ndcg <= 1.0
+    assert r.dcg <= r.idcg
+
+
+def test_rrf_fuses_both_rankings(spark, sf_dir):
+    from cocktails_data_engineering_spark.operators.lexical import (
+        RRF_K,
+        rrf_hybrid_retrieval,
+    )
+
+    rows = rrf_hybrid_retrieval(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.rank_lex is not None or r.rank_sem is not None
+        expect = sum(
+            1.0 / (RRF_K + rk) for rk in (r.rank_lex, r.rank_sem) if rk is not None
+        )
+        assert abs(r.rrf - round(expect, 6)) < 1e-9
+    # fused ordering is by rrf desc (list overlap is data-dependent, so
+    # only the ordering and the formula are asserted)
+    rrfs = [r.rrf for r in rows]
+    assert rrfs == sorted(rrfs, reverse=True)
+
+
+def test_degree_assortativity_in_range(spark, sf_dir):
+    from cocktails_data_engineering_spark.operators.graph import degree_assortativity
+
+    r = degree_assortativity(spark, sf_dir).collect()[0]
+    assert -1.0 <= r.assortativity <= 1.0
