@@ -36,9 +36,16 @@ def ordered_running_sums(df: DataFrame, key: str, cols: list[str]) -> DataFrame:
     O(partitions) count table — identical structure to
     ``relational.assign_dense_ids``, so the plan survives any row count.
     """
+    from ..checkpointing import materialize
+
     n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    parts = df.repartitionByRange(n_parts, F.col(key)).withColumn(
-        "_pid", F.spark_partition_id()
+    # materialized once: both the local-cumsum branch and the per-partition
+    # totals branch consume the SAME range shuffle (and _pid assignment
+    # must not be recomputed under a different partitioning)
+    parts = materialize(
+        df.repartitionByRange(n_parts, F.col(key)).withColumn(
+            "_pid", F.spark_partition_id()
+        )
     )
     local_w = (
         Window.partitionBy("_pid")

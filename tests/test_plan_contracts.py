@@ -334,3 +334,9 @@ def test_ivm_join_delta_never_rejoins_old_with_old_twice(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ivm_join_delta")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_new_topk_queries_never_global_sort(spark, sf_dir):
+    for name in ("weighted_sample_docs", "rrf_hybrid_retrieval", "ndcg_orders"):
+        plan = _plan(spark, sf_dir, name)
+        assert "TakeOrderedAndProject" in plan, name
