@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..sources.tables import load
+from ..sources.tables import load, load_spread
 
 # Overlapping training-window chunking: 32-token windows, stride 24
 # (25% overlap), the causal-LM data-prep shape.
@@ -526,3 +526,64 @@ def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("text")).cast("bigint").alias("chars_in"),
         F.sum(F.length("clean")).cast("bigint").alias("chars_out"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF twin of the chunker (Spark 4 user-defined TABLE function)
+# ---------------------------------------------------------------------------
+@F.udtf(
+    returnType="chunk_idx INT, chunk_start INT, n_chunk_tokens INT, chunk_text STRING",
+    useArrow=True,
+)
+class _ChunkUDTF:
+    """One row in → chunks out: the UDTF contract (a table function a SQL
+    user calls in LATERAL position).  Arrow-optimized transfer."""
+
+    def eval(self, text: str):  # noqa: A002 - UDTF API signature
+        toks = [w for w in (text or "").split(" ") if w != ""]
+        for idx, start in enumerate(range(0, len(toks), CHUNK_STRIDE)):
+            window = toks[start : start + CHUNK_SIZE]
+            yield idx, start, len(window), " ".join(window)
+
+
+@register(
+    "udtf_chunk_expand",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, t,
+         unnest(generate_series(0, len(t) - 1, {CHUNK_STRIDE})) AS chunk_start
+  FROM toks WHERE len(t) >= 1
+)
+SELECT doc_id,
+       CAST(chunk_start / {CHUNK_STRIDE} AS INT) AS chunk_idx,
+       CAST(chunk_start AS INT) AS chunk_start,
+       CAST(len(list_slice(t, chunk_start + 1, chunk_start + {CHUNK_SIZE})) AS INT)
+           AS n_chunk_tokens,
+       array_to_string(list_slice(t, chunk_start + 1, chunk_start + {CHUNK_SIZE}), ' ')
+           AS chunk_text
+FROM starts
+""",
+)
+def udtf_chunk_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stride chunker as a Python USER-DEFINED TABLE FUNCTION —
+    Spark 4's mechanism for custom row-expanding operators callable
+    from SQL (`LATERAL _chunk(text)`), here Arrow-optimized and
+    oracle-checked against the same arithmetic as the pure-Catalyst
+    ``chunk_documents_stride``.  Two implementations, one oracle: the
+    UDTF path is for logic that genuinely cannot be expressed with
+    sequence/slice (a real tokenizer, a sentence splitter); the
+    built-in path remains the fast default — the parity proves the seam
+    is drop-in.
+
+    Plan: map-only expansion (ArrowEvalPythonUDTF), no shuffle; the
+    expansion factor is bounded by size/stride like the built-in twin."""
+    docs = load_spread(spark, sf_dir, "documents").filter(
+        F.size(_tokens()) >= 1
+    )
+    return docs.lateralJoin(
+        _ChunkUDTF(F.col("text").outer())
+    ).select("doc_id", "chunk_idx", "chunk_start", "n_chunk_tokens", "chunk_text")

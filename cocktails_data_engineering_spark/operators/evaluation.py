@@ -133,7 +133,12 @@ def roc_auc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores — no global window, no sort of the raw rows, and the final
     reduce is a one-row aggregate."""
     s = _by_score(spark, sf_dir)
-    c = ordered_running_sums(s, "score", ["neg"])
+    return _auc_df(ordered_running_sums(s, "score", ["pos", "neg"]))
+
+
+def _auc_df(c: DataFrame) -> DataFrame:
+    """AUC readout from the cumulated score histogram (shared with the
+    monitoring flagship, which materializes ``c`` once for AUC + KS)."""
     cneg = F.col("cum_neg") - F.col("neg")  # exclusive: negatives strictly below
     return c.agg(
         F.sum("pos").alias("n_pos"),
@@ -187,6 +192,12 @@ def ks_statistic_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = F.broadcast(
         s.agg(F.sum("pos").alias("n_pos"), F.sum("neg").alias("n_neg"))
     )
+    return _ks_df(c, t)
+
+
+def _ks_df(c: DataFrame, t: DataFrame) -> DataFrame:
+    """KS readout from the cumulated score histogram + totals (shared
+    with the monitoring flagship)."""
     gap = F.abs(
         F.col("cum_pos").cast("double") / F.col("n_pos")
         - F.col("cum_neg").cast("double") / F.col("n_neg")
@@ -443,13 +454,20 @@ def model_monitoring_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     individual oracles, so the flagship's correctness is exactly the
     conjunction of its parts.
 
-    Plan: the four branches share the orders scan through the block
-    cache; each reduces to ≤O(months) rows before the final 4-row
-    union."""
-    auc = roc_auc_orders(spark, sf_dir).select(
+    Plan: AUC and KS share ONE materialized score histogram + cumulative
+    pass (the expensive part of both); gain and PSI reduce to ≤O(months)
+    rows before the final 4-row union."""
+    from ..checkpointing import materialize
+
+    s = materialize(_by_score(spark, sf_dir))
+    c = materialize(ordered_running_sums(s, "score", ["pos", "neg"]))
+    t = F.broadcast(
+        s.agg(F.sum("pos").alias("n_pos"), F.sum("neg").alias("n_neg"))
+    )
+    auc = _auc_df(c).select(
         F.lit("roc_auc").alias("metric"), F.col("auc").alias("value")
     )
-    ks = ks_statistic_status(spark, sf_dir).select(
+    ks = _ks_df(c, t).select(
         F.lit("ks_statistic").alias("metric"), F.col("ks").alias("value")
     )
     psi = psi_price_drift(spark, sf_dir).agg(

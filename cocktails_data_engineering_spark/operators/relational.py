@@ -1171,3 +1171,35 @@ def dense_rank_top_price_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority", F.col("lvl").cast("int").alias("lvl"), "o_totalprice")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+
+
+@register(
+    "variant_extract_agg",
+    oracle=f"""
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS max_k
+FROM events GROUP BY event_type
+""",
+)
+def variant_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingestion through Spark 4's VARIANT type:
+    ``parse_json`` shreds the props JSON into the binary variant
+    encoding once, ``variant_get`` extracts typed paths from it — the
+    open-ended-schema path (unknown/evolving JSON) complementing
+    ``from_json_struct``'s schema-full parse.  At 100 TB variant is the
+    difference between re-parsing JSON text per access and one
+    parse + O(1) binary path reads, and parquet writers can shred it
+    columnar.
+
+    Plan: map-side parse/extract inside codegen, one aggregate."""
+    ev = load_spread(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "bigint")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.max("k").alias("max_k"),
+    )

@@ -42,6 +42,7 @@ _OPERATOR_MODULES = (
     "cocktails_data_engineering_spark.operators.relational",
     "cocktails_data_engineering_spark.operators.tpch",
     "cocktails_data_engineering_spark.sources.io",
+    "cocktails_data_engineering_spark.sources.python_source",
 )
 
 for _mod in _OPERATOR_MODULES:

@@ -1,0 +1,129 @@
+"""Custom connector via the Python DataSource API (Spark 4).
+
+The reference's ingestion is a bespoke source: a crawler that yields rows
+into the engine (``scripts/spiders/web_spider_oo.py`` — requests in, DataFrame
+out).  Spark's first-class answer is the Python DataSource API: implement
+``DataSource`` / ``DataSourceReader``, register it on the session, and the
+source becomes a parallel, partitioned scan any query can read with
+``spark.read.format(name)`` — the extension point a team uses to wrap an
+internal feed (a crawler frontier, a queue, an RPC service) as a table.
+
+The demo source here is deterministic (md5-derived columns from the row id),
+so the full connector path — partition planning, per-partition generation,
+Catalyst aggregation on top — is DuckDB-oracle-checked: the oracle recomputes
+the same rows arithmetically with ``range()``.
+
+Scale: ``partitions()`` splits the id space into equal shards, one reader
+task each — the source parallelizes like any file scan.  Generation is
+per-partition Python (the API's contract); everything ABOVE the scan stays
+JVM/Catalyst, which is the right boundary for a connector.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from ..registry import register
+
+SYNTH_ROWS = 20_000
+SYNTH_PARTS = 8
+_KINDS = ("alpha", "beta", "gamma", "delta")
+
+
+def _row(i: int) -> tuple[int, str, int]:
+    h = hashlib.md5(str(i).encode()).hexdigest()
+    return i, _KINDS[int(h[0], 16) % 4], int(h[1:9], 16) % 1000
+
+
+class _IdRange(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start, self.end = start, end
+
+
+class SynthFeedDataSource(DataSource):
+    """``spark.read.format("cocktails_synth")`` — deterministic feed."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "cocktails_synth"
+
+    def schema(self) -> str:
+        return "id BIGINT, kind STRING, val BIGINT"
+
+    def reader(self, schema) -> DataSourceReader:
+        return _SynthReader(
+            int(self.options.get("rows", SYNTH_ROWS)),
+            int(self.options.get("parts", SYNTH_PARTS)),
+        )
+
+
+class _SynthReader(DataSourceReader):
+    def __init__(self, rows: int, parts: int):
+        self.rows, self.parts = rows, parts
+
+    def partitions(self):
+        step = (self.rows + self.parts - 1) // self.parts
+        return [
+            _IdRange(lo, min(lo + step, self.rows))
+            for lo in range(0, self.rows, step)
+        ]
+
+    def read(self, partition: _IdRange):
+        for i in range(partition.start, partition.end):
+            yield _row(i)
+
+
+_REGISTERED = set()
+
+
+def synth_feed(spark: SparkSession, rows: int = SYNTH_ROWS) -> DataFrame:
+    key = id(spark)
+    if key not in _REGISTERED:
+        spark.dataSource.register(SynthFeedDataSource)
+        _REGISTERED.add(key)
+    return (
+        spark.read.format("cocktails_synth")
+        .option("rows", str(rows))
+        .option("parts", str(SYNTH_PARTS))
+        .load()
+    )
+
+
+_ORACLE_H = "md5(CAST(i AS VARCHAR))"
+
+
+@register(
+    "python_datasource_scan",
+    oracle=f"""
+WITH rows AS (
+  SELECT i,
+         ['alpha', 'beta', 'gamma', 'delta']
+           [1 + CAST(('0x' || substr({_ORACLE_H}, 1, 1)) AS BIGINT) % 4] AS kind,
+         CAST(('0x' || substr({_ORACLE_H}, 2, 8)) AS BIGINT) % 1000 AS val
+  FROM (SELECT unnest(range(0, {SYNTH_ROWS})) AS i)
+)
+SELECT kind, COUNT(*) AS n_rows,
+       CAST(SUM(val) AS BIGINT) AS sum_val,
+       CAST(MIN(i) AS BIGINT) AS min_id, CAST(MAX(i) AS BIGINT) AS max_id
+FROM rows GROUP BY kind
+""",
+)
+def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end custom-connector read: scan the registered Python
+    DataSource ({SYNTH_PARTS} parallel partitions over {SYNTH_ROWS}
+    deterministic rows) and aggregate per kind on top — proving the
+    connector's partition planning and row generation feed Catalyst
+    exactly like a native source.  The oracle regenerates the same rows
+    arithmetically, so a value match certifies the whole connector path.
+    """
+    feed = synth_feed(spark)
+    return feed.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("val").alias("sum_val"),
+        F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"),
+    )

@@ -340,3 +340,14 @@ def test_new_topk_queries_never_global_sort(spark, sf_dir):
     for name in ("weighted_sample_docs", "rrf_hybrid_retrieval", "ndcg_orders"):
         plan = _plan(spark, sf_dir, name)
         assert "TakeOrderedAndProject" in plan, name
+
+
+def test_udtf_and_datasource_python_stages_are_arrow(spark, sf_dir):
+    """The UDTF chunker must run as an Arrow-batched UDTF stage, never the
+    pickled row-at-a-time evaluator; the Python DataSource scan is a
+    planned source node, not a Python eval stage in the query body."""
+    plan = _plan(spark, sf_dir, "udtf_chunk_expand")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPythonUDTF" in plan or "EvalPythonUDTF" in plan
+    ds_plan = _plan(spark, sf_dir, "python_datasource_scan")
+    assert "BatchEvalPython" not in ds_plan
