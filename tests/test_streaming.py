@@ -108,3 +108,36 @@ def test_stream_psi_drift_flags_match_threshold(spark, sf_dir):
     for r in rows:
         assert r.psi >= 0.0
         assert r.is_drift == (1 if r.psi >= PSI_ALERT else 0)
+
+
+def test_stream_user_spend_tws_matches_batch(spark, sf_dir):
+    """State API v2 (transformWithStateInPandas) — runs only where the
+    worker-side protobuf dependency exists; environments without it skip
+    (the query registration is gated the same way)."""
+    import pytest
+
+    pytest.importorskip("google.protobuf.descriptor")
+    import pyspark.sql.functions as F
+
+    from cocktails_data_engineering_spark.functions.numerics import dsum
+    from cocktails_data_engineering_spark.sources.tables import load
+    from cocktails_data_engineering_spark.streaming.events import (
+        stream_user_spend_tws,
+    )
+
+    got = {
+        r.user_id: (r.n_purchases, r.total_value)
+        for r in stream_user_spend_tws(spark, sf_dir).collect()
+    }
+    want = {
+        r.user_id: (r.n_purchases, r.total_value)
+        for r in load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(dsum(F.col("value")), 6).alias("total_value"),
+        )
+        .collect()
+    }
+    assert got == want
