@@ -1203,3 +1203,63 @@ def variant_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("k").alias("sum_k"),
         F.max("k").alias("max_k"),
     )
+
+
+@register(
+    "null_safe_join_counts",
+    oracle="""
+WITH a AS (
+  SELECT CASE WHEN event_id % 13 = 0 THEN NULL ELSE event_type END AS k,
+         user_id % 16 AS bucket
+  FROM events WHERE event_id % 2 = 0
+),
+b AS (
+  SELECT CASE WHEN event_id % 13 = 0 THEN NULL ELSE event_type END AS k,
+         user_id % 16 AS bucket, value
+  FROM events WHERE event_id % 2 = 1
+),
+ag AS (SELECT k, bucket, COUNT(*) AS na FROM a GROUP BY k, bucket),
+bg AS (SELECT k, bucket, COUNT(*) AS nb FROM b GROUP BY k, bucket)
+SELECT ag.k AS event_type, ag.bucket,
+       CAST(ag.na AS BIGINT) AS n_left, CAST(bg.nb AS BIGINT) AS n_right
+FROM ag JOIN bg
+  ON ag.k IS NOT DISTINCT FROM bg.k AND ag.bucket = bg.bucket
+""",
+)
+def null_safe_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM): the NULL
+    partition matches ITSELF instead of vanishing — required whenever
+    the join key is an optional attribute (here an event type nulled on
+    a deterministic subset) and dropped-NULL semantics would silently
+    lose the unattributed traffic.
+
+    Spark plans ``<=>`` as an ordinary hash-join key (NULL hashes to a
+    regular bucket), NOT a nested loop — which is the point: null-safe
+    semantics cost nothing at scale.  Pre-aggregating both sides keeps
+    the NULL key's join fan-out at counts×counts instead of rows×rows."""
+    ev = load_spread(spark, sf_dir, "events")
+    k = F.when(F.col("event_id") % 13 == 0, F.lit(None)).otherwise(
+        F.col("event_type")
+    )
+    a = (
+        ev.filter(F.col("event_id") % 2 == 0)
+        .select(k.alias("k"), (F.col("user_id") % 16).alias("bucket"))
+        .groupBy("k", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_left"))
+    )
+    b = (
+        ev.filter(F.col("event_id") % 2 == 1)
+        .select(k.alias("k"), (F.col("user_id") % 16).alias("bucket"))
+        .groupBy("k", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_right"))
+    )
+    return a.alias("a").join(
+        b.alias("b"),
+        F.col("a.k").eqNullSafe(F.col("b.k"))
+        & (F.col("a.bucket") == F.col("b.bucket")),
+    ).select(
+        F.col("a.k").alias("event_type"),
+        F.col("a.bucket").alias("bucket"),
+        "n_left",
+        "n_right",
+    )

@@ -701,3 +701,41 @@ def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.coalesce("last_touch", F.lit("none")).alias("touch_type"))
         .agg(F.count(F.lit(1)).alias("n_purchases"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling exact median (order-statistic window frame)
+# ---------------------------------------------------------------------------
+@register(
+    "rolling_median_value",
+    oracle="""
+SELECT event_id, user_id,
+       ROUND(CAST(quantile_cont(value, 0.5) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE), 6)
+         AS med5
+FROM events
+""",
+)
+def rolling_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling exact MEDIAN of the last 5 events per user — the robust
+    smoother for spiky metrics where a rolling mean chases outliers
+    (the windowed order statistic beside rolling_1h_user_spend's
+    additive frame).  Exact percentile over a 5-row frame is
+    engine-identical (linear interpolation of two order statistics —
+    no accumulation-order dependence at all), one ROUND(6).
+
+    Plan at 100 TB: ONE shuffle on user_id, per-user ordered scan with
+    a bounded 5-row frame — state per window position is 5 values, so
+    the operator is memory-flat regardless of user history length."""
+    ev = load_spread(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.percentile("value", F.lit(0.5)).over(w), 6).alias("med5"),
+    )
