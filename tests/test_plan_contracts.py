@@ -351,3 +351,33 @@ def test_udtf_and_datasource_python_stages_are_arrow(spark, sf_dir):
     assert "ArrowEvalPythonUDTF" in plan or "EvalPythonUDTF" in plan
     ds_plan = _plan(spark, sf_dir, "python_datasource_scan")
     assert "BatchEvalPython" not in ds_plan
+
+
+def test_global_plan_invariants_all_queries(spark, sf_dir):
+    """Engine-wide physical-plan invariants, swept over EVERY registered
+    batch query (streaming queries execute on build, so they are swept
+    by their own runs):
+
+    - no CartesianProduct anywhere — every crossJoin in the repo is a
+      1-row broadcast bound, which plans as BroadcastNestedLoopJoin,
+      never a partitioned cartesian;
+    - no BatchEvalPython anywhere — Python appears only as Arrow-batched
+      stages (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas /
+      ArrowEvalPythonUDTF) or below a DataSource scan.
+    """
+    skipped_prefixes = ("stream_",)
+    side_effect = {"jdbc_roundtrip"}  # writes on plan build
+    failures = []
+    for name, fn in plans.all_queries().items():
+        if name.startswith(skipped_prefixes) or name in side_effect:
+            continue
+        try:
+            plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # pragma: no cover - diagnostic path
+            failures.append(f"{name}: plan build failed: {e}")
+            continue
+        if "CartesianProduct" in plan:
+            failures.append(f"{name}: CartesianProduct")
+        if "BatchEvalPython" in plan:
+            failures.append(f"{name}: BatchEvalPython")
+    assert not failures, failures
