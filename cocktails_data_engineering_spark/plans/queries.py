@@ -39,6 +39,7 @@ _OPERATOR_MODULES = (
     "cocktails_data_engineering_spark.operators.profiling",
     "cocktails_data_engineering_spark.operators.evaluation",
     "cocktails_data_engineering_spark.operators.extensions",
+    "cocktails_data_engineering_spark.operators.geo",
     "cocktails_data_engineering_spark.operators.relational",
     "cocktails_data_engineering_spark.operators.tpch",
     "cocktails_data_engineering_spark.sources.io",
