@@ -141,3 +141,65 @@ def test_stream_user_spend_tws_matches_batch(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_checkpoint_restart_resumes_exactly_once(spark, sf_dir, tmp_path):
+    """Exactly-once resume across process-style restarts: run an
+    availableNow pass over file A with a checkpoint, then add file B and
+    run a NEW query on the SAME checkpoint — the second run must process
+    only B (no reprocessing, no loss), and the merged totals must equal
+    the batch aggregate over A+B."""
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from cocktails_data_engineering_spark.sources.tables import load
+
+    events = load(spark, sf_dir, "events")
+    half_a = events.filter(F.col("event_id") % 2 == 0)
+    half_b = events.filter(F.col("event_id") % 2 == 1)
+
+    stage = tmp_path / "stage"
+    ckpt = str(tmp_path / "ckpt")
+    a_dir, b_dir = tmp_path / "a", tmp_path / "b"
+    half_a.coalesce(1).write.parquet(str(a_dir))
+    half_b.coalesce(1).write.parquet(str(b_dir))
+    stage.mkdir()
+    for f in a_dir.glob("*.parquet"):
+        shutil.copy(f, stage / f"a_{f.name}")
+
+    schema = events.schema
+    seen_rows: list[int] = []
+    totals: dict[int, int] = {}
+
+    def fold(batch_df, batch_id):
+        rows = batch_df.groupBy("user_id").count().collect()
+        seen_rows.append(sum(r["count"] for r in rows))
+        for r in rows:
+            totals[r.user_id] = totals.get(r.user_id, 0) + r["count"]
+
+    def run_once():
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(str(stage))
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    n_a = sum(seen_rows)
+    assert n_a == half_a.count()
+
+    for f in b_dir.glob("*.parquet"):
+        shutil.copy(f, stage / f"b_{f.name}")
+    run_once()
+    n_total = sum(seen_rows)
+    # second run saw ONLY the new file's rows
+    assert n_total - n_a == half_b.count()
+    want = {
+        r.user_id: r["count"] for r in events.groupBy("user_id").count().collect()
+    }
+    assert totals == want
