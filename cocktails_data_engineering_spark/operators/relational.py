@@ -1263,3 +1263,45 @@ def null_safe_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_left",
         "n_right",
     )
+
+
+@register(
+    "try_arithmetic_safety",
+    oracle="""
+SELECT event_type,
+       CAST(SUM(CASE WHEN value2 = 0 THEN NULL
+                     ELSE CAST(ROUND(value / value2, 6) AS DECIMAL(18,6)) END)
+            AS DOUBLE) AS sum_safe_ratio,
+       CAST(SUM(CASE WHEN value2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_div,
+       CAST(SUM(CASE WHEN try_cast(json_extract_string(props, '$.k') AS BIGINT)
+                     IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_cast
+FROM (
+  SELECT event_type, value, CAST(event_id % 7 AS DOUBLE) AS value2, props
+  FROM events
+) t
+GROUP BY event_type
+""",
+)
+def try_arithmetic_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode safety functions: under ``spark.sql.ansi.enabled``
+    (Spark 4's default) a division by zero or an invalid cast FAILS the
+    job — the correct default at 100 TB, where one corrupt row must not
+    be silently nulled into a wrong aggregate.  Where null-on-error IS
+    the intended semantics, the explicit ``try_divide`` / ``try_cast``
+    forms declare it per-expression: this query audits a fabricated
+    zero-divisor stream, summing the safe ratios (rounded into DECIMAL
+    so the sum is order-independent) and counting the rows each guard
+    absorbed.
+
+    Plan: pure map-side projections + one aggregate."""
+    ev = load_spread(spark, sf_dir, "events")
+    v2 = (F.col("event_id") % 7).cast("double")
+    safe_ratio = F.round(F.try_divide(F.col("value"), v2), 6)
+    bad_cast = F.get_json_object("props", "$.k").try_cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.sum(safe_ratio.cast("decimal(18,6)")).cast("double").alias(
+            "sum_safe_ratio"
+        ),
+        F.sum(F.when(v2 == 0, 1).otherwise(0)).alias("n_zero_div"),
+        F.sum(F.when(bad_cast.isNull(), 1).otherwise(0)).alias("n_bad_cast"),
+    )

@@ -296,3 +296,41 @@ def orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         F.sum(F.length("text")).alias("total_text_chars"),
     )
+
+
+@register(
+    "xml_roundtrip_agg",
+    oracle="""
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+FROM documents GROUP BY lang
+""",
+)
+def xml_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML interchange via Spark 4's built-in XML support: render each
+    document row to an XML fragment with ``to_xml``, parse it back with
+    ``from_xml`` against an explicit schema, and aggregate the parsed
+    fields per language.  The oracle aggregates the ORIGINAL columns, so
+    a value match certifies the render→parse roundtrip preserved every
+    field — the fourth interchange format beside parquet/ORC and
+    csv/jsonl, covering the XML feeds (sitemaps, RSS) a crawler
+    actually ingests.
+
+    Plan: map-side render+parse fused into the scan projection (no
+    Python anywhere), one aggregate."""
+    docs = load(spark, sf_dir, "documents")
+    frag_schema = "doc_id BIGINT, lang STRING, n_chars BIGINT"
+    xml = F.to_xml(
+        F.struct(
+            F.col("doc_id"),
+            F.col("lang"),
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+        )
+    )
+    parsed = docs.select(F.from_xml(xml, frag_schema).alias("p"))
+    return parsed.groupBy(F.col("p.lang").alias("lang")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("p.n_chars").alias("total_chars"),
+        F.sum("p.doc_id").alias("sum_ids"),
+    )
