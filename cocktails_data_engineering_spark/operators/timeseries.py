@@ -739,3 +739,117 @@ def rolling_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round(F.percentile("value", F.lit(0.5)).over(w), 6).alias("med5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation (recency / frequency / monetary terciles)
+# ---------------------------------------------------------------------------
+_RFM_QS = [1 / 3, 2 / 3]
+
+
+@register(
+    "rfm_user_segments",
+    oracle=f"""
+WITH p AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+),
+mx AS (SELECT MAX(ts) AS t_max FROM p),
+rfm AS (
+  SELECT p.user_id,
+         CAST(date_diff('second', MAX(p.ts), mx.t_max) AS BIGINT) AS recency_s,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         ROUND(CAST(SUM(CAST(p.value AS DECIMAL(18,6))) AS DOUBLE), 6)
+           AS monetary
+  FROM p CROSS JOIN mx
+  GROUP BY p.user_id, mx.t_max
+),
+b AS (
+  SELECT list_transform(quantile_cont(recency_s, {_RFM_QS}),
+                        q -> ROUND(CAST(q AS DOUBLE), 6)) AS rb,
+         list_transform(quantile_cont(frequency, {_RFM_QS}),
+                        q -> ROUND(CAST(q AS DOUBLE), 6)) AS fb,
+         list_transform(quantile_cont(monetary, {_RFM_QS}),
+                        q -> ROUND(CAST(q AS DOUBLE), 6)) AS mb
+  FROM rfm
+),
+scored AS (
+  SELECT rfm.user_id, rfm.recency_s, rfm.frequency, rfm.monetary,
+         3 - CAST(len(list_filter(b.rb, q -> rfm.recency_s > q)) AS INT) AS r,
+         1 + CAST(len(list_filter(b.fb, q -> rfm.frequency > q)) AS INT) AS f,
+         1 + CAST(len(list_filter(b.mb, q -> rfm.monetary > q)) AS INT) AS m
+  FROM rfm CROSS JOIN b
+)
+SELECT user_id, recency_s, frequency, monetary,
+       r, f, m,
+       CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR)
+         AS segment
+FROM scored
+""",
+)
+def rfm_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic lifecycle-marketing readout: per
+    user, Recency (seconds since last purchase, lower = better),
+    Frequency, and Monetary (DECIMAL-exact), each scored into terciles
+    against exact-quantile boundaries broadcast from one aggregate (the
+    same no-NTILE shape as equidepth), concatenated into the '333' /
+    '111' style segment code.  Boundary comparisons use ROUNDED
+    boundaries so tercile membership is engine-exact.
+
+    Plan at 100 TB: one user-keyed aggregate over purchases, a 1-row
+    boundary aggregate broadcast back, scoring map-side — two shuffles
+    total, the second over |users| rows."""
+    p = load_spread(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    mx = F.broadcast(p.agg(F.max("ts").alias("t_max")))
+    rfm = (
+        p.crossJoin(mx)
+        .groupBy("user_id", "t_max")
+        .agg(
+            F.max("ts").alias("t_last"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(dsum(F.col("value")), 6).alias("monetary"),
+        )
+        .select(
+            "user_id",
+            (
+                F.unix_timestamp("t_max") - F.unix_timestamp("t_last")
+            ).alias("recency_s"),
+            "frequency",
+            "monetary",
+        )
+    )
+    qs = F.array(*[F.lit(q) for q in _RFM_QS])
+    b = F.broadcast(
+        rfm.agg(
+            F.transform(
+                F.percentile("recency_s", qs), lambda q: F.round(q, 6)
+            ).alias("rb"),
+            F.transform(
+                F.percentile("frequency", qs), lambda q: F.round(q, 6)
+            ).alias("fb"),
+            F.transform(
+                F.percentile("monetary", qs), lambda q: F.round(q, 6)
+            ).alias("mb"),
+        )
+    )
+    def above(bs, col):
+        return F.size(F.filter(bs, lambda q: col > q))
+
+    scored = rfm.crossJoin(b).select(
+        "user_id",
+        "recency_s",
+        "frequency",
+        "monetary",
+        (3 - above(F.col("rb"), F.col("recency_s"))).cast("int").alias("r"),
+        (1 + above(F.col("fb"), F.col("frequency"))).cast("int").alias("f"),
+        (1 + above(F.col("mb"), F.col("monetary"))).cast("int").alias("m"),
+    )
+    return scored.select(
+        "*",
+        F.concat(
+            F.col("r").cast("string"),
+            F.col("f").cast("string"),
+            F.col("m").cast("string"),
+        ).alias("segment"),
+    )
