@@ -19,6 +19,8 @@ Scale notes are attached per query; the common rules:
 """
 
 from __future__ import annotations
+import os
+
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -1304,4 +1306,72 @@ def try_arithmetic_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum(F.when(v2 == 0, 1).otherwise(0)).alias("n_zero_div"),
         F.sum(F.when(bad_cast.isNull(), 1).otherwise(0)).alias("n_bad_cast"),
+    )
+
+
+BUCKETED_N = 8
+
+
+@register(
+    "bucketed_join_no_shuffle",
+    oracle=f"""
+SELECT o.o_orderkey,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       ROUND(CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,6))) AS DOUBLE), 6)
+         AS total_qty
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey % 50 = 0
+GROUP BY o.o_orderkey
+""",
+)
+def bucketed_join_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join via BUCKETED storage: both sides are written
+    ``bucketBy({BUCKETED_N}, orderkey).sortBy(orderkey)``, so the
+    sort-merge join reads pre-partitioned, pre-sorted buckets with ZERO
+    exchange inside the join — the storage-layout answer to the repeated
+    fact⋈fact shuffle, which at 100 TB is the single largest recurring
+    cost a warehouse can delete (`tests/test_bucketing.py` asserts the
+    no-Exchange plan; this registered query proves the bucketed tables
+    produce the same ANSWERS as the plain parquet join the oracle runs).
+
+    The bucket count is a layout contract: readers co-locate only while
+    both tables agree on ({BUCKETED_N}, key) — the same
+    union-compatibility discipline as the HLL sketch lgK."""
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = load_spread(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    sfx = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    t_o, t_l = f"bktq_orders_{sfx}", f"bktq_lineitem_{sfx}"
+    # Cross-session idempotency: an in-memory catalog forgets tables between
+    # sessions but their warehouse directories persist; clear both before
+    # re-creating or CREATE fails with LOCATION_ALREADY_EXISTS.
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.sql(f"DROP TABLE IF EXISTS {t_o}")
+    spark.sql(f"DROP TABLE IF EXISTS {t_l}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in (t_o, t_l):
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+    (
+        orders.write.mode("overwrite")
+        .bucketBy(BUCKETED_N, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable(t_o)
+    )
+    (
+        li.write.mode("overwrite")
+        .bucketBy(BUCKETED_N, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable(t_l)
+    )
+    joined = (
+        spark.table(t_o)
+        .filter(F.col("o_orderkey") % 50 == 0)
+        .join(spark.table(t_l), F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    return joined.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double"), 6).alias(
+            "total_qty"
+        ),
     )
