@@ -573,3 +573,136 @@ def ndcg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival estimate (right-censored, integer-exact risk sets)
+# ---------------------------------------------------------------------------
+@register(
+    "survival_km_shipping",
+    oracle="""
+WITH first_ship AS (
+  SELECT l_orderkey, MIN(l_shipdate) AS ship FROM lineitem GROUP BY l_orderkey
+),
+durations AS (
+  SELECT date_diff('day', o.o_orderdate, f.ship) AS t,
+         CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS event
+  FROM orders o JOIN first_ship f ON f.l_orderkey = o.o_orderkey
+  WHERE date_diff('day', o.o_orderdate, f.ship) >= 0
+),
+at_t AS (
+  SELECT t, SUM(event) AS d, SUM(1 - event) AS c FROM durations GROUP BY t
+),
+tot AS (SELECT COUNT(*) AS big_n FROM durations),
+risk AS (
+  SELECT a.t, a.d, a.c,
+         tot.big_n - COALESCE(SUM(a.d + a.c) OVER (ORDER BY a.t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+  FROM at_t a CROSS JOIN tot
+),
+logs AS (
+  SELECT t, d, c, n_risk,
+         CASE WHEN n_risk > d
+              THEN CAST(round(ln(CAST(n_risk - d AS DOUBLE) / n_risk), 9)
+                        AS DECIMAL(18,9))
+              ELSE CAST(0 AS DECIMAL(18,9)) END AS lf,
+         CASE WHEN n_risk <= d THEN 1 ELSE 0 END AS dead
+  FROM risk
+),
+cum AS (
+  SELECT t, d, c, n_risk,
+         SUM(lf) OVER (ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sl,
+         MAX(dead) OVER (ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS zeroed
+  FROM logs
+)
+SELECT CAST(t AS INT) AS t_days,
+       CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(d AS BIGINT) AS d_events,
+       CAST(c AS BIGINT) AS c_censored,
+       CASE WHEN zeroed = 1 THEN 0.0
+            ELSE round(exp(CAST(sl AS DOUBLE)), 6) END AS survival
+FROM cum
+""",
+)
+def survival_km_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier estimate of "time until first shipment", treating
+    open/pending orders as right-censored observations.
+
+    Survival analysis belongs in the engine because censoring makes the
+    naive average wrong: open orders have not shipped YET, and dropping
+    them biases latency low.  KM handles it with risk sets: at each
+    distinct duration t, ``n_risk`` (orders that survived to t) shrinks
+    by that day's events AND censorings, and
+    ``S(t) = prod_{t'<=t} (n_risk - d)/n_risk`` steps down only on
+    events — the standard estimator, computed entirely in SQL.
+
+    Exactness: risk sets are integer cumsums; the product is
+    ``exp(sum(ln(...)))`` with each log term pre-rounded to 9 decimals
+    (the zipf-fit libm discipline) and summed in DECIMAL(18,9) so the
+    accumulation is exact and association-free; one exp then round 6.
+    The ``n_risk <= d`` guard pins S to an exact 0.0 when the risk set
+    empties (ln(0) never evaluated on either engine).
+
+    Scale: one map-side-combinable shuffle for MIN(l_shipdate) per
+    order, one co-keyed join to orders, then everything is aggregated to
+    |distinct durations| rows (bounded by the calendar span of the
+    dataset, not by row count) before any window — the single-partition
+    windows run over a constant-size series at any SF.  Negative
+    durations (ship recorded before order — a data error) are excluded
+    on both sides as the standard at-risk-from-time-zero guard.
+    """
+    li = load_spread(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    first_ship = li.groupBy("l_orderkey").agg(F.min("l_shipdate").alias("ship"))
+    durations = (
+        orders.join(first_ship, orders.o_orderkey == first_ship.l_orderkey)
+        .select(
+            F.datediff("ship", "o_orderdate").alias("t"),
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("event"),
+        )
+        .filter(F.col("t") >= 0)
+    )
+    at_t = durations.groupBy("t").agg(
+        F.sum("event").alias("d"), F.sum(1 - F.col("event")).alias("c")
+    )
+    tot = durations.agg(F.count(F.lit(1)).alias("big_n"))
+    prior = (
+        Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    risk = at_t.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d",
+        "c",
+        (
+            F.col("big_n")
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(prior), F.lit(0))
+        ).alias("n_risk"),
+    )
+    lf = F.when(
+        F.col("n_risk") > F.col("d"),
+        F.round(
+            F.log((F.col("n_risk") - F.col("d")).cast("double") / F.col("n_risk")), 9
+        ).cast("decimal(18,9)"),
+    ).otherwise(F.lit(0).cast("decimal(18,9)"))
+    dead = F.when(F.col("n_risk") <= F.col("d"), 1).otherwise(0)
+    logs = risk.select("t", "d", "c", "n_risk", lf.alias("lf"), dead.alias("dead"))
+    cum = logs.select(
+        "t",
+        "d",
+        "c",
+        "n_risk",
+        F.sum("lf").over(run).alias("sl"),
+        F.max("dead").over(run).alias("zeroed"),
+    )
+    return cum.select(
+        F.col("t").cast("int").alias("t_days"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("d").cast("bigint").alias("d_events"),
+        F.col("c").cast("bigint").alias("c_censored"),
+        F.when(F.col("zeroed") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.col("sl").cast("double")), 6))
+        .alias("survival"),
+    )

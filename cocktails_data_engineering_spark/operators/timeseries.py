@@ -853,3 +853,124 @@ def rfm_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m").cast("string"),
         ).alias("segment"),
     )
+
+
+@register(
+    "cusum_hourly_shift",
+    oracle="""
+WITH bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi FROM events
+),
+spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds
+),
+types AS (SELECT DISTINCT event_type FROM events),
+agg AS (
+  SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS x
+  FROM events GROUP BY 1, 2
+),
+series AS (
+  SELECT s.h, t.event_type, COALESCE(a.x, 0) AS x
+  FROM spine s CROSS JOIN types t
+  LEFT JOIN agg a ON a.h = s.h AND a.event_type = t.event_type
+),
+tot AS (
+  SELECT event_type, COUNT(*) AS n, SUM(x) AS tx, SUM(x * x) AS txx
+  FROM series GROUP BY event_type
+),
+dev AS (
+  SELECT s.h, s.event_type, s.x, t.n, t.tx, t.txx,
+         SUM(s.x * t.n - t.tx) OVER (PARTITION BY s.event_type ORDER BY s.h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM series s JOIN tot t ON t.event_type = s.event_type
+),
+stat AS (
+  SELECT h, event_type, x, n, tx, txx, cum,
+         cum - MIN(cum) OVER (PARTITION BY event_type ORDER BY h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS excess
+  FROM dev
+)
+SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+       CAST(x AS BIGINT) AS x,
+       CASE WHEN (n * txx - tx * tx) > 0
+            THEN round(CAST(excess AS DOUBLE)
+                       / sqrt(CAST(n * txx - tx * tx AS DOUBLE)), 6)
+            ELSE 0.0 END AS cusum_z,
+       CAST(CASE WHEN (n * txx - tx * tx) > 0
+                  AND CAST(excess AS DOUBLE)
+                      / sqrt(CAST(n * txx - tx * tx AS DOUBLE)) >= 5.0
+            THEN 1 ELSE 0 END AS INT) AS is_shift
+FROM stat
+""",
+)
+def cusum_hourly_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection over the hourly event-rate series,
+    one monitor per event type.
+
+    The reset-at-zero one-sided CUSUM ``S_t = max(0, S_{t-1} + (x_t - mu))``
+    is a recursion no SQL window expresses directly, but it has an exact
+    closed form: ``S_t = C_t - min_{t' <= t} C_{t'}`` where ``C`` is the
+    plain cumulative sum of deviations — a cumsum plus a running min, both
+    single-pass window frames.  Deviations are kept integer-exact by
+    scaling with the per-type hour count (``x*n - T = n*(x - mu)``), so
+    the entire recursion runs in BIGINT; the only float ops are the final
+    normalization ``excess / sqrt(n*Sxx - Sx^2)`` (note ``n*sigma =
+    sqrt(n*Sxx - Sx^2)`` exactly, so one integer discriminant feeds one
+    sqrt) with an identical expression tree in the oracle, rounded to 6.
+    A standardized excess >= 5 sigma flags a sustained rate shift.
+
+    Scale: the series is pre-aggregated to |hours| x |types| rows before
+    any window, so partition size is bounded by the time span, not the
+    event count — same argument as ``anomaly_zscore_hourly``.  One
+    shuffle on event_type drives cumsum, running min, and the per-type
+    totals join (broadcast, |types| rows).
+    """
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    types = ev.select("event_type").distinct()
+    agg = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h"), "event_type").agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    series = (
+        spine.crossJoin(F.broadcast(types))
+        .join(agg, ["h", "event_type"], "left")
+        .select("h", "event_type", F.coalesce("x", F.lit(0)).alias("x"))
+    )
+    tot = series.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("tx"),
+        F.sum(F.col("x") * F.col("x")).alias("txx"),
+    )
+    run = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dev = series.join(F.broadcast(tot), "event_type").select(
+        "h",
+        "event_type",
+        "x",
+        "n",
+        "tx",
+        "txx",
+        F.sum(F.col("x") * F.col("n") - F.col("tx")).over(run).alias("cum"),
+    )
+    stat = dev.select(
+        "*", (F.col("cum") - F.min("cum").over(run)).alias("excess")
+    )
+    disc = (F.col("n") * F.col("txx") - F.col("tx") * F.col("tx")).cast("double")
+    z = F.col("excess").cast("double") / F.sqrt(disc)
+    valid = F.col("n") * F.col("txx") - F.col("tx") * F.col("tx") > 0
+    return stat.select(
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "event_type",
+        F.col("x").cast("bigint").alias("x"),
+        F.when(valid, F.round(z, 6)).otherwise(F.lit(0.0)).alias("cusum_z"),
+        F.when(valid & (z >= 5.0), 1).otherwise(0).cast("int").alias("is_shift"),
+    )

@@ -381,3 +381,25 @@ def test_global_plan_invariants_all_queries(spark, sf_dir):
         if "BatchEvalPython" in plan:
             failures.append(f"{name}: BatchEvalPython")
     assert not failures, failures
+
+
+def test_cusum_windows_are_per_type_over_preaggregated_series(spark, sf_dir):
+    """CUSUM's cumsum + running-min windows must partition by event_type
+    (never a single global partition) and must consume the hourly
+    pre-aggregate, so partition width is |hours|, not |events|."""
+    plan = _plan(spark, sf_dir, "cusum_hourly_shift")
+    assert "windowspecdefinition(event_type" in plan
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_km_risk_sets_build_on_combinable_aggregates(spark, sf_dir):
+    """Kaplan-Meier: MIN(l_shipdate) per order must map-side combine
+    (partial_min before the shuffle), the N-total join must broadcast,
+    and the survival windows run over the distinct-duration aggregate —
+    a calendar-bounded series, the documented exception to the
+    no-global-window rule."""
+    plan = _plan(spark, sf_dir, "survival_km_shipping")
+    assert "partial_min" in plan
+    assert "BroadcastExchange" in plan or "BroadcastQueryStage" in plan
+    assert "CartesianProduct" not in plan
