@@ -474,3 +474,124 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("token_a", "token_b", ed.alias("ed")).filter(
         F.col("ed") <= _SN_MAX_ED
     )
+
+
+# ---------------------------------------------------------------------------
+# PassJoin: edit-distance <= 2 similarity self-join via segment blocking
+# ---------------------------------------------------------------------------
+PASSJOIN_TAU = 2  # supported edit-distance threshold (segments = TAU + 1)
+PASSJOIN_MOD = 97  # token-suffix modulus: prime, so suffixes spread 0..96
+
+
+def _passjoin_seg(l, i):
+    """Start position (1-based) and length of segment ``i`` (1..3) in the
+    even 3-way partition of a string of length ``l`` (short segments
+    first — the classic PassJoin layout)."""
+    base = F.floor(l / 3).cast("int")
+    rem = l % 3
+    seg_len = base + F.when(i > 3 - rem, 1).otherwise(0)
+    seg_start = 1 + (i - 1) * base + F.greatest(F.lit(0), (i - 1) - (3 - rem))
+    return seg_start, seg_len
+
+
+@register(
+    "passjoin_ed2_words",
+    oracle=f"""
+WITH toks AS (
+  SELECT DISTINCT w || '_' || CAST(doc_id % {PASSJOIN_MOD} AS VARCHAR) AS token
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> ''
+)
+SELECT a.token AS token_a, b.token AS token_b,
+       CAST(levenshtein(a.token, b.token) AS INT) AS dist
+FROM toks a JOIN toks b
+  ON a.token < b.token
+ AND abs(length(a.token) - length(b.token)) <= {PASSJOIN_TAU}
+ AND levenshtein(a.token, b.token) <= {PASSJOIN_TAU}
+""",
+)
+def passjoin_ed2_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance <= 2 similarity self-join via PassJoin segment
+    blocking — the tau=2 big sibling of ``fuzzy_join_ed1`` (whose
+    deletion neighborhood only reaches tau=1).
+
+    Pigeonhole: split every string into tau+1 = 3 segments; at most 2
+    edits can touch at most 2 segments, so any pair within distance 2
+    shares one segment EXACTLY, and that segment's position in the
+    partner shifts by at most +/-2.  Candidates therefore come from an
+    EQUI-join: the probe side emits its own 3 (segment, index, length)
+    keys; the index side emits substrings cut at the PARTNER geometry —
+    every length l in [len-2, len+2], each segment position shifted by
+    delta in [-2, 2] — bounded at 75 keys per string.  Exact
+    ``levenshtein`` then verifies candidates only.  The oracle is the
+    definitional all-pairs join (length-banded), so a match proves the
+    blocking is lossless, not just plausible.
+
+    Scale: index size is O(75 N) rows of short strings; bucket width is
+    governed by segment-value frequencies (same knob as the MinHash
+    band-bucket cap) and the verify cost is |candidates|, never N^2 —
+    no CartesianProduct in the plan (contract test).
+
+    Fixture domain: the documents vocabulary suffixed with doc_id %
+    {PASSJOIN_MOD} (~3k distinct tokens), so real distance-1/2 pairs
+    exist across both word stems and numeric suffixes.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            F.explode(F.split("text", " ")).alias("w"),
+            (F.col("doc_id") % PASSJOIN_MOD).cast("string").alias("sfx"),
+        )
+        .filter(F.col("w") != "")
+        .select(F.concat("w", F.lit("_"), "sfx").alias("token"))
+        .distinct()
+        .withColumn("len", F.length("token"))
+    )
+    three = F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("i")
+    p_start, p_len = _passjoin_seg(F.col("len"), F.col("i"))
+    probe = toks.select("token", "len", three).select(
+        F.col("token").alias("token_a"),
+        F.col("len").alias("l"),
+        "i",
+        F.substring("token", p_start, p_len).alias("seg"),
+    )
+    idx = (
+        toks.select("token", "len", three)
+        .select(
+            "token",
+            "len",
+            "i",
+            F.explode(
+                F.sequence(F.col("len") - PASSJOIN_TAU, F.col("len") + PASSJOIN_TAU)
+            ).alias("l"),
+        )
+        .select(
+            "token",
+            "len",
+            "i",
+            "l",
+            F.explode(
+                F.sequence(F.lit(-PASSJOIN_TAU), F.lit(PASSJOIN_TAU))
+            ).alias("delta"),
+        )
+    )
+    i_start, i_len = _passjoin_seg(F.col("l"), F.col("i"))
+    start = i_start + F.col("delta")
+    idx = idx.filter(
+        (i_len >= 1) & (start >= 1) & (start + i_len - 1 <= F.col("len"))
+    ).select(
+        F.col("token").alias("token_b"),
+        "i",
+        "l",
+        F.substring("token", start, i_len).alias("seg"),
+    )
+    cand = (
+        probe.join(idx, ["seg", "i", "l"])
+        .filter(F.col("token_a") < F.col("token_b"))
+        .select("token_a", "token_b")
+        .distinct()
+    )
+    dist = F.levenshtein("token_a", "token_b")
+    return cand.filter(dist <= PASSJOIN_TAU).select(
+        "token_a", "token_b", dist.cast("int").alias("dist")
+    )

@@ -1008,3 +1008,64 @@ def stream_user_spend_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 if _HAS_STATE_V2_DEPS:  # pragma: no cover - exercised where protobuf exists
     register("stream_user_spend_tws", oracle=_TWS_ORACLE)(stream_user_spend_tws)
+
+
+@register(
+    "stream_chained_window_agg",
+    oracle="""
+WITH m AS (SELECT MAX(ts) AS mx FROM events),
+hourly AS (
+  SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+emitted AS (
+  SELECT h, event_type, n FROM hourly CROSS JOIN m
+  WHERE h + INTERVAL 1 HOUR <= mx - INTERVAL 1 HOUR
+)
+SELECT strftime(date_trunc('day', h), '%Y-%m-%d') AS day,
+       event_type,
+       CAST(MAX(n) AS BIGINT) AS max_hourly,
+       CAST(SUM(n) AS BIGINT) AS n_events
+FROM emitted CROSS JOIN m
+WHERE date_trunc('day', h) + INTERVAL 1 DAY <= mx - INTERVAL 1 HOUR
+GROUP BY 1, 2
+""",
+)
+def stream_chained_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO chained stateful aggregations in one streaming query (Spark
+    3.4+ multi-stateful-operator support): hourly windowed counts per
+    event type feed a SECOND windowed aggregation — daily peak and total
+    of the hourly series — via ``window(window_time(w), '1 day')``.
+
+    This is the streaming rollup pyramid (raw → hourly → daily) as one
+    query instead of two jobs with an intermediate sink.  Append mode is
+    mandatory for chained aggs, so emission is governed by the
+    watermark: an hourly window emits once watermark >= its end, and a
+    daily window once watermark >= the day end — the oracle encodes
+    exactly that boundary (final watermark = MAX(ts) - 1 hour), so a
+    match certifies the emission semantics, not just the arithmetic.
+
+    State at 100 TB: both operators key state by (window, type) —
+    bounded by the watermark horizon, not history; the inner operator
+    hands the outer one finalized rows only, so outer state is |types| ×
+    |open days|.
+    """
+    events = read_events_stream(spark, sf_dir)
+    hourly = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    daily = (
+        hourly.groupBy(
+            F.window(F.window_time("w"), "1 day").alias("d"), "event_type"
+        )
+        .agg(F.max("n").alias("max_hourly"), F.sum("n").alias("n_events"))
+        .select(
+            F.date_format("d.start", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            F.col("max_hourly").cast("bigint").alias("max_hourly"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+        )
+    )
+    return _run_to_memory(daily, "append")

@@ -403,3 +403,13 @@ def test_km_risk_sets_build_on_combinable_aggregates(spark, sf_dir):
     assert "partial_min" in plan
     assert "BroadcastExchange" in plan or "BroadcastQueryStage" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_passjoin_candidates_come_from_equi_join(spark, sf_dir):
+    """PassJoin tau=2: candidates must come from the (seg, i, l) hash
+    join — never a quadratic nested-loop — and the levenshtein verify
+    must sit above the join, not inside a cross product."""
+    plan = _plan(spark, sf_dir, "passjoin_ed2_words")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan
