@@ -587,3 +587,123 @@ def udtf_chunk_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.lateralJoin(
         _ChunkUDTF(F.col("text").outer())
     ).select("doc_id", "chunk_idx", "chunk_start", "n_chunk_tokens", "chunk_text")
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rules (Rae et al. 2021, "Scaling Language Models",
+# Appendix A1.1): per-document repetition-free heuristic filters, reported
+# as a per-language rule scorecard.
+# ---------------------------------------------------------------------------
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MWL_MIN, GOPHER_MWL_MAX = 3, 10  # mean word length bounds (integers!)
+GOPHER_ALPHA_NUM, GOPHER_ALPHA_DEN = 4, 5  # >= 80% of words must have a letter
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+@register(
+    "gopher_quality_rules",
+    oracle=f"""
+WITH t AS (
+  SELECT lang,
+         list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+  FROM documents
+),
+d AS (
+  SELECT lang,
+         len(ws) AS nw,
+         CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS sum_len,
+         len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS alpha_w,
+         len(list_filter(ws, w -> list_contains({list(GOPHER_STOPWORDS)!r}, w)))
+           AS stop_w
+  FROM t
+),
+f AS (
+  SELECT lang,
+    CASE WHEN nw < {GOPHER_MIN_WORDS} OR nw > {GOPHER_MAX_WORDS}
+         THEN 1 ELSE 0 END AS r_words,
+    CASE WHEN sum_len < {GOPHER_MWL_MIN} * nw OR sum_len > {GOPHER_MWL_MAX} * nw
+         THEN 1 ELSE 0 END AS r_mwl,
+    CASE WHEN alpha_w * {GOPHER_ALPHA_DEN} < nw * {GOPHER_ALPHA_NUM}
+         THEN 1 ELSE 0 END AS r_alpha,
+    CASE WHEN stop_w < {GOPHER_MIN_STOPWORDS} THEN 1 ELSE 0 END AS r_stop
+  FROM d
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(r_words) AS BIGINT) AS flagged_word_count,
+       CAST(SUM(r_mwl) AS BIGINT) AS flagged_mean_word_len,
+       CAST(SUM(r_alpha) AS BIGINT) AS flagged_alpha_ratio,
+       CAST(SUM(r_stop) AS BIGINT) AS flagged_stopwords,
+       CAST(SUM(CASE WHEN r_words + r_mwl + r_alpha + r_stop = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+FROM f GROUP BY lang ORDER BY lang
+""",
+)
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality scorecard: per language, how many
+    documents trip each heuristic rule (word-count bounds, mean word
+    length bounds, alphabetic-word ratio, minimum stop-word hits) and
+    how many pass all four — the first gate of a pre-training corpus.
+
+    Every rule threshold compares INTEGERS (``sum_len < 3*nw`` instead
+    of ``sum_len/nw < 3.0``; ``alpha*5 < nw*4`` instead of ``< 0.8``),
+    so the oracle agrees bit-for-bit with no float epsilon anywhere.
+
+    Scale: the per-document rule evaluation is map-only higher-order
+    functions (filter/aggregate over the split array, all JVM-side);
+    the only shuffle is the final tiny groupBy(lang) with map-side
+    combine.  At 100 TB this is a single pass over the text column.
+    """
+    docs = load_spread(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+    d = docs.select(
+        "lang",
+        F.size(ws).cast("long").alias("nw"),
+        F.aggregate(
+            ws, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+        ).alias("sum_len"),
+        F.size(F.filter(ws, lambda w: w.rlike("[a-z]"))).cast("long").alias("alpha_w"),
+        F.size(F.filter(ws, lambda w: w.isin(*GOPHER_STOPWORDS)))
+        .cast("long")
+        .alias("stop_w"),
+    )
+    r = d.select(
+        "lang",
+        F.when(
+            (F.col("nw") < GOPHER_MIN_WORDS) | (F.col("nw") > GOPHER_MAX_WORDS), 1
+        )
+        .otherwise(0)
+        .alias("r_words"),
+        F.when(
+            (F.col("sum_len") < GOPHER_MWL_MIN * F.col("nw"))
+            | (F.col("sum_len") > GOPHER_MWL_MAX * F.col("nw")),
+            1,
+        )
+        .otherwise(0)
+        .alias("r_mwl"),
+        F.when(F.col("alpha_w") * GOPHER_ALPHA_DEN < F.col("nw") * GOPHER_ALPHA_NUM, 1)
+        .otherwise(0)
+        .alias("r_alpha"),
+        F.when(F.col("stop_w") < GOPHER_MIN_STOPWORDS, 1).otherwise(0).alias("r_stop"),
+    )
+    return (
+        r.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("r_words").cast("long")).alias("flagged_word_count"),
+            F.sum(F.col("r_mwl").cast("long")).alias("flagged_mean_word_len"),
+            F.sum(F.col("r_alpha").cast("long")).alias("flagged_alpha_ratio"),
+            F.sum(F.col("r_stop").cast("long")).alias("flagged_stopwords"),
+            F.sum(
+                F.when(
+                    F.col("r_words") + F.col("r_mwl") + F.col("r_alpha") + F.col("r_stop")
+                    == 0,
+                    1,
+                )
+                .otherwise(0)
+                .cast("long")
+            ).alias("n_pass"),
+        )
+        .orderBy("lang")
+    )

@@ -45,7 +45,7 @@ from pyspark.sql.functions import pandas_udf
 from ..functions import linkops
 from ..checkpointing import materialize
 from ..registry import register
-from ..sources.tables import load
+from ..sources.tables import load, load_spread
 
 ROOT_SITE = "http://site.test/"
 SITE_MOD = 500  # links always target doc_id 0..499 — present at every sf
@@ -513,4 +513,71 @@ def crawl_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "alloc"
             ),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Politeness audit: verify the rate-limit contract from the fetch log.
+# The reference ENFORCES politeness with a sleep between requests
+# (web_spider_oo.py:231-232,246); this is the companion AUDIT — given a
+# fetch/event log, did any agent violate the minimum inter-request gap?
+# ---------------------------------------------------------------------------
+POLITENESS_MIN_GAP_S = 60
+
+
+@register(
+    "politeness_gap_audit",
+    oracle=f"""
+WITH g AS (
+  SELECT user_id, ts,
+         date_diff('second',
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                   ts) AS gap_s
+  FROM events
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MIN(gap_s) AS BIGINT) AS min_gap_s,
+       ROUND(CAST(SUM(CAST(gap_s AS DECIMAL(18,6))) AS DOUBLE) / COUNT(gap_s), 6)
+         AS avg_gap_s,
+       CASE WHEN MIN(gap_s) >= {POLITENESS_MIN_GAP_S} THEN 1 ELSE 0 END AS polite
+FROM g GROUP BY user_id ORDER BY user_id
+""",
+)
+def politeness_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-agent inter-request gap audit over the event log: minimum and
+    mean gap in seconds (lag over a (ts, event_id)-ordered window — the
+    id tie-break makes same-second events deterministic) and a polite
+    flag for agents whose every gap respects the minimum.
+
+    Scale: one shuffle keyed on user_id (the window partition key);
+    gaps are integer second diffs (exact on both engines) and the mean
+    uses the DECIMAL-accumulation discipline.  At 100 TB the window
+    parallelizes per agent — no global order is ever materialized.
+    """
+    from pyspark.sql import Window
+
+    ev = load_spread(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id",
+        (
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+        ).alias("gap_s"),
+    )
+    return (
+        g.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("gap_s").cast("long").alias("min_gap_s"),
+            F.round(
+                F.sum(F.col("gap_s").cast("decimal(18,6)")).cast("double")
+                / F.count("gap_s"),
+                6,
+            ).alias("avg_gap_s"),
+            F.when(F.min("gap_s") >= POLITENESS_MIN_GAP_S, 1)
+            .otherwise(0)
+            .alias("polite"),
+        )
+        .orderBy("user_id")
     )

@@ -377,3 +377,77 @@ def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return fused.orderBy(F.desc("rrf"), "id").limit(RRF_TOP)
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer-vocabulary coverage: OOV rate per language against the corpus
+# top-N vocabulary — the go/no-go statistic before committing a tokenizer.
+# ---------------------------------------------------------------------------
+VOCAB_TOP_N = 500
+
+
+@register(
+    "vocab_oov_stats",
+    oracle=f"""
+WITH tok AS (
+  SELECT lang,
+         unnest(list_filter(string_split(lower(text), ' '), w -> w <> '')) AS word
+  FROM documents
+),
+vocab AS (
+  SELECT word FROM (SELECT word, COUNT(*) AS c FROM tok GROUP BY word)
+  ORDER BY c DESC, word LIMIT {VOCAB_TOP_N}
+)
+SELECT t.lang,
+       CAST(COUNT(*) AS BIGINT) AS total_tokens,
+       CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS oov_tokens,
+       ROUND(CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS oov_rate
+FROM tok t LEFT JOIN vocab v ON v.word = t.word
+GROUP BY t.lang ORDER BY t.lang
+""",
+)
+def vocab_oov_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per language against the corpus-global
+    top-{N} vocabulary (frequency desc, word asc tie-break — the
+    boundary is deterministic on both engines).
+
+    Scale: token counts aggregate with map-side combine on the word
+    key; the vocabulary itself is a top-N (TakeOrderedAndProject, no
+    global sort) and is broadcast back against the token stream, so the
+    coverage join adds NO shuffle — at 100 TB the whole statistic costs
+    one text scan plus one word-keyed exchange.
+    """
+    docs = load_spread(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang",
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+        ).alias("word"),
+    )
+    vocab = (
+        tok.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "word")
+        .limit(VOCAB_TOP_N)
+        .select("word", F.lit(1).alias("in_vocab"))
+    )
+    oov_flag = F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+    return (
+        tok.join(F.broadcast(vocab), "word", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("total_tokens"),
+            F.sum(oov_flag.cast("long")).alias("oov_tokens"),
+        )
+        .select(
+            "lang",
+            "total_tokens",
+            "oov_tokens",
+            F.round(
+                F.col("oov_tokens").cast("double") / F.col("total_tokens"), 6
+            ).alias("oov_rate"),
+        )
+        .orderBy("lang")
+    )

@@ -316,3 +316,79 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "vec_id", "adc_d2", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar int8 quantization: the 4x embedding compression used before ANN
+# index build (symmetric per-vector absmax scaling, the faiss SQ8 shape).
+# ---------------------------------------------------------------------------
+INT8_MAX = 127
+
+
+@register(
+    "int8_quantize_embeddings",
+    oracle=f"""
+WITH vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, emb,
+         greatest(round(list_max(list_transform(emb, x -> abs(x))) / {INT8_MAX}.0,
+                        6), 0.000001) AS q_scale
+  FROM vecs
+),
+q AS (
+  SELECT vec_id, q_scale,
+         list_transform(
+           emb,
+           x -> CAST(least(greatest(round(round(x / q_scale, 6)),
+                                    -{INT8_MAX}), {INT8_MAX}) AS INT)) AS qc
+  FROM s
+)
+SELECT vec_id, q_scale,
+       array_to_string(qc, ',') AS codes,
+       CAST(list_sum(list_transform(qc, c -> abs(c))) AS BIGINT) AS code_l1
+FROM q
+""",
+)
+def int8_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = absmax/127
+    (rounded to 6 before reuse — the derived-stat discipline), code_i =
+    clip(round(x_i/scale), ±127).  Emits the code string, the scale,
+    and the exact integer L1 mass of the codes as the cross-engine
+    checksum.  The inner ROUND(x/scale, 6) aligns engine ulps BEFORE
+    the integer rounding so a value near a .5 boundary cannot flip a
+    code on one engine only.
+
+    Scale: map-only (higher-order transform/aggregate, zero shuffle,
+    zero Python) — at 100 TB this is the cheapest possible pass over
+    the embedding column, and the output is 4x smaller.
+    """
+    vecs = _vectors(spark, sf_dir)
+    s = vecs.withColumn(
+        "q_scale",
+        F.greatest(
+            F.round(
+                F.array_max(F.transform("emb", lambda x: F.abs(x))) / float(INT8_MAX),
+                6,
+            ),
+            F.lit(1e-6),
+        ),
+    )
+    qc = F.transform(
+        "emb",
+        lambda x: F.least(
+            F.greatest(F.round(F.round(x / F.col("q_scale"), 6), 0), F.lit(-INT8_MAX)),
+            F.lit(INT8_MAX),
+        ).cast("int"),
+    )
+    q = s.select("vec_id", "q_scale", qc.alias("qc"))
+    return q.select(
+        "vec_id",
+        "q_scale",
+        F.array_join(F.transform("qc", lambda c: c.cast("string")), ",").alias("codes"),
+        F.aggregate(
+            "qc", F.lit(0).cast("long"), lambda acc, c: acc + F.abs(c)
+        ).alias("code_l1"),
+    )

@@ -413,3 +413,39 @@ def test_passjoin_candidates_come_from_equi_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "levenshtein" in plan
+
+
+def test_quality_rules_and_quantize_are_map_only_jvm(spark, sf_dir):
+    """Gopher rules and int8 quantization are higher-order-function
+    passes: no Python stage, and (for quantization) no exchange at all —
+    the cheapest possible shape for a 100 TB text/embedding scan."""
+    for name in ("gopher_quality_rules", "int8_quantize_embeddings"):
+        plan = _plan(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+    # quantization adds no KEYED exchange (load_spread's round-robin file
+    # spread is the only allowed repartition)
+    plan = _plan(spark, sf_dir, "int8_quantize_embeddings")
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_vocab_oov_topn_is_broadcast_takeordered(spark, sf_dir):
+    """The vocabulary is a top-N (never a global sort) and rejoins the
+    token stream by broadcast (never a shuffled join on word)."""
+    plan = _plan(spark, sf_dir, "vocab_oov_stats")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_politeness_window_partitions_per_agent(spark, sf_dir):
+    """The lag window must be hash-partitioned on user_id — a
+    SinglePartition exchange feeding the Window would serialize the
+    whole fetch log through one task."""
+    plan = _plan(spark, sf_dir, "politeness_gap_audit")
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Window" in ln and "WindowGroupLimit" not in ln:
+            ctx = "\n".join(lines[i : i + 6])
+            assert "SinglePartition" not in ctx, f"global window:\n{ctx}"
