@@ -392,3 +392,107 @@ def int8_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qc", F.lit(0).cast("long"), lambda acc, c: acc + F.abs(c)
         ).alias("code_l1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Int8 reconstruction-error audit: the quality half of the SQ8 trade —
+# how much the 4x compression distorts each label's vectors.
+# ---------------------------------------------------------------------------
+@register(
+    "quantization_error_audit",
+    oracle=f"""
+WITH vecs AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, label, emb,
+         greatest(round(list_max(list_transform(emb, x -> abs(x))) / {INT8_MAX}.0,
+                        6), 0.000001) AS q_scale
+  FROM vecs
+),
+e AS (
+  SELECT label,
+         ROUND(list_sum(list_transform(
+           emb,
+           x -> (x - CAST(least(greatest(round(round(x / q_scale, 6)),
+                                         -{INT8_MAX}), {INT8_MAX}) AS INT)
+                     * q_scale)
+                * (x - CAST(least(greatest(round(round(x / q_scale, 6)),
+                                           -{INT8_MAX}), {INT8_MAX}) AS INT)
+                       * q_scale)))
+           / len(emb), 9) AS mse
+  FROM s
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       ROUND(CAST(SUM(CAST(mse AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 9)
+         AS avg_mse,
+       ROUND(MAX(mse), 9) AS max_mse
+FROM e GROUP BY label ORDER BY label
+""",
+)
+def quantization_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean-squared reconstruction error of the symmetric int8
+    quantizer (`int8_quantize_embeddings`): for every element,
+    code = clip(round(x/scale), ±{INT8_MAX}) and the audit folds
+    (x - code·scale)² — the number that tells you whether SQ8's 4x
+    compression is safe for this corpus.  MSE is rounded to 9 (errors
+    are ~scale²/12 ≈ 1e-5-scale) and label means use DECIMAL(18,9)
+    accumulation so the value hash is aggregation-order-proof.
+
+    Scale: map-only — quantize + reconstruct + fold happen in ONE
+    higher-order transform over the embedding array (whole-stage
+    codegen, zero Python, zero join, zero keyed shuffle before the tiny
+    label groupBy).  At 100 TB this audit costs exactly one scan.
+    """
+    emb = load_spread(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    s = vecs.withColumn(
+        "q_scale",
+        F.greatest(
+            F.round(
+                F.array_max(F.transform("emb", lambda x: F.abs(x))) / float(INT8_MAX),
+                6,
+            ),
+            F.lit(1e-6),
+        ),
+    )
+
+    def _err_term(x):
+        code = (
+            F.least(
+                F.greatest(
+                    F.round(F.round(x / F.col("q_scale"), 6), 0), F.lit(-INT8_MAX)
+                ),
+                F.lit(INT8_MAX),
+            )
+            .cast("int")
+        )
+        d = x - code.cast("double") * F.col("q_scale")
+        return d * d
+
+    mse = F.round(
+        F.aggregate("emb", F.lit(0.0), lambda acc, x: acc + _err_term(x))
+        / F.size("emb"),
+        9,
+    )
+    e = s.select("label", mse.alias("mse"))
+    return (
+        e.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(
+                F.sum(F.col("mse").cast("decimal(18,9)")).cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("avg_mse"),
+            F.round(F.max("mse"), 9).alias("max_mse"),
+        )
+        .orderBy("label")
+    )

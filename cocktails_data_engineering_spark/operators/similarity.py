@@ -446,3 +446,190 @@ ranked AS (
 SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= {TOP_K}
 """,
 )(ann_cosine_lsh)
+
+
+# ---------------------------------------------------------------------------
+# ANN quality audit: recall@k of the sign-LSH plan vs the exact top-k —
+# "measure, don't guess" applied to the index itself.
+# ---------------------------------------------------------------------------
+_ORACLE_EXACT_TOPK = f"""
+flat_e AS (
+  SELECT q.vec_id AS query_id, v.vec_id, q.norm AS qn, v.norm AS vn,
+         unnest(q.emb) AS qx, unnest(v.emb) AS vx
+  FROM vecs q JOIN vecs v ON v.vec_id <> q.vec_id
+  WHERE q.vec_id % {QUERY_MOD} = 0
+),
+scored_e AS (
+  SELECT query_id, vec_id,
+         ROUND(SUM(qx * vx) / (ANY_VALUE(qn) * ANY_VALUE(vn)), 6) AS score
+  FROM flat_e GROUP BY query_id, vec_id
+),
+topk_e AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, vec_id) AS rank
+    FROM scored_e)
+  WHERE rank <= {TOP_K}
+)"""
+
+_ORACLE_ANN_TOPK = f"""
+qb AS (SELECT vec_id AS query_id, band, band_val FROM bands
+       WHERE vec_id % {QUERY_MOD} = 0),
+cand AS (
+  SELECT DISTINCT q.query_id, b.vec_id
+  FROM bands b JOIN qb q ON b.band = q.band AND b.band_val = q.band_val
+  WHERE b.vec_id <> q.query_id
+),
+flat_a AS (
+  SELECT c.query_id, c.vec_id, vq.norm AS qn, vv.norm AS vn,
+         unnest(vq.emb) AS qx, unnest(vv.emb) AS vx
+  FROM cand c
+  JOIN vecs vq ON vq.vec_id = c.query_id
+  JOIN vecs vv ON vv.vec_id = c.vec_id
+),
+scored_a AS (
+  SELECT query_id, vec_id,
+         ROUND(SUM(qx * vx) / (ANY_VALUE(qn) * ANY_VALUE(vn)), 6) AS score
+  FROM flat_a GROUP BY query_id, vec_id
+),
+topk_a AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, vec_id) AS rank
+    FROM scored_a)
+  WHERE rank <= {TOP_K}
+)"""
+
+
+@register(
+    "ann_recall_audit",
+    oracle=f"""
+WITH vecs AS ({_ORACLE_VECS}),
+{_ORACLE_BANDS_CTES},
+{_ORACLE_EXACT_TOPK},
+{_ORACLE_ANN_TOPK}
+SELECT e.query_id,
+       CAST(COUNT(a.vec_id) AS BIGINT) AS n_hits,
+       ROUND(CAST(COUNT(a.vec_id) AS DOUBLE) / {TOP_K}, 6) AS recall
+FROM topk_e e
+LEFT JOIN topk_a a ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+GROUP BY e.query_id
+ORDER BY e.query_id
+""",
+)
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{k} of the sign-LSH index against the exact brute-force
+    top-{k}, per query — the statistic that decides whether an ANN
+    index ships.  Both rankings are computed by the registered plans
+    themselves (``cosine_topk`` / ``ann_cosine_lsh``), so the audit
+    measures exactly what users run, and the DuckDB oracle reproduces
+    both pipelines end-to-end (full value-hash check of an ANN
+    quality metric — not a tolerance test).
+
+    Scale: the exact side is the expensive O(Q·N) leg, which is the
+    point — the audit runs on a SAMPLED query set (here the
+    deterministic ``vec_id % {{QUERY_MOD}}`` probes), never the full
+    corpus; the LSH side costs what production costs.  The final join
+    is per-(query, vec) equi-keyed on the tiny top-k tables.
+    """
+    exact = cosine_topk(spark, sf_dir).select("query_id", "vec_id")
+    ann = ann_cosine_lsh(spark, sf_dir).select(
+        "query_id", "vec_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(ann, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").alias("n_hits"),
+            F.round(F.count("hit").cast("double") / TOP_K, 6).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation audit: how much L2 energy survives prefix-dim
+# truncation (Kusupati et al. 2022, "Matryoshka Representation Learning") —
+# the measurement behind shipping 8/16/32-dim prefixes of a 64-dim model.
+# ---------------------------------------------------------------------------
+MATRYOSHKA_DIMS = (8, 16, 32)
+
+
+@register(
+    "matryoshka_truncation_stats",
+    oracle=f"""
+WITH vecs AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+e AS (
+  SELECT vec_id, label,
+         list_sum(list_transform(emb, x -> x * x)) AS full_energy, emb
+  FROM vecs
+),
+r AS (
+  SELECT label, CAST(d.range AS INT) AS dim,
+         ROUND(list_sum(list_transform(emb[1:CAST(d.range AS INT)],
+                                       x -> x * x)) / full_energy, 6)
+           AS retained
+  FROM e, range({min(MATRYOSHKA_DIMS)}, {max(MATRYOSHKA_DIMS) + 1}) d
+  WHERE CAST(d.range AS INT) IN {MATRYOSHKA_DIMS!r}
+)
+SELECT label, dim,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       ROUND(CAST(SUM(CAST(retained AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_retained,
+       ROUND(MIN(retained), 6) AS min_retained
+FROM r GROUP BY label, dim ORDER BY label, dim
+""",
+)
+def matryoshka_truncation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(label, prefix-dim) L2-energy retention of truncated
+    embeddings: retained(d) = ||x[:d]||² / ||x||², averaged with the
+    DECIMAL-accumulation discipline.  This is the audit that justifies
+    serving an 8/16/32-dim Matryoshka prefix instead of the full
+    vector (4-8x cheaper ANN at a measured quality cost).
+
+    Scale: map-only — prefix energies are sequential folds over array
+    slices (whole-stage codegen, zero Python, zero join); the only
+    shuffle is the tiny (label, dim) groupBy with map-side combine.
+    At 100 TB this is one pass over the embedding column.
+    """
+    vecs = _vectors(spark, sf_dir)
+    dims = F.array(*[F.lit(d) for d in MATRYOSHKA_DIMS])
+    sq = lambda arr: F.aggregate(  # noqa: E731 — local fold helper
+        arr, F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    # full energy is the DIRECT fold of squares (NOT norm*norm — squaring
+    # the sqrt would differ from the oracle's list_sum in the last ulp)
+    r = (
+        vecs.select(
+            "label",
+            sq(F.col("emb")).alias("full_energy"),
+            "emb",
+        )
+        .select("label", "full_energy", "emb", F.explode(dims).alias("dim"))
+        .select(
+            "label",
+            F.col("dim").cast("int").alias("dim"),
+            F.round(
+                sq(F.slice("emb", F.lit(1), F.col("dim"))) / F.col("full_energy"), 6
+            ).alias("retained"),
+        )
+    )
+    return (
+        r.groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(
+                F.sum(F.col("retained").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_retained"),
+            F.round(F.min("retained"), 6).alias("min_retained"),
+        )
+        .orderBy("label", "dim")
+    )

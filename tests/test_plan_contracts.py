@@ -449,3 +449,23 @@ def test_politeness_window_partitions_per_agent(spark, sf_dir):
         if "Window" in ln and "WindowGroupLimit" not in ln:
             ctx = "\n".join(lines[i : i + 6])
             assert "SinglePartition" not in ctx, f"global window:\n{ctx}"
+
+
+def test_embedding_audits_are_map_only_folds(spark, sf_dir):
+    """Matryoshka and quantization-error audits must be single-scan
+    higher-order folds: no Python stage, no join; the only exchange is
+    the tiny label/(label,dim) groupBy."""
+    for name in ("matryoshka_truncation_stats", "quantization_error_audit"):
+        plan = _plan(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "Join" not in plan, name
+
+
+def test_ann_recall_audit_quadratic_leg_is_exact_only(spark, sf_dir):
+    """The recall audit may contain exactly ONE nested-loop join — the
+    broadcast brute-force baseline it measures against.  The LSH leg and
+    the final hit-join must stay equi-keyed."""
+    plan = _plan(spark, sf_dir, "ann_recall_audit")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
