@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.numerics import dsum, oracle_dsum
+from ..functions.numerics import davg, dsum, oracle_dsum
 from ..registry import register
 from ..sources.tables import load, load_spread
 
@@ -1090,4 +1090,70 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("k", "doc_id")
         .limit(WEIGHTED_SAMPLE_K)
         .select("doc_id", "lang", "n_chars", F.round("k", 6).alias("sample_key"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized robust statistics: clamp at exact P05/P95 before averaging —
+# the outlier-hardening step run before any metric feeds a dashboard/model.
+# ---------------------------------------------------------------------------
+WINSOR_LO, WINSOR_HI = 0.05, 0.95
+
+
+@register(
+    "winsorized_price_stats",
+    oracle=f"""
+WITH b AS (
+  SELECT ROUND(CAST(quantile_cont(o_totalprice, {WINSOR_LO}) AS DOUBLE), 6) AS lo,
+         ROUND(CAST(quantile_cont(o_totalprice, {WINSOR_HI}) AS DOUBLE), 6) AS hi
+  FROM orders
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*), 6) AS raw_mean,
+       ROUND(CAST(SUM(CAST(least(greatest(o_totalprice, b.lo), b.hi)
+                           AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+         AS wins_mean,
+       CAST(SUM(CASE WHEN o_totalprice < b.lo THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clamped_low,
+       CAST(SUM(CASE WHEN o_totalprice > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clamped_high
+FROM orders o CROSS JOIN b
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+)
+def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized vs raw mean order price per priority: global exact
+    P05/P95 boundaries (rounded to 6 BEFORE clamping — the derived-stat
+    discipline, so both engines clamp the identical set), values clamped
+    with least/greatest, DECIMAL-accumulated means, plus how many rows
+    each tail clamped.
+
+    Scale: same shape as equidepth_histogram_prices — ONE exact-
+    percentile aggregate produces a 1-row boundary table that broadcasts
+    back over the fact scan (never a global sort / NTILE), then a tiny
+    5-group aggregate with map-side combine.
+    """
+    o = load_spread(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    bounds = o.agg(
+        F.round(F.percentile("o_totalprice", F.lit(WINSOR_LO)), 6).alias("lo"),
+        F.round(F.percentile("o_totalprice", F.lit(WINSOR_HI)), 6).alias("hi"),
+    )
+    clamped = F.least(F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi"))
+    return (
+        o.crossJoin(F.broadcast(bounds))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(davg(F.col("o_totalprice")), 6).alias("raw_mean"),
+            F.round(dsum(clamped) / F.count(F.lit(1)), 6).alias("wins_mean"),
+            F.sum(F.when(F.col("o_totalprice") < F.col("lo"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clamped_low"),
+            F.sum(F.when(F.col("o_totalprice") > F.col("hi"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clamped_high"),
+        )
+        .orderBy("o_orderpriority")
     )

@@ -334,3 +334,115 @@ def xml_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("p.n_chars").alias("total_chars"),
         F.sum("p.doc_id").alias("sum_ids"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Storage-layout features: hive-partitioned writes with partition-pruned
+# reads, and additive schema evolution under mergeSchema — the two table-
+# layout contracts every 100 TB lakehouse dataset depends on.
+# ---------------------------------------------------------------------------
+PRUNE_PRIORITIES = ("1-URGENT", "2-HIGH")
+
+
+@register(
+    "partitioned_write_prune_agg",
+    oracle=f"""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+FROM orders
+WHERE o_orderpriority IN {PRUNE_PRIORITIES!r}
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+)
+def partitioned_write_prune_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned parquet layout + partition-pruned read: orders are
+    written ``partitionBy(o_orderpriority)`` (5 directories), then read
+    back with a filter on the partition column and aggregated.  The
+    oracle aggregates the ORIGINAL table, so a value match certifies the
+    layout preserved every row AND that the pruned read saw exactly the
+    two requested partitions.
+
+    Scale: this is THE mechanism that turns a 100 TB scan into a 2-
+    partition scan — the filter is resolved against directory names at
+    planning time (zero data touched for the other 3 priorities;
+    `tests/test_plan_contracts.py` asserts the plan carries a
+    PartitionFilters entry and no pushed data-filter fallback).
+    """
+    orders = load(spark, sf_dir, "orders")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"cocktails_spark_part_prune_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    (
+        orders.select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .write.mode("overwrite")
+        .partitionBy("o_orderpriority")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).filter(
+        F.col("o_orderpriority").isin(*PRUNE_PRIORITIES)
+    )
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "parquet_schema_evolution_agg",
+    oracle="""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(COUNT(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS BIGINT)
+         AS docs_with_quality,
+       CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars % 100 END) AS BIGINT)
+         AS sum_quality
+FROM documents GROUP BY lang ORDER BY lang
+""",
+)
+def parquet_schema_evolution_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution: an old batch (doc_id, lang, n_chars) and
+    a new batch that adds a ``quality`` column land in the same dataset;
+    a ``mergeSchema`` read unifies them (old rows surface NULL quality)
+    and the aggregate counts/sums the evolved column per language.  The
+    oracle reconstructs the same union from the original table, so the
+    match certifies NULL-fill semantics, not just row counts.
+
+    Scale: schema merge is a FOOTER-level operation (one metadata pass,
+    no data rewrite) — exactly how a 100 TB corpus gains a new score
+    column without a backfill; readers pay nothing beyond the NULL fill.
+    """
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"cocktails_spark_schema_evo_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1).withColumn(
+        "quality", (F.col("n_chars") % 100).cast("long")
+    )
+    old.write.mode("overwrite").parquet(os.path.join(path, "batch=old"))
+    new.write.mode("overwrite").parquet(os.path.join(path, "batch=new"))
+    back = spark.read.option("mergeSchema", True).parquet(
+        os.path.join(path, "batch=old"), os.path.join(path, "batch=new")
+    )
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.count("quality").alias("docs_with_quality"),
+            F.sum("quality").alias("sum_quality"),
+        )
+        .orderBy("lang")
+    )

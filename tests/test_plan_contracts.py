@@ -469,3 +469,21 @@ def test_ann_recall_audit_quadratic_leg_is_exact_only(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ann_recall_audit")
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_partitioned_read_prunes_at_planning_time(spark, sf_dir):
+    """The priority filter must resolve against hive partition directories
+    (PartitionFilters), not survive as a post-scan data filter — this is
+    the 100 TB scan-avoidance mechanism itself."""
+    plan = _plan(spark, sf_dir, "partitioned_write_prune_agg")
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters:" in ln]
+    assert pf and "o_orderpriority" in pf[0]
+    # the IN list itself must live in PartitionFilters (directory-level
+    # pruning), never as a pushed/post-scan data filter
+    assert "1-URGENT" in pf[0]
+
+
+def test_schema_evolution_read_merges_without_python(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "parquet_schema_evolution_agg")
+    assert "BatchEvalPython" not in plan
+    assert "quality" in plan  # evolved column visible to the unified scan
