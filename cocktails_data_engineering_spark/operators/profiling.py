@@ -1157,3 +1157,87 @@ def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet: Extracting
+# High Quality Monolingual Datasets"): per-language head/middle/tail split
+# by LM score terciles — the model-based curation gate next to the
+# rule-based quality_percentile_filter.
+# ---------------------------------------------------------------------------
+_CCNET_Q1, _CCNET_Q2 = 1 / 3, 2 / 3
+
+
+def _ccnet_oracle() -> str:
+    from ..registry import get_spec
+
+    lm = get_spec("bigram_lm_doc_score").oracle.strip()
+    return f"""
+WITH sd AS (
+  SELECT s.doc_id, s.avg_logprob, d.lang
+  FROM ({lm}) s JOIN documents d ON d.doc_id = s.doc_id
+),
+b AS (
+  SELECT lang,
+         ROUND(CAST(quantile_cont(avg_logprob, {_CCNET_Q1!r}) AS DOUBLE), 6) AS b1,
+         ROUND(CAST(quantile_cont(avg_logprob, {_CCNET_Q2!r}) AS DOUBLE), 6) AS b2
+  FROM sd GROUP BY lang
+),
+x AS (
+  SELECT sd.lang,
+         CASE WHEN sd.avg_logprob > b.b2 THEN 'head'
+              WHEN sd.avg_logprob > b.b1 THEN 'middle'
+              ELSE 'tail' END AS bucket,
+         sd.avg_logprob
+  FROM sd JOIN b ON b.lang = sd.lang
+)
+SELECT lang, bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(CAST(SUM(CAST(avg_logprob AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_logprob
+FROM x GROUP BY lang, bucket ORDER BY lang, bucket
+"""
+
+
+@register("ccnet_perplexity_buckets", oracle=_ccnet_oracle())
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus split: score every document with the corpus
+    bigram LM (``bigram_lm_doc_score`` reused verbatim), then bucket
+    per language into head/middle/tail at the exact score terciles —
+    head = most fluent third, the slice kept for pre-training.
+    Boundaries are rounded to 6 BEFORE bucketing and per-document
+    scores are already round-6, so both engines split ties identically.
+
+    Scale: the LM scoring keeps its vocabulary-keyed shape; boundaries
+    are one ≤n_langs-row exact-percentile aggregate broadcast back over
+    the scored docs (never an NTILE global sort); the final aggregate
+    is ≤ 3·n_langs groups.
+    """
+    from ..registry import get_spec
+
+    scored = get_spec("bigram_lm_doc_score").fn(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    sd = scored.join(docs, "doc_id").select("lang", "avg_logprob")
+    b = sd.groupBy("lang").agg(
+        F.round(F.percentile("avg_logprob", F.lit(_CCNET_Q1)), 6).alias("b1"),
+        F.round(F.percentile("avg_logprob", F.lit(_CCNET_Q2)), 6).alias("b2"),
+    )
+    bucket = (
+        F.when(F.col("avg_logprob") > F.col("b2"), "head")
+        .when(F.col("avg_logprob") > F.col("b1"), "middle")
+        .otherwise("tail")
+    )
+    return (
+        sd.join(F.broadcast(b), "lang")
+        .select("lang", bucket.alias("bucket"), "avg_logprob")
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum(F.col("avg_logprob").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_logprob"),
+        )
+        .orderBy("lang", "bucket")
+    )
