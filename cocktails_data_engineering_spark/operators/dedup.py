@@ -1000,6 +1000,7 @@ blocks AS (
   SELECT doc_id, g.i,
          md5(array_to_string(ws[g.i * q + 1 : g.i * q + q], ' ')) AS h
   FROM q CROSS JOIN (SELECT unnest(range(0, {BLOCKS})) AS i) g
+  WHERE g.i * q + 1 <= len(ws)
 )
 SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
        CAST(COUNT(*) AS BIGINT) AS n_blocks
@@ -1032,26 +1033,38 @@ def aligned_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_spread(spark, sf_dir, "documents")
     ws = F.split(F.col("text"), " ")
     q = F.floor((F.size(ws) + (BLOCKS - 1)) / F.lit(float(BLOCKS))).cast("int")
-    base = docs.select("doc_id", ws.alias("ws"), q.alias("q"))
-    blocks = base.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("i"),
-                        F.md5(
-                            F.array_join(
-                                F.slice(F.col("ws"), F.lit(i) * F.col("q") + 1, F.col("q")),
-                                " ",
-                            )
-                        ).alias("h"),
-                    )
-                    for i in range(BLOCKS)
-                ]
-            )
-        ).alias("blk"),
-    ).select("doc_id", F.col("blk.i").alias("i"), F.col("blk.h").alias("h"))
+    base = docs.select("doc_id", ws.alias("ws"), q.alias("q"), F.size(ws).alias("nw"))
+    # Trailing quarters past the end of a short document are EMPTY on every
+    # engine, and md5('') == md5('') across documents — without this guard
+    # any two sub-{BLOCKS}-word docs share >= BLOCK_MATCH_MIN empty
+    # (position, hash) blocks and are reported as near-dups (advice r5).
+    blocks = (
+        base.select(
+            "doc_id",
+            "nw",
+            "q",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("i"),
+                            F.md5(
+                                F.array_join(
+                                    F.slice(
+                                        F.col("ws"), F.lit(i) * F.col("q") + 1, F.col("q")
+                                    ),
+                                    " ",
+                                )
+                            ).alias("h"),
+                        )
+                        for i in range(BLOCKS)
+                    ]
+                )
+            ).alias("blk"),
+        )
+        .filter(F.col("blk.i") * F.col("q") + 1 <= F.col("nw"))
+        .select("doc_id", F.col("blk.i").alias("i"), F.col("blk.h").alias("h"))
+    )
     x = blocks.alias("x")
     y = blocks.alias("y")
     return (

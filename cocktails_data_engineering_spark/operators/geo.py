@@ -26,7 +26,7 @@ from ..registry import register
 from ..sources.tables import load, load_spread
 
 LAT0, LON0 = 40.0, -74.5  # box origin (NYC-ish)
-COS_LAT0 = 0.766  # fixed literal: cos(40.5°) ≈ 0.760, rounded spec constant
+COS_LAT0 = 0.766  # fixed literal: cos(40°) ≈ 0.766, rounded spec constant (LAT0 = 40.0)
 CELL = 0.05  # grid cell size in degrees (the spatial band width)
 GEO_TOP = 20
 

@@ -1064,7 +1064,7 @@ WITH keyed AS (
 )
 SELECT doc_id, lang, n_chars, ROUND(k, 6) AS sample_key
 FROM keyed
-ORDER BY k, doc_id
+ORDER BY ROUND(k, 9), doc_id
 LIMIT {WEIGHTED_SAMPLE_K}
 """,
 )
@@ -1087,7 +1087,10 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = -F.log((h + 1) / F.lit(4294967296.0)) / F.col("n_chars")
     return (
         docs.select("doc_id", "lang", "n_chars", key.alias("k"))
-        .orderBy("k", "doc_id")
+        # top-k by the ROUNDED key (round-before-compare discipline): JVM
+        # Math.log and libm ln can differ in the last ulp, so a near-tie at
+        # the k-th boundary must not select different rows per engine.
+        .orderBy(F.round("k", 9), "doc_id")
         .limit(WEIGHTED_SAMPLE_K)
         .select("doc_id", "lang", "n_chars", F.round("k", 6).alias("sample_key"))
     )

@@ -792,7 +792,7 @@ WITH files AS (
 ),
 planned AS (
   SELECT source, file_id, bytes,
-         CAST(before / {_COMPACT_TARGET} AS INT) AS bin
+         CAST(FLOOR(before / {_COMPACT_TARGET}) AS INT) AS bin
   FROM files
 )
 SELECT source, bin,
@@ -832,7 +832,7 @@ def compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         files.select(
             "source",
             "bytes",
-            (F.col("before") / _COMPACT_TARGET).cast("int").alias("bin"),
+            F.floor(F.col("before") / _COMPACT_TARGET).cast("int").alias("bin"),
         )
         .groupBy("source", "bin")
         .agg(

@@ -805,7 +805,7 @@ shares AS (
 ),
 refshare AS (
   SELECT bucket,
-         CAST(COUNT(*) + 1 AS DOUBLE)
+         CAST(COUNT(rb.bucket) + 1 AS DOUBLE)
            / ((SELECT COUNT(*) FROM events e2 CROSS JOIN ref
                WHERE date_trunc('day', e2.ts) = ref.d0) + 10) AS q
   FROM (SELECT CAST(len(list_filter(b.bs, q -> e.value > q)) AS INT) AS bucket

@@ -84,3 +84,74 @@ def test_anomaly_zscore_flags_spike_after_flat_baseline(spark, tmp_path):
     # ...and a flat continuation is NOT flagged.
     flat = out["2024-03-01 23:00:00"]
     assert flat["is_anomaly"] == 0
+
+
+def _write_docs(spark, path: str, rows: list[tuple]) -> str:
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "documents.parquet"))
+    return path
+
+
+def test_aligned_block_dedup_short_docs_do_not_pair_on_empty_blocks(spark, tmp_path):
+    """Docs with fewer words than BLOCKS leave trailing quarters EMPTY;
+    md5('') matches across documents, so without the non-empty guard any
+    two 2-word docs share two (position, '') blocks and are reported as
+    near-dups (advice r5).  Distinct short docs must NOT pair; genuinely
+    identical docs still must."""
+    from cocktails_data_engineering_spark.operators.dedup import aligned_block_dedup
+
+    long_text = " ".join(f"w{i}" for i in range(8))
+    sf = _write_docs(
+        spark,
+        str(tmp_path),
+        [
+            (1, "alpha beta", "en", "web", 10),
+            (2, "gamma delta", "en", "web", 11),
+            (3, long_text, "en", "web", len(long_text)),
+            (4, long_text, "en", "web", len(long_text)),
+        ],
+    )
+    pairs = {(r["doc_a"], r["doc_b"]) for r in aligned_block_dedup(spark, sf).collect()}
+    assert pairs == {(3, 4)}  # no (1, 2) phantom pair from empty quarters
+
+
+def test_compaction_bin_packing_floor_semantics_above_target(spark, tmp_path):
+    """Fixture whose cumulative sizes EXCEED the bin target so fractional
+    before/target >= 0.5 occurs (advice r5: masked at sf0.01): bin must be
+    floor(before/target) on BOTH engines — round-to-nearest would put the
+    before = 1.5*target file in bin 2 instead of bin 1."""
+    import duckdb
+
+    from cocktails_data_engineering_spark.operators.warehouse import _COMPACT_TARGET
+    from cocktails_data_engineering_spark.plans.queries import all_oracles, all_queries
+    from tests.test_oracle_parity import compare_query
+
+    half = _COMPACT_TARGET // 2  # 10 files of target/2 → before hits k*0.5*target
+    sf = _write_docs(
+        spark,
+        str(tmp_path),
+        [(i, "x", "en", "web", half) for i in range(1, 11)],
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    try:
+        compare_query(
+            spark,
+            con,
+            sf,
+            "compaction_bin_packing",
+            all_queries()["compaction_bin_packing"],
+            all_oracles()["compaction_bin_packing"],
+        )
+    finally:
+        con.close()
+    # Explicit floor check: before = 3*half = 1.5*target → bin 1, not 2.
+    out = all_queries()["compaction_bin_packing"](spark, sf).collect()
+    by_bin = {r["bin"]: r["n_files"] for r in out}
+    # bins: before/target = 0, .5, 1, 1.5, 2, 2.5, 3, 3.5, 4, 4.5 →
+    # floor → bins 0,0,1,1,2,2,3,3,4,4 (two files per bin).
+    assert by_bin == {0: 2, 1: 2, 2: 2, 3: 2, 4: 2}
