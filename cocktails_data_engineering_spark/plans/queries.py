@@ -58,82 +58,102 @@ for _mod in _OPERATOR_MODULES:
 # listed keep their module registration order behind these.  Rotate again
 # next round for whatever the sweep still hasn't reached.
 _SAMPLE_FRONT = (
-    # composed flagships + warehouse state machines (VERDICT r4 ask #3)
-    "semantic_dedup_clusters",
-    "curation_pipeline",
-    "entity_resolution_clusters",
-    "scd2_user_state",
-    "dq_orders_expectations",
-    "scd2_point_in_time_join",
-    "checksum_drilldown_diff",
-    "snapshot_diff_orders",
-    "incremental_agg_merge",
-    "forget_customers_cascade",
-    "zone_map_orders_monthly",
-    "partition_skew_stats",
-    "zorder_layout_stats",
-    # in-database statistics / experimentation family
-    "ols_trend_by_priority",
-    "corr_matrix_lineitem",
-    "ab_test_lift",
-    "ab_test_wilson_bounds",
-    "chi2_lang_source",
-    "kmeans_cluster_purity",
-    "mad_outlier_orders",
-    "equidepth_histogram_prices",
-    "impute_value_by_type",
-    "approx_percentile_prices",  # promoted to bounded-contract oracle in r5
-    # curation / retrieval
-    "domain_mixture_sample",
-    "quality_percentile_filter",
-    "label_prototype_confusion",
-    "hard_negative_mining",
-    "incremental_semantic_dedup",
-    "mmr_diverse_topk",
-    "train_test_split_stats",
-    "stratified_sample_docs",
-    "exact_k_per_group_sample",
-    # streaming tail
-    "stream_dedup_within_watermark",
-    "stream_mixture_sample",
-    "stream_quality_gate",
-    "stream_error_rate_alert",
-    # time-series / product analytics
-    "resample_fill_hourly",
-    "rolling_1h_user_spend",
-    "forward_fill_purchase_value",
-    "funnel_user_conversion",
-    "retention_cohorts",
-    "anomaly_zscore_hourly",
-    "funnel_three_step",
-    "monthly_revenue_growth",
-    "latency_percentiles_by_type",
-    "weekday_hourly_profile",
-    "dau_wau_stickiness",
-    "event_transition_matrix",
-    "last_touch_attribution",
-    # text / graph / crawl E2E
-    "char_entropy_quality",
-    "bpe_top_merges",
-    "pagerank_crawl_graph",
-    "cooccurrence_triangle_stats",
-    "filter_status",
-    "extract_links_udf",
-    "extract_links_sql",
+    # --- round-6 rotation: the driver's 50-key sample must land first on the
+    # three r4-red oracle-type fixes (green in-repo since r5 but never
+    # re-sampled by the driver), then the reference-evidence crawl family
+    # (O1-O7/O14), then every key the r1-r5 sweeps never sampled (81 keys),
+    # highest evidence value first.  Keys 51+ seed the round-7 rotation.
+    # r4-red fixes (cast-aligned in r5; need a green driver row)
+    "block_checksum_orders",
+    "lexical_cosine_pairs",
+    "multimodal_type_stats",
+    # reference-traced crawl evidence family (web_spider_oo.py:91-263)
     "crawl_pipeline_e2e",
     "crawl_spider_edges",
     "crawl_spider_unique_links",
+    "extract_links_udf",
+    "extract_links_sql",
+    "filter_status",
     "crawl_budget_allocation",
     "url_canonicalize",
+    "politeness_gap_audit",
+    # evaluation / model-monitoring family (r5 additions)
+    "model_monitoring_pipeline",
+    "roc_auc_orders",
+    "ks_statistic_status",
+    "gain_deciles_orders",
+    "psi_price_drift",
+    "ndcg_orders",
+    "stream_psi_drift",
+    # dedup / similarity-join tail
+    "containment_dup_pairs",
+    "aligned_block_dedup",
+    "shingle_novelty_score",
+    "sorted_neighborhood_pairs",
+    "passjoin_ed2_words",
+    "fuzzy_join_ed1",
+    "weighted_sample_docs",
+    # ANN / quantization audits
+    "ann_recall_audit",
+    "quantization_error_audit",
+    "int8_quantize_embeddings",
+    "matryoshka_truncation_stats",
+    # corpus / text quality
+    "gopher_quality_rules",
+    "ccnet_perplexity_buckets",
     "bigram_lm_doc_score",
+    "udtf_chunk_expand",
+    "vocab_oov_stats",
+    "zipf_fit_words",
+    "bpe_top_merges",
+    "word_pmi_pairs",
+    "naive_bayes_lang_confusion",
+    # sketches / retrieval
+    "countmin_word_freq",
+    "bloom_prefilter_join",
+    "rrf_hybrid_retrieval",
+    # warehouse / layout
+    "compaction_bin_packing",
+    "ivm_join_delta",
+    "pareto_frontier_orders",
+    "bucketed_join_no_shuffle",
+    "partitioned_write_prune_agg",
+    "parquet_schema_evolution_agg",
+    # graph
+    "pagerank_crawl_graph",
+    "cooccurrence_triangle_stats",
+    "kcore_crawl_graph",
+    "degree_assortativity",
+    # --- ~50-key driver cut lands around here; the rest seed round 7 ---
+    # statistics / time-series tail
+    "winsorized_price_stats",
+    "survival_km_shipping",
+    "cusum_hourly_shift",
+    "rolling_median_value",
+    "rfm_user_segments",
+    "embedding_drift_by_label",
+    "assoc_rules_brands",
+    # geo / semi-structured / safety
+    "geo_nearest_supplier",
+    "geo_cell_density",
+    "variant_extract_agg",
+    "null_safe_join_counts",
+    "try_arithmetic_safety",
+    # streaming tail
+    "stream_topk_trending",
+    "stream_chained_window_agg",
     # joins / sampling extensions
     "asof_join_last_signup",
     "range_join_recent_activity",
     "salted_topk_words",
     "salted_join_event_enrich",
-    "fuzzy_join_ed1",
     "dense_rank_top_price_levels",
-    "word_pmi_pairs",
+    # io roundtrips / connectors
+    "csv_roundtrip_agg",
+    "jsonl_roundtrip_agg",
+    "orc_roundtrip_agg",
+    "xml_roundtrip_agg",
+    "python_datasource_scan",
     # TPC-H tail
     "q11_important_stock",
     "q12_late_lines_by_status",
@@ -143,9 +163,6 @@ _SAMPLE_FRONT = (
     "q17_small_quantity_revenue",
     "q20_promotion_suppliers",
     "q21_waiting_suppliers",
-    # io roundtrips (oracled)
-    "csv_roundtrip_agg",
-    "jsonl_roundtrip_agg",
 )
 
 
