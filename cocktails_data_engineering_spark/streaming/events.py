@@ -986,12 +986,26 @@ def stream_user_spend_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = events.filter(F.col("event_type") == "purchase").select(
         "user_id", "value"
     )
-    counted = purchases.groupBy("user_id").transformWithStateInPandas(
-        _UserSpendProcessor(),
-        outputStructType="user_id BIGINT, n_purchases BIGINT, total_value DOUBLE",
-        outputMode="Update",
-        timeMode="None",
-    )
+    if _HAS_STATE_V2_DEPS:
+        counted = purchases.groupBy("user_id").transformWithStateInPandas(
+            _UserSpendProcessor(),
+            outputStructType="user_id BIGINT, n_purchases BIGINT, total_value DOUBLE",
+            outputMode="Update",
+            timeMode="None",
+        )
+    else:
+        # Fallback twin on the v1 arbitrary-stateful API: identical key
+        # space, identical integer-micro-unit state discipline, identical
+        # output schema — so the query REGISTERS (and stays driver-
+        # sampleable) in environments whose Python workers lack the
+        # protobuf dependency the state-v2 runner needs.
+        counted = purchases.groupBy("user_id").applyInPandasWithState(
+            _user_spend_v1,
+            outputStructType="user_id BIGINT, n_purchases BIGINT, total_value DOUBLE",
+            stateStructType="n LONG, cents LONG",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     result = materialize(_run_to_memory(counted, "update"))
     # update-mode sink: the LAST emission per user is the final state
     w = Window.partitionBy("user_id").orderBy(F.desc("n_purchases"))
@@ -1006,8 +1020,22 @@ def stream_user_spend_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-if _HAS_STATE_V2_DEPS:  # pragma: no cover - exercised where protobuf exists
-    register("stream_user_spend_tws", oracle=_TWS_ORACLE)(stream_user_spend_tws)
+def _user_spend_v1(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """applyInPandasWithState twin of _UserSpendProcessor: per-user
+    (count, exact integer micro-units) running state."""
+    n, cents = state.get if state.exists else (0, 0)
+    for pdf in batches:
+        n += len(pdf)
+        cents += int(round(float(pdf["value"].sum()) * 1e6))
+    state.update((n, cents))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_purchases": [n], "total_value": [cents / 1e6]}
+    )
+
+
+register("stream_user_spend_tws", oracle=_TWS_ORACLE)(stream_user_spend_tws)
 
 
 @register(

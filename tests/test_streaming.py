@@ -111,12 +111,11 @@ def test_stream_psi_drift_flags_match_threshold(spark, sf_dir):
 
 
 def test_stream_user_spend_tws_matches_batch(spark, sf_dir):
-    """State API v2 (transformWithStateInPandas) — runs only where the
-    worker-side protobuf dependency exists; environments without it skip
-    (the query registration is gated the same way)."""
-    import pytest
-
-    pytest.importorskip("google.protobuf.descriptor")
+    """Per-user spend state machine: state-v2 (transformWithStateInPandas)
+    where the worker-side protobuf dependency exists, the
+    applyInPandasWithState fallback twin otherwise — the query runs (and
+    registers) on BOTH paths, so this asserts whichever path the
+    environment takes against the batch aggregate."""
     import pyspark.sql.functions as F
 
     from cocktails_data_engineering_spark.functions.numerics import dsum
