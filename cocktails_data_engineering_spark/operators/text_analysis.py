@@ -386,3 +386,115 @@ def bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "pair")
         .limit(BPE_TOP_MERGES)
     )
+
+
+# ---------------------------------------------------------------------------
+# Iterated BPE training (the actual vocab-induction loop, not just round 1)
+# ---------------------------------------------------------------------------
+BPE_ROUNDS = 3
+_BPE_SEP = "\x1f"  # unit separator: symbol delimiter, absent from the corpus
+# Merging is greedy left-to-right non-overlapping, realized as string
+# replace of SEP+l+SEP+r+SEP -> SEP+lr+SEP.  One replace pass consumes the
+# trailing separator of each match, so an immediately following occurrence
+# is skipped; a FIXED number of passes (3) is applied on BOTH engines, so
+# the corpora agree bit-for-bit even before convergence (a pytest asserts
+# a 4th pass changes nothing on the fixture).
+_BPE_PASSES = 3
+
+
+def _bpe_sym_string(col):
+    """word -> SEP-delimited char-symbol string: 'ab' -> '\\x1fa\\x1fb\\x1f'."""
+    return F.concat(F.lit(_BPE_SEP), F.regexp_replace(col, "(.)", "$1" + _BPE_SEP))
+
+
+def _bpe_syms(col):
+    return F.filter(F.split(col, _BPE_SEP), lambda x: x != F.lit(""))
+
+
+def _bpe_pairs(corpus: DataFrame) -> DataFrame:
+    syms = F.col("syms")
+    pairs = F.transform(
+        F.slice(syms, F.lit(1), F.size(syms) - 1),
+        lambda x, i: F.struct(x.alias("l_sym"), F.element_at(syms, i + F.lit(2)).alias("r_sym")),
+    )
+    return (
+        corpus.withColumn("syms", _bpe_syms(F.col("s")))
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.l_sym").alias("l_sym"), F.col("p.r_sym").alias("r_sym"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _bpe_oracle() -> str:
+    sep = "chr(31)"
+    sql = f"""
+WITH c0 AS (
+  SELECT {sep} || regexp_replace(w, '(.)', '\\1' || {sep}, 'g') AS s
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE length(w) >= 2
+)"""
+    for r in range(1, BPE_ROUNDS + 1):
+        prev = f"c{r - 1}"
+        sql += f""",
+x{r} AS (SELECT list_filter(string_split(s, {sep}), x -> x <> '') AS syms FROM {prev}),
+p{r} AS (SELECT syms[i] AS l_sym, syms[i+1] AS r_sym
+         FROM x{r} CROSS JOIN unnest(range(1, len(syms))) t(i)),
+win{r} AS (
+  SELECT l_sym, r_sym, CAST(COUNT(*) AS BIGINT) AS n,
+         {sep} || l_sym || {sep} || r_sym || {sep} AS pat,
+         {sep} || l_sym || r_sym || {sep} AS rep
+  FROM p{r} GROUP BY l_sym, r_sym ORDER BY n DESC, l_sym, r_sym LIMIT 1
+),
+c{r} AS (
+  SELECT replace(replace(replace(s, w.pat, w.rep), w.pat, w.rep), w.pat, w.rep) AS s
+  FROM {prev} CROSS JOIN win{r} w
+)"""
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, l_sym, r_sym, l_sym || r_sym AS merged, n FROM win{r}"
+        for r in range(1, BPE_ROUNDS + 1)
+    )
+    return sql + f"\nSELECT * FROM ({unions}) ORDER BY round"
+
+
+@register("bpe_train_merges", oracle=_bpe_oracle())
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterated BPE vocabulary induction: {BPE_ROUNDS} merge rounds, each
+    re-counting adjacent SYMBOL pairs over the corpus AFTER applying the
+    previous winners — the actual BPE trainer loop (bpe_top_merges is its
+    round-1 candidate list).  Winner per round = max count, ties broken
+    lexicographically; merging is greedy left-to-right via {_BPE_PASSES}
+    fixed replace passes (identical on both engines).
+
+    Driver loop discipline: each round collects exactly ONE winner row
+    (the kmeans-inertia pattern — O(rounds) driver scalars, never data);
+    the next round's plan bakes the winner in as literals.
+
+    Plan at 100 TB: per round, one map-side pair explode + one combinable
+    count aggregate + a top-1 (TakeOrderedAndProject); the merge itself
+    is a map-only string replace.  Real trainers amortize further by
+    re-counting only words CONTAINING the merged pair (a contains()
+    pushdown on the delta); rounds here are few and unrolled."""
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    corpus = words.select(_bpe_sym_string(F.col("w")).alias("s"))
+    out_rows = []
+    for r in range(1, BPE_ROUNDS + 1):
+        win = (
+            _bpe_pairs(corpus)
+            .orderBy(F.col("n").desc(), "l_sym", "r_sym")
+            .limit(1)
+            .collect()[0]
+        )
+        l, rr, n = win["l_sym"], win["r_sym"], win["n"]
+        out_rows.append((r, l, rr, l + rr, n))
+        pat = F.lit(_BPE_SEP + l + _BPE_SEP + rr + _BPE_SEP)
+        rep = F.lit(_BPE_SEP + l + rr + _BPE_SEP)
+        merged = F.col("s")
+        for _ in range(_BPE_PASSES):
+            merged = F.replace(merged, pat, rep)
+        corpus = corpus.select(merged.alias("s"))
+    return spark.createDataFrame(
+        out_rows, "round int, l_sym string, r_sym string, merged string, n long"
+    )

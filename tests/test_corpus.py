@@ -140,3 +140,33 @@ def test_bm25_results_contain_query_terms(spark, sf_dir):
     }
     for r in rows:
         assert any(t in texts[r.doc_id].split(" ") for t in BM25_QUERY), r.doc_id
+
+
+def test_bpe_train_merges_recounts_after_each_merge(spark, tmp_path):
+    """The iterated trainer must re-count pairs on the MERGED corpus:
+    hand-computed greedy BPE on a fixture with an overlapping run
+    ('aaab' contains (a,a) twice, overlapping — greedy left-to-right
+    takes the first only) and a tie round (count tie broken
+    lexicographically)."""
+    import os
+
+    from cocktails_data_engineering_spark.operators.text_analysis import (
+        bpe_train_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab abab", "en", "web", 14)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "documents.parquet")
+    )
+    rows = [tuple(r) for r in bpe_train_merges(spark, str(tmp_path)).collect()]
+    # r1: (a,a)=4 ties (a,b)=4 -> lexicographic (a,a); 'aaab' -> [aa,a,b]
+    # r2: (a,b)=4 wins over (aa,a)=2, (b,a)=1; 'abab' -> [ab,ab]
+    # r3: (aa,ab)=2 wins over (ab,ab)=1
+    assert rows == [
+        (1, "a", "a", "aa", 4),
+        (2, "a", "b", "ab", 4),
+        (3, "aa", "ab", "aaab", 2),
+    ]
