@@ -898,3 +898,151 @@ def kmeans_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.log(F.col("n").cast("double")), 9) - F.col("s") / F.col("n"), 6
         ).alias("label_entropy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling (Xie et al., 2023: Data Selection with
+# Importance Resampling) — the LEARNED complement of domain_mixture_sample:
+# instead of fixed per-domain rates, estimate hashed n-gram bag models for
+# the TARGET distribution and the RAW corpus, weight every document by its
+# importance ratio, and keep it with probability proportional to the ratio
+# via a deterministic md5-uniform (capped at 1).
+# ---------------------------------------------------------------------------
+DSIR_BUCKETS = 512  # hashed feature space (unigram -> bucket)
+DSIR_TARGET_LANG = "en"  # the target distribution: English documents
+DSIR_TEMP = 5.0  # keep iff ln(u) < TEMP * avg log importance ratio
+
+
+def _hash24_of(col, salt: str) -> F.Column:
+    """First 6 hex chars of md5(salt || value) as a 24-bit integer (the
+    _hash24 alphabet-indexing trick, parameterized by salt/column)."""
+    h = F.md5(F.concat(F.lit(salt), col.cast("string")))
+    v = F.lit(0).cast("bigint")
+    for i in range(_MIX_HEX_CHARS):
+        v = v + (F.instr(F.lit(_HEX), F.substring(h, i + 1, 1)) - 1).cast("bigint") * (
+            16 ** (_MIX_HEX_CHARS - 1 - i)
+        )
+    return v
+
+
+def _oracle_hash24_of(expr: str, salt: str) -> str:
+    return "(" + " + ".join(
+        f"(strpos('{_HEX}', substr(md5('{salt}' || {expr}), {i + 1}, 1)) - 1)"
+        f" * {16 ** (_MIX_HEX_CHARS - 1 - i)}"
+        for i in range(_MIX_HEX_CHARS)
+    ) + ")"
+
+
+@register(
+    "dsir_importance_resample",
+    oracle=f"""
+WITH words AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents
+),
+wb AS (
+  SELECT doc_id, lang, {_oracle_hash24_of("w", "dsir|")} % {DSIR_BUCKETS} AS b
+  FROM words
+),
+rc AS (SELECT b, COUNT(*) AS c_r FROM wb GROUP BY b),
+tc AS (SELECT b, COUNT(*) AS c_t FROM wb WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY b),
+tot AS (SELECT (SELECT COUNT(*) FROM wb) AS n_r,
+               (SELECT COUNT(*) FROM wb WHERE lang = '{DSIR_TARGET_LANG}') AS n_t),
+delta AS (
+  SELECT rc.b,
+         ROUND(ln((COALESCE(tc.c_t, 0) + 1.0) / (tot.n_t + {DSIR_BUCKETS}))
+             - ln((rc.c_r + 1.0) / (tot.n_r + {DSIR_BUCKETS})), 6) AS d
+  FROM rc LEFT JOIN tc USING (b) CROSS JOIN tot
+),
+scores AS (
+  SELECT wb.doc_id, MIN(wb.lang) AS lang,
+         ROUND(CAST(SUM(CAST(d AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_lr
+  FROM wb JOIN delta USING (b)
+  GROUP BY wb.doc_id
+),
+keyed AS (
+  SELECT lang, avg_lr,
+         ROUND(ln(({_oracle_hash24_of("CAST(doc_id AS VARCHAR)", "dsiru|")} + 1.0)
+                  / {_MIX_SPACE}), 6) AS ln_u
+  FROM scores
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN ln_u < {DSIR_TEMP} * avg_lr THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       ROUND(CAST(SUM(CAST(avg_lr AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+         AS mean_lr
+FROM keyed GROUP BY lang
+""",
+)
+def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection: hashed-unigram bag models (add-1
+    smoothed over {DSIR_BUCKETS} buckets) for the target distribution
+    (lang='{DSIR_TARGET_LANG}') and the raw corpus; each document scores
+    its mean per-token log importance ratio ln(p_target/p_raw); keep
+    iff ln(u) < {DSIR_TEMP}·score with u a deterministic md5-uniform —
+    i.e. keep probability min(1, importance^{DSIR_TEMP}), reproducible
+    on any engine, any partitioning.
+
+    Cross-engine exactness: per-bucket deltas rounded to 6 BEFORE the
+    DECIMAL per-doc sum (the round-before-reuse discipline); the keep
+    comparison multiplies identically-rounded doubles, an exact IEEE op.
+
+    Plan at 100 TB: bucket counts are two map-side-combinable aggregates
+    over the token stream; the {DSIR_BUCKETS}-row delta table BROADCASTS
+    onto the token scan (no shuffle of the corpus for scoring); per-doc
+    scores aggregate on doc_id — one shuffle of (doc_id, bucket) pairs.
+    The raw corpus is never re-partitioned by anything global."""
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+    )
+    wb = words.select(
+        "doc_id", "lang", (_hash24_of(F.col("w"), "dsir|") % DSIR_BUCKETS).alias("b")
+    )
+    rc = wb.groupBy("b").agg(F.count(F.lit(1)).alias("c_r"))
+    tc = (
+        wb.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c_t"))
+    )
+    tot = wb.agg(
+        F.count(F.lit(1)).alias("n_r"),
+        F.sum(F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)).alias("n_t"),
+    )
+    delta = (
+        rc.join(tc, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("c_t"), F.lit(0)) + 1.0)
+                    / (F.col("n_t") + DSIR_BUCKETS)
+                )
+                - F.log((F.col("c_r") + 1.0) / (F.col("n_r") + DSIR_BUCKETS)),
+                6,
+            ).alias("d"),
+        )
+    )
+    scores = (
+        wb.join(F.broadcast(delta), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.min("lang").alias("lang"),
+            F.round(dsum(F.col("d")) / F.count(F.lit(1)), 6).alias("avg_lr"),
+        )
+    )
+    ln_u = F.round(
+        F.log(
+            (_hash24_of(F.col("doc_id"), "dsiru|") + 1.0) / float(_MIX_SPACE)
+        ),
+        6,
+    )
+    keyed = scores.select("lang", "avg_lr", ln_u.alias("ln_u"))
+    return keyed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.col("ln_u") < DSIR_TEMP * F.col("avg_lr"), 1).otherwise(0)
+        ).cast("bigint").alias("n_kept"),
+        F.round(dsum(F.col("avg_lr")) / F.count(F.lit(1)), 6).alias("mean_lr"),
+    )

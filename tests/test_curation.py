@@ -157,3 +157,46 @@ def test_mmr_diverse_topk_semantics(spark, sf_dir):
         assert len({r.vec_id for r in rs}) == MMR_K, qid
         rank1 = next(r for r in rs if r.rank == 1)
         assert rank1.vec_id == top1[qid], qid
+
+
+def test_dsir_importance_resample_invariants(spark, sf_dir):
+    from cocktails_data_engineering_spark.operators.curation import (
+        DSIR_TARGET_LANG,
+        dsir_importance_resample,
+    )
+
+    rows = {r["lang"]: r for r in dsir_importance_resample(spark, sf_dir).collect()}
+    # keep set is a subset of the corpus, never empty-by-construction
+    for r in rows.values():
+        assert 0 <= r["n_kept"] <= r["n_docs"]
+    # the target language must score the highest mean importance ratio
+    tgt = rows[DSIR_TARGET_LANG]["mean_lr"]
+    for lang, r in rows.items():
+        if lang != DSIR_TARGET_LANG:
+            assert tgt > r["mean_lr"], (lang, tgt, r["mean_lr"])
+
+
+def test_dsir_keeps_target_like_docs_drops_alien_vocabulary(spark, tmp_path):
+    """Separated vocabularies: every en doc uses the target vocabulary,
+    every zh doc a disjoint one.  Importance ratio must keep ALL en docs
+    (ratio > 1 -> keep prob 1) and drop most zh docs (ratio << 1)."""
+    import os
+
+    from cocktails_data_engineering_spark.operators.curation import (
+        dsir_importance_resample,
+    )
+
+    rows = []
+    for i in range(30):
+        rows.append((i, "alpha beta gamma delta", "en", "web", 22))
+    for i in range(30, 60):
+        rows.append((i, "omega sigma tau kappa", "zh", "web", 20))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "documents.parquet")
+    )
+    out = {r["lang"]: r for r in dsir_importance_resample(spark, str(tmp_path)).collect()}
+    assert out["en"]["n_kept"] == out["en"]["n_docs"] == 30
+    assert out["zh"]["n_kept"] < 10  # ratio << 1: most alien docs dropped
+    assert out["en"]["mean_lr"] > 0 > out["zh"]["mean_lr"]
