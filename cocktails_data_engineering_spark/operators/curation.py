@@ -61,6 +61,51 @@ from .similarity import _dot, _norm
 
 SEM_TAU = 0.4  # same near-dup cosine threshold as similarity.NEAR_DUP_COS
 
+# SemDeDup's cluster count must GROW with the corpus (Abbas et al. use
+# 50k clusters at LAION scale): with fixed K, within-cluster pair cost is
+# quadratic in N (measured 18.6x wall for 10x data in the r6 scale
+# stress).  K = max(K_base, ceil(N / SEM_TARGET_CLUSTER)) keeps expected
+# cluster size — and therefore pair cost per row — constant, so total
+# pair work scales linearly.  At driver scales (N <= {K*500}) this is
+# exactly the old K={K}, so registered results are unchanged.
+SEM_TARGET_CLUSTER = 500
+
+
+def _sem_k(n: int) -> int:
+    import math
+
+    return max(_K, math.ceil(n / SEM_TARGET_CLUSTER))
+
+
+def _init_centroids_dyn(vecs: DataFrame, k_dyn: int) -> DataFrame:
+    """The k_dyn vectors whose md5(vec_id) sort first, as (cid, cemb) —
+    clustering._init_centroids with a data-scaled K."""
+    seeds = (
+        vecs.select("vec_id", F.md5(F.col("vec_id").cast("string")).alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(k_dyn)
+        .select("vec_id")
+    )
+    return vecs.join(F.broadcast(seeds), "vec_id").select(
+        F.col("vec_id").alias("cid"), F.col("emb").alias("cemb")
+    )
+
+
+# K-independent oracle twin: seeds via window rank <= GREATEST(K, ceil(n/target))
+_ORACLE_VECS_DYN = f"""
+vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+init AS (
+  SELECT vec_id AS cid, emb AS cemb
+  FROM (SELECT vec_id, emb,
+               ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk,
+               COUNT(*) OVER () AS n
+        FROM vecs)
+  WHERE rk <= GREATEST({_K}, CEIL(n / {SEM_TARGET_CLUSTER}.0))
+)"""
+
 
 def within_cluster_dups(sides: DataFrame, tau: float) -> DataFrame:
     """Distinct (cid, ib) duplicate ids: vectors with a same-cluster
@@ -87,7 +132,7 @@ def within_cluster_dups(sides: DataFrame, tau: float) -> DataFrame:
 @register(
     "semantic_dedup_clusters",
     oracle=f"""
-WITH {_ORACLE_VECS.strip()},
+WITH {_ORACLE_VECS_DYN.strip()},
 {_oracle_round('init', 'r0').strip()},
 {_oracle_cent('r0_a', 'cent1').strip()},
 {_oracle_round('cent1', 'r1').strip()},
@@ -133,7 +178,10 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus sizes); cosine is a Catalyst zip_with/aggregate fold, rounded
     to 6 decimals so the DuckDB twin is engine-exact."""
     vecs = _vectors(spark, sf_dir)
-    cents1 = _update(_assign(vecs, _init_centroids(vecs)))
+    # one O(1) driver scalar (the kmeans-inertia pattern) sizes K to the
+    # corpus so expected cluster size stays ~SEM_TARGET_CLUSTER
+    k_dyn = _sem_k(vecs.count())
+    cents1 = _update(_assign(vecs, _init_centroids_dyn(vecs, k_dyn)))
     # materialize: the assignment feeds BOTH sides of the pair join plus
     # the membership count — without it the Lloyd chain runs 3×
     assign = materialize(_assign(vecs, cents1).select("vec_id", "cid", "emb"))
