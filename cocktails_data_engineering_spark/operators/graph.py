@@ -11,7 +11,7 @@ a DuckDB recursive CTE can oracle-check it.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..checkpointing import materialize
@@ -524,3 +524,108 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdx = F.sqrt(F.col("sxx") / md - mx * mx)
     sdy = F.sqrt(F.col("syy") / md - my * my)
     return s.select("m", F.round(cov / (sdx * sdy), 6).alias("assortativity"))
+
+
+# ---------------------------------------------------------------------------
+# Label propagation communities (synchronous LPA, unrolled rounds)
+# ---------------------------------------------------------------------------
+LPA_ROUNDS = 3
+
+
+def _lpa_oracle() -> str:
+    parts = [
+        """WITH base AS (
+  SELECT o_orderkey % 500 AS a,
+         50 * ((o_orderkey % 500) // 50) + (o_custkey % 50) AS b
+  FROM orders
+),
+e AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT a, b FROM base UNION ALL SELECT b AS a, a AS b FROM base
+  ) WHERE a <> b
+),
+nodes AS (SELECT DISTINCT a AS node FROM e),
+l0 AS (SELECT node, node AS label FROM nodes)"""
+    ]
+    prev = "l0"
+    for i in range(1, LPA_ROUNDS + 1):
+        parts.append(
+            f"""c{i} AS (
+  SELECT e.a AS node, p.label, COUNT(*) AS n
+  FROM e JOIN {prev} p ON p.node = e.b
+  GROUP BY e.a, p.label
+),
+l{i} AS (
+  SELECT node, label
+  FROM (SELECT node, label,
+               ROW_NUMBER() OVER (PARTITION BY node ORDER BY n DESC, label) AS rk
+        FROM c{i}) t
+  WHERE rk = 1
+)"""
+        )
+        prev = f"l{i}"
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT label AS community,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(MIN(node) AS BIGINT) AS min_node,
+       CAST(MAX(node) AS BIGINT) AS max_node
+FROM {prev} GROUP BY label"""
+    )
+
+
+@register("label_propagation_communities", oracle=_lpa_oracle())
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan et
+    al., 2007), {LPA_ROUNDS} unrolled rounds on the undirected 97/401
+    crawl graph: every node starts as its own label; each round adopts
+    the most frequent label among neighbors, ties broken by the SMALLEST
+    label — fully deterministic (the classic LPA pathology, random
+    tie-breaks, is exactly what an engine with a value-exact oracle
+    cannot ship).  Output: per-community size and node range.
+
+    Everything is INTEGER arithmetic (labels, counts) — no rounding
+    discipline needed; both engines agree exactly at any iteration
+    count.
+
+    Plan at 100 TB: per round, one shuffle of edges-by-endpoint to pick
+    up labels, one (node, label) count with map-side combine, one
+    windowed top-1 per node (partial TakeOrdered inside the node
+    partition).  Labels table stays node-sized; the edge table is never
+    materialized per-round.  Synchronous rounds = the bulk-synchronous
+    Pregel schedule."""
+    orders = load(spark, sf_dir, "orders")
+    # block-structured fixture: 10 disconnected 50-node blocks (edges stay
+    # inside a's block) so LPA has real communities to find — the dense
+    # 97/401 assortativity graph collapses to one label immediately.
+    a = (F.col("o_orderkey") % 500).alias("a")
+    b = (
+        50 * F.floor((F.col("o_orderkey") % 500) / 50).cast("bigint")
+        + (F.col("o_custkey") % 50)
+    ).alias("b")
+    base = orders.select(a, b)
+    edges = materialize(
+        base.unionAll(base.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    labels = edges.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w = Window.partitionBy("node").orderBy(F.col("n").desc(), "label")
+    for _ in range(LPA_ROUNDS):
+        labels = (
+            edges.join(labels.withColumnRenamed("node", "b_node"),
+                       F.col("b") == F.col("b_node"))
+            .groupBy(F.col("a").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("node", "label")
+        )
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("node").alias("min_node"),
+        F.max("node").alias("max_node"),
+    )

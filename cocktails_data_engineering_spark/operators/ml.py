@@ -471,3 +471,148 @@ def assoc_rules_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "brand_a", "brand_b")
         .limit(ASSOC_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# In-database logistic regression (unrolled gradient descent)
+# ---------------------------------------------------------------------------
+LOGIT_ROUNDS = 3
+LOGIT_LR = 1.0  # learning rate (literal, engine-exact)
+PRICE_SCALE = 100_000  # o_totalprice / 100k keeps z in a well-behaved range
+
+
+def _logit_oracle() -> str:
+    # Discipline for the one transcendental (exp): z rounds to 3 decimals
+    # BEFORE the sigmoid, p rounds to 6 after — a 1-ulp libm-vs-JVM exp
+    # difference on the same z survives the 6dp round only at a
+    # .5e-6 boundary of the true value, and gradient terms round to 6
+    # before the DECIMAL sum, so weights stay bit-identical per round.
+    feats = f"""f AS (
+  SELECT CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y,
+         1.0 AS x0,
+         ROUND(o_totalprice / {PRICE_SCALE}.0, 6) AS x1,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1.0 ELSE 0.0 END AS x2
+  FROM orders
+),
+n AS (SELECT COUNT(*) AS n_rows FROM f),
+w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2)"""
+    parts = [feats]
+    prev = "w0"
+    for r in range(1, LOGIT_ROUNDS + 1):
+        parts.append(f"""p{r} AS (
+  SELECT y, x0, x1, x2,
+         ROUND(1.0 / (1.0 + exp(-ROUND(w.w0 * x0 + w.w1 * x1 + w.w2 * x2, 3))), 6) AS p
+  FROM f CROSS JOIN {prev} w
+),
+g{r} AS (
+  SELECT CAST(SUM(CAST(ROUND((p - y) * x0, 6) AS DECIMAL(18,6))) AS DOUBLE) AS g0,
+         CAST(SUM(CAST(ROUND((p - y) * x1, 6) AS DECIMAL(18,6))) AS DOUBLE) AS g1,
+         CAST(SUM(CAST(ROUND((p - y) * x2, 6) AS DECIMAL(18,6))) AS DOUBLE) AS g2
+  FROM p{r}
+),
+w{r} AS (
+  SELECT ROUND(w.w0 - {LOGIT_LR} * g.g0 / n.n_rows, 6) AS w0,
+         ROUND(w.w1 - {LOGIT_LR} * g.g1 / n.n_rows, 6) AS w1,
+         ROUND(w.w2 - {LOGIT_LR} * g.g2 / n.n_rows, 6) AS w2
+  FROM {prev} w CROSS JOIN g{r} g CROSS JOIN n
+)""")
+        prev = f"w{r}"
+    acc = f"""acc AS (
+  SELECT CAST(SUM(CASE WHEN (CASE WHEN ROUND(1.0 / (1.0 + exp(-ROUND(w.w0 * x0 + w.w1 * x1 + w.w2 * x2, 3))), 6) >= 0.5
+                                  THEN 1.0 ELSE 0.0 END) = y THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM f CROSS JOIN {prev} w
+)"""
+    parts.append(acc)
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, w0, w1, w2, NULL::BIGINT AS n_correct, NULL::BIGINT AS n_rows FROM w{r}"
+        for r in range(1, LOGIT_ROUNDS + 1)
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+SELECT * FROM ({unions}
+UNION ALL
+SELECT {LOGIT_ROUNDS + 1} AS round, w.w0, w.w1, w.w2, a.n_correct, a.n_rows
+FROM w{LOGIT_ROUNDS} w CROSS JOIN acc a)"""
+    )
+
+
+@register("logistic_regression_gd", oracle=_logit_oracle())
+def logistic_regression_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic regression trained IN the engine: {LOGIT_ROUNDS} unrolled
+    full-batch gradient-descent rounds predicting order finality
+    (o_orderstatus = 'F') from scaled price and an urgency flag, plus a
+    final training-accuracy row — the in-database-ML pattern where the
+    model never leaves the warehouse and each round is one aggregate.
+
+    Cross-engine exactness for the one transcendental: z rounds to 3
+    BEFORE exp, p to 6 after, per-row gradient terms to 6 before the
+    DECIMAL sum, weights to 6 per round (the round-before-reuse
+    discipline) — both engines carry bit-identical weights into the next
+    round.  Weights per round come back as O(1) driver scalars (the
+    kmeans-inertia pattern) and re-enter the plan as literals.
+
+    Plan at 100 TB: each round is ONE map-side-combinable aggregate over
+    the feature scan (3 decimal sums), no shuffle of the data, weights
+    broadcast as literals — exactly how distributed full-batch GD/L-BFGS
+    outer loops are built."""
+    orders = load(spark, sf_dir, "orders")
+    f = orders.select(
+        F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0).alias("y"),
+        F.lit(1.0).alias("x0"),
+        F.round(F.col("o_totalprice") / float(PRICE_SCALE), 6).alias("x1"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1.0
+        ).otherwise(0.0).alias("x2"),
+    )
+    f = materialize(f)
+    n_rows = f.count()
+    w = [0.0, 0.0, 0.0]
+    out = []
+    for r in range(1, LOGIT_ROUNDS + 1):
+        z = F.round(
+            F.lit(w[0]) * F.col("x0")
+            + F.lit(w[1]) * F.col("x1")
+            + F.lit(w[2]) * F.col("x2"),
+            3,
+        )
+        p = F.round(1.0 / (1.0 + F.exp(-z)), 6)
+        g = f.select(
+            *[
+                F.round((p - F.col("y")) * F.col(f"x{j}"), 6).alias(f"t{j}")
+                for j in range(3)
+            ]
+        ).agg(*[dsum(F.col(f"t{j}")).alias(f"g{j}") for j in range(3)]).collect()[0]
+        # round IN Spark (not Python round, whose half-even rule is a third
+        # rounding implementation): one 1-row job, engine-consistent with
+        # the oracle's ROUND
+        w = list(
+            spark.range(1)
+            .select(
+                *[
+                    F.round(F.lit(w[j] - LOGIT_LR * g[f"g{j}"] / n_rows), 6).alias(
+                        f"w{j}"
+                    )
+                    for j in range(3)
+                ]
+            )
+            .collect()[0]
+        )
+        out.append((r, w[0], w[1], w[2], None, None))
+    z = F.round(
+        F.lit(w[0]) * F.col("x0")
+        + F.lit(w[1]) * F.col("x1")
+        + F.lit(w[2]) * F.col("x2"),
+        3,
+    )
+    p = F.round(1.0 / (1.0 + F.exp(-z)), 6)
+    pred = F.when(p >= 0.5, 1.0).otherwise(0.0)
+    accrow = f.agg(
+        F.sum(F.when(pred == F.col("y"), 1).otherwise(0)).cast("bigint").alias("nc"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    out.append((LOGIT_ROUNDS + 1, w[0], w[1], w[2], accrow["nc"], accrow["n"]))
+    return spark.createDataFrame(
+        out, "round int, w0 double, w1 double, w2 double, n_correct long, n_rows long"
+    )

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..checkpointing import materialize
 from ..functions.numerics import dsum, oracle_dsum
 from ..registry import register
 from ..sources.tables import load, load_spread
@@ -474,7 +475,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a map-only string replace.  Real trainers amortize further by
     re-counting only words CONTAINING the merged pair (a contains()
     pushdown on the delta); rounds here are few and unrolled."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     words = docs.select(F.explode(F.split("text", " ")).alias("w")).filter(
         F.length("w") >= 2
     )
@@ -494,7 +495,112 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged = F.col("s")
         for _ in range(_BPE_PASSES):
             merged = F.replace(merged, pat, rep)
-        corpus = corpus.select(merged.alias("s"))
+        # truncate lineage: round r+1's pair count must not re-run rounds
+        # 1..r's replaces from the raw scan (3 rounds -> 6 redundant passes)
+        corpus = materialize(corpus.select(merged.alias("s")))
     return spark.createDataFrame(
         out_rows, "round int, l_sym string, r_sym string, merged string, n long"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer application: run the learned merge table over the corpus
+# ---------------------------------------------------------------------------
+def _bpe_apply_oracle() -> str:
+    # winners win1..winN come from the SAME chain bpe_train_merges uses;
+    # the apply chain then tokenizes EVERY word (single-char words too —
+    # they are 1 token each; merges simply cannot match inside them).
+    train = _bpe_oracle()
+    train_ctes = train[: train.rindex("\nSELECT * FROM (")]
+    sep = "chr(31)"
+    apply_chain = f""",
+a0 AS (
+  SELECT doc_id, lang, n_chars,
+         {sep} || regexp_replace(w, '(.)', '\\1' || {sep}, 'g') AS s
+  FROM (SELECT doc_id, lang, n_chars, unnest(string_split(text, ' ')) AS w
+        FROM documents)
+)"""
+    prev = "a0"
+    for r in range(1, BPE_ROUNDS + 1):
+        apply_chain += f""",
+a{r} AS (
+  SELECT doc_id, lang, n_chars,
+         replace(replace(replace(s, w.pat, w.rep), w.pat, w.rep), w.pat, w.rep) AS s
+  FROM {prev} CROSS JOIN win{r} w
+)"""
+        prev = f"a{r}"
+    return (
+        train_ctes
+        + apply_chain
+        + f""",
+doc_tokens AS (
+  SELECT doc_id, MIN(lang) AS lang, MIN(n_chars) AS n_chars,
+         SUM(len(list_filter(string_split(s, {sep}), x -> x <> ''))) AS n_tokens
+  FROM {prev} GROUP BY doc_id
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       ROUND(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_tokens), 6) AS chars_per_token
+FROM doc_tokens GROUP BY lang"""
+    )
+
+
+@register("bpe_apply_tokenize", oracle=_bpe_apply_oracle())
+def bpe_apply_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION: re-derive the {BPE_ROUNDS}-round merge
+    table (same loop as bpe_train_merges) and run it over EVERY word of
+    every document, reporting per-language token counts and the
+    chars-per-token compression ratio — the metric BPE training
+    optimizes and the number every training-cost estimate starts from.
+
+    Plan at 100 TB: the merge table is tiny (driver literals); applying
+    it is a map-only chain of string replaces over the corpus — zero
+    shuffles until the per-doc/per-lang rollup.  A production tokenizer
+    ships thousands of merges through a trie (not a replace chain), but
+    the data flow — broadcast merge table, map-side apply, rollup — is
+    exactly this."""
+    docs = load_spread(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    corpus = words.select(_bpe_sym_string(F.col("w")).alias("s"))
+    winners = []
+    for _ in range(BPE_ROUNDS):
+        win = (
+            _bpe_pairs(corpus)
+            .orderBy(F.col("n").desc(), "l_sym", "r_sym")
+            .limit(1)
+            .collect()[0]
+        )
+        winners.append((win["l_sym"], win["r_sym"]))
+        pat = F.lit(_BPE_SEP + win["l_sym"] + _BPE_SEP + win["r_sym"] + _BPE_SEP)
+        rep = F.lit(_BPE_SEP + win["l_sym"] + win["r_sym"] + _BPE_SEP)
+        merged = F.col("s")
+        for _ in range(_BPE_PASSES):
+            merged = F.replace(merged, pat, rep)
+        corpus = materialize(corpus.select(merged.alias("s")))
+    doc_words = docs.select(
+        "doc_id", "lang", "n_chars", F.explode(F.split("text", " ")).alias("w")
+    )
+    s = _bpe_sym_string(F.col("w"))
+    for l, r in winners:
+        pat = F.lit(_BPE_SEP + l + _BPE_SEP + r + _BPE_SEP)
+        rep = F.lit(_BPE_SEP + l + r + _BPE_SEP)
+        for _ in range(_BPE_PASSES):
+            s = F.replace(s, pat, rep)
+    tokenized = doc_words.select(
+        "doc_id", "lang", "n_chars", F.size(_bpe_syms(s)).alias("n_word_tokens")
+    )
+    doc_tokens = tokenized.groupBy("doc_id").agg(
+        F.min("lang").alias("lang"),
+        F.min("n_chars").alias("n_chars"),
+        F.sum("n_word_tokens").alias("n_tokens"),
+    )
+    return doc_tokens.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.sum("n_chars").cast("double") / F.sum("n_tokens"), 6).alias(
+            "chars_per_token"
+        ),
     )

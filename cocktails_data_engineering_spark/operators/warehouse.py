@@ -967,3 +967,76 @@ def ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_lines").alias("n_lines"),
         F.round(F.sum("rev_part").cast("double"), 6).alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Privacy audit: k-anonymity / l-diversity over quasi-identifiers
+# ---------------------------------------------------------------------------
+K_ANON = 5  # minimum safe equivalence-class size
+SENS_BUCKET = 1000  # sensitive attribute: order price bucketed to $1000
+
+
+@register(
+    "k_anonymity_audit",
+    oracle=f"""
+WITH q AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+         o_orderpriority AS qi_priority, o_orderstatus AS qi_status,
+         CAST(FLOOR(o_totalprice / {SENS_BUCKET}) AS BIGINT) AS sens
+  FROM orders
+),
+classes AS (
+  SELECT yr, qi_priority, qi_status,
+         COUNT(*) AS class_size,
+         COUNT(DISTINCT sens) AS l_div
+  FROM q GROUP BY yr, qi_priority, qi_status
+)
+SELECT yr,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(MIN(class_size) AS BIGINT) AS k_min,
+       CAST(SUM(CASE WHEN class_size < {K_ANON} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_small_classes,
+       CAST(SUM(CASE WHEN class_size < {K_ANON} THEN class_size ELSE 0 END) AS BIGINT)
+         AS n_rows_suppressed,
+       CAST(MIN(l_div) AS BIGINT) AS l_div_min
+FROM classes GROUP BY yr
+""",
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit before a table leaves the warehouse: group rows into
+    equivalence classes on the quasi-identifiers (order year, priority,
+    status), report per-year k-anonymity (minimum class size, classes
+    and rows below k={K_ANON} — the rows generalization/suppression must
+    handle) and l-diversity of the bucketed sensitive attribute (price
+    band) — a class where every member shares one sensitive value leaks
+    it even when k is satisfied.
+
+    All integer arithmetic — counts, distinct counts, floors — so both
+    engines agree exactly with no rounding discipline.
+
+    Plan at 100 TB: one aggregate on the QI key (map-side combinable,
+    COUNT DISTINCT via partial sets per class is bounded by the price-
+    band alphabet), then a metadata-sized per-year rollup.  The audit
+    never joins the fact table to anything."""
+    orders = load(spark, sf_dir, "orders")
+    q = orders.select(
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.col("o_orderpriority").alias("qi_priority"),
+        F.col("o_orderstatus").alias("qi_status"),
+        F.floor(F.col("o_totalprice") / SENS_BUCKET).cast("bigint").alias("sens"),
+    )
+    classes = q.groupBy("yr", "qi_priority", "qi_status").agg(
+        F.count(F.lit(1)).alias("class_size"),
+        F.countDistinct("sens").alias("l_div"),
+    )
+    return classes.groupBy("yr").agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("class_size").alias("k_min"),
+        F.sum(F.when(F.col("class_size") < K_ANON, 1).otherwise(0)).alias(
+            "n_small_classes"
+        ),
+        F.sum(
+            F.when(F.col("class_size") < K_ANON, F.col("class_size")).otherwise(0)
+        ).alias("n_rows_suppressed"),
+        F.min("l_div").alias("l_div_min"),
+    )

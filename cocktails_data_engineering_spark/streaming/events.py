@@ -1097,3 +1097,100 @@ def stream_chained_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(daily, "append")
+
+
+# ---------------------------------------------------------------------------
+# Composed curate-on-ingest funnel (streaming flagship #7)
+# ---------------------------------------------------------------------------
+def _curation_funnel_oracle() -> str:
+    from ..operators.curation import (
+        _MIX_SPACE,
+        _ORACLE_HASH24,
+        _ORACLE_RATES_CTES,
+        _SQL_QSCORE,
+    )
+
+    return f"""
+WITH {_ORACLE_RATES_CTES},
+feats AS (
+  SELECT doc_id, lang, text,
+         length(text) AS n_chars_actual,
+         len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tokens,
+         len(list_filter(string_split(text, ' '),
+                         w -> w IN ('the','a','of','and','to','in','is'))) AS n_stopwords
+  FROM documents
+),
+scored AS (SELECT doc_id, lang, text, {_SQL_QSCORE} AS qscore FROM feats),
+thr AS (
+  SELECT d.lang AS tl, ROUND(CAST(median({_SQL_QSCORE}) AS DOUBLE), 6) AS q_thr
+  FROM feats d GROUP BY d.lang
+),
+survivors AS (
+  SELECT s.lang, md5(lower(trim(regexp_replace(s.text, '\\s+', ' ', 'g')))) AS fp
+  FROM scored s
+  JOIN thr ON thr.tl = s.lang
+  JOIN rates r ON r.lang = s.lang
+  WHERE s.qscore >= thr.q_thr
+    AND {_ORACLE_HASH24.replace("doc_id", "s.doc_id")}
+        < CAST(FLOOR(r.rate * {_MIX_SPACE}.0) AS BIGINT)
+)
+SELECT lang, CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique_kept
+FROM survivors GROUP BY lang
+"""
+
+
+@register("stream_curation_funnel", oracle=_curation_funnel_oracle())
+def stream_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curate-on-ingest FUNNEL in one streaming query — quality
+    gate (per-language median threshold from the static batch profile,
+    broadcast), then the deterministic mixture keep filter (static rates
+    broadcast), then exact-dedup of the survivors by normalized
+    fingerprint, counted per language.
+
+    Stage order matters for determinism: both filters are STATELESS and
+    per-row (hash/score functions of the row itself), so they commute
+    with arrival order; dedup runs LAST so the surviving fingerprint SET
+    — and therefore every emitted count — is arrival-order-free even
+    though dropDuplicates keeps an arbitrary first arrival.  (Dedup
+    before the doc_id-hash mixture filter would make the output depend
+    on WHICH copy arrived first — the composition order is the
+    correctness argument here.)
+
+    Plan at 100 TB: two broadcast joins + map-side filters on the
+    stream, dedup state = one key per distinct surviving doc (bounded by
+    corpus cardinality; with event-time, dropDuplicatesWithinWatermark
+    bounds it further), one per-lang count.  The funnel runs on ingest —
+    no post-hoc batch pass over the raw crawl."""
+    from ..operators.curation import mixture_keep_filter, mixture_rates
+    from ..operators.text_analysis import quality_features
+
+    docs_batch = load(spark, sf_dir, "documents")
+    qscore = F.round(
+        F.col("n_stopwords").cast("double") * 100.0 / F.col("n_tokens")
+        + F.col("n_chars_actual").cast("double") / F.col("n_tokens"),
+        6,
+    )
+    thr = (
+        quality_features(docs_batch)
+        .select("lang", qscore.alias("qscore"))
+        .groupBy("lang")
+        .agg(F.round(F.median("qscore"), 6).alias("q_thr"))
+    )
+    rates = mixture_rates(spark, docs_batch)
+
+    stream = read_documents_stream(spark, sf_dir)
+    gated = (
+        quality_features(stream)
+        .select("doc_id", "lang", "text", qscore.alias("qscore"))
+        .join(F.broadcast(thr), "lang")
+        .filter(F.col("qscore") >= F.col("q_thr"))
+    )
+    mixed = mixture_keep_filter(gated, rates)
+    deduped = mixed.select(
+        "lang",
+        F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))).alias("fp"),
+    ).dropDuplicates(["fp"])
+    plan = deduped.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_unique_kept")
+    )
+    return _run_to_memory(plan, "complete")

@@ -29,7 +29,7 @@ def test_jdbc_roundtrip_reports_ok(spark, sf_dir):
     row = jdbc_roundtrip(spark, sf_dir).collect()[0]
     assert row.roundtrip_ok
     assert row.n_written == row.n_read > 0
-    assert row.sink in ("jdbc", "parquet_fallback")
+    assert row.sink in ("jdbc", "jdbc_derby_embedded", "parquet_fallback")
 
 
 def test_rows_only_set_is_pinned(spark):
