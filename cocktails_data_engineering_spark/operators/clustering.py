@@ -62,6 +62,43 @@ def _init_centroids(vecs: DataFrame) -> DataFrame:
     )
 
 
+TARGET_CELL = 500  # expected IVF cell / SemDeDup cluster size at any scale
+
+
+def dyn_k(n: int) -> int:
+    """K = max(K, ceil(n / TARGET_CELL)): cluster/cell count GROWS with
+    the corpus so per-cell cost stays constant (see SCALE.md; the same
+    rule as curation._sem_k)."""
+    import math
+
+    return max(K, math.ceil(n / TARGET_CELL))
+
+
+def _init_centroids_dyn(vecs: DataFrame, k_dyn: int) -> DataFrame:
+    """_init_centroids with a data-scaled K."""
+    seeds = (
+        vecs.select("vec_id", F.md5(F.col("vec_id").cast("string")).alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(k_dyn)
+        .select("vec_id")
+    )
+    return vecs.join(F.broadcast(seeds), "vec_id").select(
+        F.col("vec_id").alias("cid"), F.col("emb").alias("cemb")
+    )
+
+
+def _oracle_init_dyn(src: str = "vecs") -> str:
+    """K-independent oracle seed CTE: window rank vs GREATEST(K, ceil(n/cell))."""
+    return f"""init AS (
+  SELECT vec_id AS cid, emb AS cemb
+  FROM (SELECT vec_id, emb,
+               ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk,
+               COUNT(*) OVER () AS n
+        FROM {src})
+  WHERE rk <= GREATEST({K}, CEIL(n / {TARGET_CELL}.0))
+)"""
+
+
 def _assign(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
     """Nearest centroid per vector: (vec_id, emb, cid, d2)."""
     d2 = F.round(
@@ -196,11 +233,7 @@ def _ivf_oracle() -> str:
     in tests), not nondeterminism."""
     from .similarity import _ORACLE_VECS as SIM_VECS, QUERY_MOD, TOP_K
 
-    parts = [f"vecs AS ({SIM_VECS.strip()})",
-             f"""init AS (
-  SELECT vec_id AS cid, emb AS cemb
-  FROM vecs ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {K}
-)"""]
+    parts = [f"vecs AS ({SIM_VECS.strip()})", _oracle_init_dyn("vecs")]
     cent = "init"
     for r in range(2):
         parts.append(_oracle_round(cent, f"r{r}").strip())
@@ -268,7 +301,10 @@ def ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     NPROBE = 2
     vecs = _vectors(spark, sf_dir)
-    cents = _init_centroids(vecs).transform(materialize)
+    # cell count scales with the corpus (one O(1) driver scalar) so probe
+    # cost per query is ~NPROBE x TARGET_CELL regardless of N — without
+    # this the r6 scale stress measured 16x wall for 10x data
+    cents = _init_centroids_dyn(vecs, dyn_k(vecs.count())).transform(materialize)
     for _ in range(2):  # 2 Lloyd rounds build the codebook
         assigned = _assign(vecs, cents).transform(materialize)
         cents = _update(assigned).transform(materialize)

@@ -624,7 +624,11 @@ corpus AS (SELECT * FROM vecs WHERE vec_id % {BATCH_MOD} <> 0),
 batch AS (SELECT * FROM vecs WHERE vec_id % {BATCH_MOD} = 0),
 init AS (
   SELECT vec_id AS cid, emb AS cemb
-  FROM corpus ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_K}
+  FROM (SELECT vec_id, emb,
+               ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk,
+               COUNT(*) OVER () AS n
+        FROM corpus)
+  WHERE rk <= GREATEST({_K}, CEIL(n / {SEM_TARGET_CLUSTER}.0))
 ),
 {_oracle_round('init', 'r0', 'corpus').strip()},
 {_oracle_cent('r0_a', 'cent1', 'corpus').strip()},
@@ -677,7 +681,11 @@ def incremental_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cents1 is k×dim and feeds two assignments; ba feeds the probe join
     # AND the final report — materialize both so the corpus Lloyd chain
     # runs once
-    cents1 = materialize(_update(_assign(corpus, _init_centroids(corpus))))
+    # dynamic K from the CORPUS size (r6 scale stress: fixed K=4 made the
+    # probe join quadratic — 17x wall for 10x data)
+    cents1 = materialize(
+        _update(_assign(corpus, _init_centroids_dyn(corpus, _sem_k(corpus.count()))))
+    )
     ca = _assign(corpus, cents1).select("vec_id", "cid", "emb")
     ba = materialize(_assign(batch, cents1).select("vec_id", "cid", "emb"))
 

@@ -49,7 +49,12 @@ def _as_double(arr: Column) -> Column:
 
 
 def _dot(a: Column, b: Column) -> Column:
-    """Sequential-fold dot product of two double arrays (deterministic)."""
+    """Sequential-fold dot product of two double arrays (deterministic).
+
+    NOTE (r6): an unrolled 64-term element_at chain was tried and
+    REVERTED — the giant expression tree made codegen/compile time the
+    bottleneck (cosine_topk 0.75s -> 6s).  The higher-order fold is the
+    right Spark idiom here."""
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
 
@@ -276,22 +281,49 @@ def _band_table(vecs: DataFrame, dim: int = EMB_DIM) -> DataFrame:
     )
 
 
+# Hot-bucket control for the embedding LSH pair join — same device as
+# dedup.HOT_BUCKET_CAP: with only 2^BAND_BITS buckets per band, bucket
+# occupancy grows linearly with N and the bucket self-join quadratically
+# (measured 8x wall for 10x data, r6 scale stress).  Over-cap buckets
+# emit a STAR around the bucket's min vec_id — linear fan-out, identical
+# within-bucket connectivity.  Cap 128 leaves sf0.01 buckets (~12 avg)
+# untouched, so driver-scale results are unchanged.  Mirrored in the
+# oracle.  (The production-grade alternative — widening N_PLANES with N —
+# changes the literal hyperplane set and is documented in SCALE.md.)
+EMB_HOT_BUCKET_CAP = 128
+
+
 def lsh_candidate_pairs(vecs: DataFrame, dim: int = EMB_DIM) -> DataFrame:
-    """(vec_a < vec_b) candidate pairs sharing ≥1 sign-LSH band bucket.
+    """(vec_a < vec_b) candidate pairs sharing ≥1 sign-LSH band bucket,
+    with hot buckets (> EMB_HOT_BUCKET_CAP members) star-capped.
 
     The only shuffle is the equi-join on (band, band_val) — cost is
-    Σ bucket² per band, never N².  At 100 TB, N_PLANES/BAND_BITS widen
-    with corpus size (more planes → smaller buckets) without changing
-    the plan shape."""
+    Σ min(bucket², cap·bucket) per band, never N²."""
     bands = _band_table(vecs, dim)
-    a = bands.select(F.col("vec_id").alias("vec_a"), "band", "band_val")
-    b = bands.select(F.col("vec_id").alias("vec_b"), "band", "band_val")
-    return (
+    w = Window.partitionBy("band", "band_val")
+    sized = bands.select(
+        "vec_id",
+        "band",
+        "band_val",
+        F.count(F.lit(1)).over(w).alias("bucket_n"),
+        F.min("vec_id").over(w).alias("anchor"),
+    )
+    small = sized.filter(F.col("bucket_n") <= EMB_HOT_BUCKET_CAP)
+    a = small.select(F.col("vec_id").alias("vec_a"), "band", "band_val")
+    b = small.select(F.col("vec_id").alias("vec_b"), "band", "band_val")
+    pairs_small = (
         a.join(b, ["band", "band_val"])
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b")
-        .distinct()
     )
+    pairs_star = (
+        sized.filter(
+            (F.col("bucket_n") > EMB_HOT_BUCKET_CAP)
+            & (F.col("vec_id") != F.col("anchor"))
+        )
+        .select(F.col("anchor").alias("vec_a"), F.col("vec_id").alias("vec_b"))
+    )
+    return pairs_small.unionAll(pairs_star).distinct()
 
 
 def near_dup_pairs_lsh(vecs: DataFrame, tau: float, dim: int = EMB_DIM) -> DataFrame:
@@ -376,10 +408,23 @@ bands AS (
     oracle=f"""
 WITH vecs AS ({_ORACLE_VECS}),
 {_ORACLE_BANDS_CTES},
+sized AS (
+  SELECT vec_id, band, band_val,
+         COUNT(*) OVER (PARTITION BY band, band_val) AS bucket_n,
+         MIN(vec_id) OVER (PARTITION BY band, band_val) AS anchor
+  FROM bands
+),
 cand AS (
-  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-  FROM bands a
-  JOIN bands b ON a.band = b.band AND a.band_val = b.band_val AND a.vec_id < b.vec_id
+  SELECT DISTINCT vec_a, vec_b FROM (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM sized a
+    JOIN sized b ON a.band = b.band AND a.band_val = b.band_val
+               AND a.vec_id < b.vec_id
+    WHERE a.bucket_n <= {EMB_HOT_BUCKET_CAP}
+    UNION ALL
+    SELECT anchor AS vec_a, vec_id AS vec_b
+    FROM sized WHERE bucket_n > {EMB_HOT_BUCKET_CAP} AND vec_id <> anchor
+  ) u
 ),
 flat AS (
   SELECT c.vec_a, c.vec_b, va.norm AS na, vb.norm AS nb,

@@ -10,7 +10,8 @@ the corpus-shaped tables don't degenerate into 10 literal copies:
   shingles/minhashes differ across tiles — otherwise every doc would
   have K-1 exact near-duplicates and pair-emitting dedup queries would
   measure output explosion (a data property), not plan scaling.
-- embeddings get a small per-tile component offset for the same reason.
+- embeddings get a per-tile SIGNED COORDINATE PERMUTATION (orthogonal:
+  within-tile geometry exact, cross-tile cosines decorrelated).
 - events/orders/lineitem keep their timestamps/dates: K× the rows per
   window IS the scale-up being measured for windowed aggregation.
 
@@ -63,16 +64,35 @@ def main() -> None:
             "n_chars",
         ),
     )
-    tiles(
-        "embeddings",
-        lambda df, k: df.select(
+    def _emb_tile(df, k):
+        if k == 0:
+            return df
+        # tiles k>0 get a SIGNED COORDINATE PERMUTATION of the original
+        # vectors (an orthogonal transform): within-tile geometry — norms,
+        # distances, cluster structure — is preserved EXACTLY, while
+        # cross-tile cosines decorrelate.  (Tried and rejected: a uniform
+        # +offset keeps cosine ~1 across tiles → 9 artificial near-dups
+        # per vector; iid random vectors collapse k-means via distance
+        # concentration → one giant cell.  Both make scale measurements
+        # reflect fixture artifacts, not plan behavior.)
+        dim = 64
+        shift = (7 * k) % dim
+        perm = [(i + shift) % dim for i in range(dim)]
+        signs = [1.0 if (i * 31 + k * 17) % 2 == 0 else -1.0 for i in range(dim)]
+        return df.select(
             (F.col("vec_id") + k * BIG).alias("vec_id"),
-            F.transform("embedding", lambda x: x + F.lit(float(k) * 0.003)).alias(
-                "embedding"
-            ),
+            F.array(
+                *[
+                    (F.element_at("embedding", perm[i] + 1) * F.lit(signs[i])).cast(
+                        "float"
+                    )
+                    for i in range(dim)
+                ]
+            ).alias("embedding"),
             "label",
-        ),
-    )
+        )
+
+    tiles("embeddings", _emb_tile)
     tiles(
         "events",
         lambda df, k: df.select(
