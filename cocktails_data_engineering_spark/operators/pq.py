@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..checkpointing import materialize
 from ..registry import register
 from ..sources.tables import load_spread
 
@@ -495,4 +496,149 @@ def quantization_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("mse"), 9).alias("max_mse"),
         )
         .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF + PQ (IVFADC) — the production ANN composition (FAISS IVFPQ shape)
+# ---------------------------------------------------------------------------
+IVFADC_NPROBE = 2
+
+
+def _ivfadc_oracle() -> str:
+    from .clustering import _oracle_cent, _oracle_init_dyn, _oracle_round
+
+    coarse = ",\n".join(
+        [
+            _oracle_init_dyn("vecs"),
+            _oracle_round("init", "r0").strip(),
+            _oracle_cent("r0_a", "cent1").strip(),
+            _oracle_round("cent1", "L").strip(),
+        ]
+    )
+    return f"""
+WITH {_ORACLE_ENCODE},
+{coarse},
+qp_flat AS (
+  SELECT v.vec_id, c.cid, unnest(v.emb) AS vx, unnest(c.cemb) AS cx
+  FROM vecs v, cent1 c WHERE v.vec_id % {QUERY_MOD} = 0
+),
+qp_d AS (
+  SELECT vec_id, cid, ROUND(SUM((vx - cx) * (vx - cx)), 6) AS d2
+  FROM qp_flat GROUP BY vec_id, cid
+),
+qp_a AS (
+  SELECT vec_id, cid
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+        FROM qp_d) t
+  WHERE rk <= {IVFADC_NPROBE}
+),
+cand AS (
+  SELECT DISTINCT p.vec_id AS query_id, l.vec_id
+  FROM qp_a p JOIN L_a l ON l.cid = p.cid
+  WHERE l.vec_id <> p.vec_id
+),
+q AS (SELECT vec_id AS query_id, emb FROM vecs WHERE vec_id % {QUERY_MOD} = 0),
+qsubs AS (
+  SELECT query_id, m,
+         list_slice(emb, m * {SUB_DIM} + 1, m * {SUB_DIM} + {SUB_DIM}) AS s_emb
+  FROM q, (SELECT unnest(range({M})) AS m)
+),
+lutflat AS (
+  SELECT qs.query_id, qs.m, c.code, unnest(qs.s_emb) AS sx, unnest(c.c_emb) AS cx
+  FROM qsubs qs JOIN cb c USING (m)
+),
+lut AS (
+  SELECT query_id, m, code, ROUND(SUM((sx - cx) * (sx - cx)), 6) AS d2
+  FROM lutflat GROUP BY query_id, m, code
+),
+scored AS (
+  SELECT cd.query_id, cd.vec_id,
+         CAST(SUM(CAST(l.d2 AS DECIMAL(18,6))) AS DOUBLE) AS adc_d2
+  FROM cand cd
+  JOIN best b ON b.vec_id = cd.vec_id
+  JOIN lut l ON l.query_id = cd.query_id AND l.m = b.m AND l.code = b.code
+  GROUP BY cd.query_id, cd.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, adc_d2,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY adc_d2, vec_id) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, adc_d2, rank FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+@register("ivfadc_topk", oracle=_ivfadc_oracle())
+def ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ — the PRODUCTION ANN composition (the FAISS IVFPQ shape,
+    minus residual encoding, documented below): a dynamic-K coarse
+    quantizer (cells ∝ N/500, one Lloyd round) restricts each query to
+    its {IVFADC_NPROBE} nearest inverted lists, and candidates are
+    scored by PQ asymmetric distance (sums of LUT lookups over their
+    codes) — raw vectors are touched only at encode time.
+
+    This closes the scale gap of the two standalone pieces:
+    pq_adc_topk's exhaustive ADC scan is O(Q·N) (kept as the audit
+    baseline), ivf_cosine_topk verifies with exact cosine on raw
+    vectors.  Here probe cost per query is ~{IVFADC_NPROBE}·500 CODES
+    (bytes, not vectors), the shape that serves billion-vector search.
+    Production IVFPQ encodes RESIDUALS (v − centroid) for tighter
+    quantization; codes here are over raw vectors so the one codebook
+    is shared with pq_encode_embeddings — the documented simplification.
+
+    Plan at 100 TB: centroids + LUT broadcast (both metadata-sized);
+    lists partition by cell id; the candidate join is equi on cell id,
+    the scoring join equi on (query, m, code) — no N² anywhere."""
+    from .clustering import _assign, _init_centroids_dyn, _update, dyn_k
+
+    vecs = _vectors(spark, sf_dir)
+    vecs = materialize(vecs)
+    cents1 = materialize(
+        _update(_assign(vecs, _init_centroids_dyn(vecs, dyn_k(vecs.count()))))
+    )
+    lists = _assign(vecs, cents1).select("vec_id", F.col("cid").alias("list_id"))
+
+    cb = codebook(vecs)
+    codes = encode(vecs, cb).select("vec_id", "m", "code")
+
+    queries = vecs.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "emb"
+    )
+    # nprobe nearest cells per query (same metric as list assignment)
+    qd = (
+        queries.select(F.col("query_id").alias("vec_id"), "emb")
+        .crossJoin(F.broadcast(cents1))
+        .select("vec_id", "cid", _d2("emb", "cemb").alias("d2"))
+    )
+    wq = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    probes = (
+        qd.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= IVFADC_NPROBE)
+        .select(F.col("vec_id").alias("query_id"), F.col("cid").alias("list_id"))
+    )
+    cand = (
+        probes.join(lists, "list_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+
+    lut = (
+        _subspaces(queries, "emb")
+        .join(F.broadcast(cb), "m")
+        .select("query_id", "m", "code", _d2("s_emb", "c_emb").alias("d2"))
+    )
+    scored = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(lut), ["query_id", "m", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum(F.col("d2").cast(_DEC)).cast("double").alias("adc_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_d2", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", "adc_d2", "rank")
     )

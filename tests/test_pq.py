@@ -94,3 +94,24 @@ def test_adc_recall_vs_exact(spark, sf_dir):
     mean_recall = sum(recalls) / len(recalls)
     # untrained 16-code codebook: modest but far above the chance floor
     assert mean_recall >= 0.2, f"mean recall@{pq.TOP_K} {mean_recall:.2f} too low"
+
+
+def test_ivfadc_recall_vs_exhaustive_adc(spark, sf_dir):
+    """IVFADC restricts the exhaustive ADC scan to nprobe inverted
+    lists; under the SAME distance (ADC over codes) its top-k must
+    recover a solid share of the exhaustive scan's top-k — this isolates
+    the coarse quantizer's candidate recall from PQ quantization error
+    (which test_adc_recall_vs_exact already audits)."""
+    full = pq.pq_adc_topk(spark, sf_dir).collect()
+    ivf = pq.ivfadc_topk(spark, sf_dir).collect()
+    full_by_q, ivf_by_q = {}, {}
+    for r in full:
+        full_by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in ivf:
+        ivf_by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+    assert set(ivf_by_q) == set(full_by_q)  # every query answered
+    recalls = [
+        len(ivf_by_q[q] & full_by_q[q]) / len(full_by_q[q]) for q in full_by_q
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.5, mean_recall  # nprobe=2 of a dynamic-K index
