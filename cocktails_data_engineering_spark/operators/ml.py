@@ -481,7 +481,7 @@ LOGIT_LR = 1.0  # learning rate (literal, engine-exact)
 PRICE_SCALE = 100_000  # o_totalprice / 100k keeps z in a well-behaved range
 
 
-def _logit_oracle() -> str:
+def _logit_cte_parts() -> list[str]:
     # Discipline for the one transcendental (exp): z rounds to 3 decimals
     # BEFORE the sigmoid, p rounds to 6 after — a 1-ulp libm-vs-JVM exp
     # difference on the same z survives the 6dp round only at a
@@ -517,6 +517,12 @@ w{r} AS (
   FROM {prev} w CROSS JOIN g{r} g CROSS JOIN n
 )""")
         prev = f"w{r}"
+    return parts
+
+
+def _logit_oracle() -> str:
+    parts = _logit_cte_parts()
+    prev = f"w{LOGIT_ROUNDS}"
     acc = f"""acc AS (
   SELECT CAST(SUM(CASE WHEN (CASE WHEN ROUND(1.0 / (1.0 + exp(-ROUND(w.w0 * x0 + w.w1 * x1 + w.w2 * x2, 3))), 6) >= 0.5
                                   THEN 1.0 ELSE 0.0 END) = y THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
@@ -538,6 +544,56 @@ FROM w{LOGIT_ROUNDS} w CROSS JOIN acc a)"""
     )
 
 
+def _logit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return orders.select(
+        F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0).alias("y"),
+        F.lit(1.0).alias("x0"),
+        F.round(F.col("o_totalprice") / float(PRICE_SCALE), 6).alias("x1"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1.0
+        ).otherwise(0.0).alias("x2"),
+    )
+
+
+def train_logistic(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    """The {LOGIT_ROUNDS}-round GD loop, returning the per-round rounded
+    weights (last entry = final model) — shared by logistic_regression_gd
+    and the streaming scorer so the two can never drift."""
+    f = materialize(_logit_features(spark, sf_dir))
+    n_rows = f.count()
+    w = [0.0, 0.0, 0.0]
+    history = []
+    for _ in range(LOGIT_ROUNDS):
+        z = F.round(
+            F.lit(w[0]) * F.col("x0")
+            + F.lit(w[1]) * F.col("x1")
+            + F.lit(w[2]) * F.col("x2"),
+            3,
+        )
+        p = F.round(1.0 / (1.0 + F.exp(-z)), 6)
+        g = f.select(
+            *[
+                F.round((p - F.col("y")) * F.col(f"x{j}"), 6).alias(f"t{j}")
+                for j in range(3)
+            ]
+        ).agg(*[dsum(F.col(f"t{j}")).alias(f"g{j}") for j in range(3)]).collect()[0]
+        w = list(
+            spark.range(1)
+            .select(
+                *[
+                    F.round(F.lit(w[j] - LOGIT_LR * g[f"g{j}"] / n_rows), 6).alias(
+                        f"w{j}"
+                    )
+                    for j in range(3)
+                ]
+            )
+            .collect()[0]
+        )
+        history.append(list(w))
+    return history
+
+
 @register("logistic_regression_gd", oracle=_logit_oracle())
 def logistic_regression_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Logistic regression trained IN the engine: {LOGIT_ROUNDS} unrolled
@@ -557,49 +613,12 @@ def logistic_regression_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
     the feature scan (3 decimal sums), no shuffle of the data, weights
     broadcast as literals — exactly how distributed full-batch GD/L-BFGS
     outer loops are built."""
-    orders = load(spark, sf_dir, "orders")
-    f = orders.select(
-        F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0).alias("y"),
-        F.lit(1.0).alias("x0"),
-        F.round(F.col("o_totalprice") / float(PRICE_SCALE), 6).alias("x1"),
-        F.when(
-            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1.0
-        ).otherwise(0.0).alias("x2"),
-    )
-    f = materialize(f)
-    n_rows = f.count()
-    w = [0.0, 0.0, 0.0]
-    out = []
-    for r in range(1, LOGIT_ROUNDS + 1):
-        z = F.round(
-            F.lit(w[0]) * F.col("x0")
-            + F.lit(w[1]) * F.col("x1")
-            + F.lit(w[2]) * F.col("x2"),
-            3,
-        )
-        p = F.round(1.0 / (1.0 + F.exp(-z)), 6)
-        g = f.select(
-            *[
-                F.round((p - F.col("y")) * F.col(f"x{j}"), 6).alias(f"t{j}")
-                for j in range(3)
-            ]
-        ).agg(*[dsum(F.col(f"t{j}")).alias(f"g{j}") for j in range(3)]).collect()[0]
-        # round IN Spark (not Python round, whose half-even rule is a third
-        # rounding implementation): one 1-row job, engine-consistent with
-        # the oracle's ROUND
-        w = list(
-            spark.range(1)
-            .select(
-                *[
-                    F.round(F.lit(w[j] - LOGIT_LR * g[f"g{j}"] / n_rows), 6).alias(
-                        f"w{j}"
-                    )
-                    for j in range(3)
-                ]
-            )
-            .collect()[0]
-        )
-        out.append((r, w[0], w[1], w[2], None, None))
+    history = train_logistic(spark, sf_dir)
+    f = materialize(_logit_features(spark, sf_dir))
+    out = [
+        (r + 1, w[0], w[1], w[2], None, None) for r, w in enumerate(history)
+    ]
+    w = history[-1]
     z = F.round(
         F.lit(w[0]) * F.col("x0")
         + F.lit(w[1]) * F.col("x1")

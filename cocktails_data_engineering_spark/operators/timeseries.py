@@ -974,3 +974,79 @@ def cusum_hourly_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(valid, F.round(z, 6)).otherwise(F.lit(0.0)).alias("cusum_z"),
         F.when(valid & (z >= 5.0), 1).otherwise(0).cast("int").alias("is_shift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast backtest (the ops-forecasting baseline)
+# ---------------------------------------------------------------------------
+SEASON_DAYS = 7
+
+
+@register(
+    "seasonal_naive_forecast_error",
+    oracle=f"""
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS d, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+joined AS (
+  SELECT a.event_type,
+         a.n AS actual, b.n AS fcst,
+         ABS(a.n - b.n) AS abs_err,
+         ROUND(CAST(ABS(a.n - b.n) AS DOUBLE) / a.n, 6) AS ape
+  FROM daily a
+  JOIN daily b ON b.event_type = a.event_type
+              AND b.d = a.d - INTERVAL {SEASON_DAYS} DAY
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_days_scored,
+       ROUND(CAST(SUM(abs_err) AS DOUBLE) / COUNT(*), 6) AS mae,
+       ROUND(CAST(SUM(CAST(ape AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mape,
+       ROUND(CAST(SUM(actual - fcst) AS DOUBLE) / COUNT(*), 6) AS bias
+FROM joined GROUP BY event_type
+""",
+)
+def seasonal_naive_forecast_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the seasonal-naive forecast (predict each day's event
+    count with the count {SEASON_DAYS} days earlier) per event type:
+    MAE, MAPE, and signed bias over every day with a same-weekday
+    ancestor — the baseline every capacity/traffic forecasting system
+    must beat, and the standing data-quality monitor for weekly
+    seasonality drift.
+
+    Exactness: counts are integers (MAE/bias sums exact); the one
+    per-row ratio (APE) rounds to 6 before DECIMAL accumulation.
+
+    Plan at 100 TB: one map-side-combinable daily rollup (metadata-sized
+    result), a self-join of that tiny table on (type, day-{SEASON_DAYS})
+    — the fact table is scanned once and never reshuffled."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("d"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    b = daily.select(
+        F.col("event_type").alias("b_type"),
+        F.col("d").alias("b_d"),
+        F.col("n").alias("fcst"),
+    )
+    joined = daily.join(
+        b,
+        (F.col("event_type") == F.col("b_type"))
+        & (F.col("b_d") == F.col("d") - F.expr(f"INTERVAL {SEASON_DAYS} DAY")),
+    ).select(
+        "event_type",
+        F.col("n").alias("actual"),
+        "fcst",
+        F.abs(F.col("n") - F.col("fcst")).alias("abs_err"),
+        F.round(F.abs(F.col("n") - F.col("fcst")).cast("double") / F.col("n"), 6).alias(
+            "ape"
+        ),
+    )
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days_scored"),
+        F.round(F.sum("abs_err").cast("double") / F.count(F.lit(1)), 6).alias("mae"),
+        F.round(dsum(F.col("ape")) / F.count(F.lit(1)), 6).alias("mape"),
+        F.round(
+            F.sum(F.col("actual") - F.col("fcst")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("bias"),
+    )

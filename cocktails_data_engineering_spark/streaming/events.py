@@ -1194,3 +1194,69 @@ def stream_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_unique_kept")
     )
     return _run_to_memory(plan, "complete")
+
+
+# ---------------------------------------------------------------------------
+# Train-batch / score-stream: logistic model applied on ingest
+# ---------------------------------------------------------------------------
+def _stream_scoring_oracle() -> str:
+    from ..operators.ml import LOGIT_ROUNDS, PRICE_SCALE, _logit_cte_parts
+
+    parts = ",\n".join(_logit_cte_parts())
+    return f"""
+WITH {parts},
+scored AS (
+  SELECT o_orderpriority AS priority,
+         ROUND(1.0 / (1.0 + exp(-ROUND(
+           w.w0 * 1.0
+           + w.w1 * ROUND(o_totalprice / {PRICE_SCALE}.0, 6)
+           + w.w2 * (CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                          THEN 1.0 ELSE 0.0 END), 3))), 6) AS p
+  FROM orders CROSS JOIN w{LOGIT_ROUNDS} w
+)
+SELECT priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN p >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_final,
+       ROUND(CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean_p
+FROM scored GROUP BY priority
+"""
+
+
+@register("stream_model_scoring", oracle=_stream_scoring_oracle())
+def stream_model_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-batch / score-stream: the logistic model trained in the
+    warehouse (ml.train_logistic — the same weights
+    logistic_regression_gd reports) scores every arriving order
+    map-side, with per-priority counts and mean score — the online
+    model-serving pattern where the FEATURE ENGINEERING AND SCORING
+    expression is shared verbatim between the batch trainer and the
+    stream, so training/serving skew is structurally impossible.
+
+    Plan at 100 TB: weights are three literals baked into the stream's
+    projection (no join at all); the only state is the per-priority
+    aggregate.  Retraining swaps literals at deploy time — the stream
+    plan shape never changes."""
+    from ..operators.ml import PRICE_SCALE, train_logistic
+
+    w = train_logistic(spark, sf_dir)[-1]
+    stream = _read_table_stream(spark, sf_dir, "orders")
+    z = F.round(
+        F.lit(w[0]) * F.lit(1.0)
+        + F.lit(w[1]) * F.round(F.col("o_totalprice") / float(PRICE_SCALE), 6)
+        + F.lit(w[2])
+        * F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1.0).otherwise(0.0),
+        3,
+    )
+    p = F.round(1.0 / (1.0 + F.exp(-z)), 6)
+    plan = (
+        stream.select(F.col("o_orderpriority").alias("priority"), p.alias("p"))
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.when(F.col("p") >= 0.5, 1).otherwise(0)).cast("bigint").alias(
+                "n_pred_final"
+            ),
+            F.round(dsum(F.col("p")) / F.count(F.lit(1)), 6).alias("mean_p"),
+        )
+    )
+    return _run_to_memory(plan, "complete")
