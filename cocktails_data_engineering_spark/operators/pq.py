@@ -153,6 +153,65 @@ def encode(vecs: DataFrame, cb: DataFrame) -> DataFrame:
 
 # DuckDB twin: seed codebook → one Lloyd refinement per subspace →
 # argmin encode against the refined codebook.
+def _oracle_encode_chain(src: str = "vecs", p: str = "") -> str:
+    """The seed->refine->encode CTE chain over source CTE ``src`` with
+    CTE-name prefix ``p`` (so a residual instance can coexist with the
+    raw-vector instance in one query).  Emits CTEs {p}seeds {p}cb0
+    {p}subs {p}flat0 {p}dists0 {p}best0 {p}cent_dim {p}cb {p}flat
+    {p}dists {p}best."""
+    return f"""{p}seeds AS (
+  SELECT vec_id, emb,
+         CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+              AS INT) AS code
+  FROM {src} ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {K}
+),
+{p}cb0 AS (
+  SELECT m, code, list_slice(emb, m * {SUB_DIM} + 1, m * {SUB_DIM} + {SUB_DIM}) AS c_emb
+  FROM {p}seeds, (SELECT unnest(range({M})) AS m)
+),
+{p}subs AS (
+  SELECT vec_id, m, list_slice(emb, m * {SUB_DIM} + 1, m * {SUB_DIM} + {SUB_DIM}) AS s_emb
+  FROM {src}, (SELECT unnest(range({M})) AS m)
+),
+{p}flat0 AS (
+  SELECT s.vec_id, s.m, c.code, unnest(s.s_emb) AS sx, unnest(c.c_emb) AS cx
+  FROM {p}subs s JOIN {p}cb0 c USING (m)
+),
+{p}dists0 AS (
+  SELECT vec_id, m, code, ROUND(SUM((sx - cx) * (sx - cx)), 6) AS d2
+  FROM {p}flat0 GROUP BY vec_id, m, code
+),
+{p}best0 AS (
+  SELECT vec_id, m, code
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, code) AS rk
+        FROM {p}dists0) t
+  WHERE rk = 1
+),
+{p}cent_dim AS (
+  SELECT b.m, b.code, i,
+         ROUND(CAST(SUM(CAST(s.s_emb[i] AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*), 6) AS c
+  FROM {p}best0 b
+  JOIN {p}subs s ON s.vec_id = b.vec_id AND s.m = b.m
+  CROSS JOIN generate_series(1, {SUB_DIM}) t(i)
+  GROUP BY b.m, b.code, i
+),
+{p}cb AS (SELECT m, code, list(c ORDER BY i) AS c_emb FROM {p}cent_dim GROUP BY m, code),
+{p}flat AS (
+  SELECT s.vec_id, s.m, c.code, unnest(s.s_emb) AS sx, unnest(c.c_emb) AS cx
+  FROM {p}subs s JOIN {p}cb c USING (m)
+),
+{p}dists AS (
+  SELECT vec_id, m, code, ROUND(SUM((sx - cx) * (sx - cx)), 6) AS d2
+  FROM {p}flat GROUP BY vec_id, m, code
+),
+{p}best AS (
+  SELECT vec_id, m, code, d2
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, code) AS rk
+        FROM {p}dists) t
+  WHERE rk = 1
+)"""
+
+
 _ORACLE_ENCODE = f"""
 vecs AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
@@ -633,6 +692,163 @@ def ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         cand.join(codes, "vec_id")
         .join(F.broadcast(lut), ["query_id", "m", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum(F.col("d2").cast(_DEC)).cast("double").alias("adc_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_d2", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", "adc_d2", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Residual IVFPQ — full FAISS fidelity: PQ over (v − coarse centroid)
+# ---------------------------------------------------------------------------
+def _ivfpq_residual_oracle() -> str:
+    from .clustering import _oracle_cent, _oracle_init_dyn, _oracle_round
+
+    coarse = ",\n".join(
+        [
+            _oracle_init_dyn("vecs"),
+            _oracle_round("init", "r0").strip(),
+            _oracle_cent("r0_a", "cent1").strip(),
+            _oracle_round("cent1", "L").strip(),
+        ]
+    )
+    return f"""
+WITH vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+{coarse},
+rvecs AS (
+  SELECT l.vec_id, list(v.emb[i] - c.cemb[i] ORDER BY i) AS emb
+  FROM L_a l JOIN vecs v USING (vec_id) JOIN cent1 c ON c.cid = l.cid
+  CROSS JOIN generate_series(1, {M * SUB_DIM}) t(i)
+  GROUP BY l.vec_id
+),
+{_oracle_encode_chain("rvecs", "r_")},
+qp_flat AS (
+  SELECT v.vec_id, c.cid, unnest(v.emb) AS vx, unnest(c.cemb) AS cx
+  FROM vecs v, cent1 c WHERE v.vec_id % {QUERY_MOD} = 0
+),
+qp_d AS (
+  SELECT vec_id, cid, ROUND(SUM((vx - cx) * (vx - cx)), 6) AS d2
+  FROM qp_flat GROUP BY vec_id, cid
+),
+qp_a AS (
+  SELECT vec_id, cid
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+        FROM qp_d) t
+  WHERE rk <= {IVFADC_NPROBE}
+),
+qres AS (
+  SELECT p.vec_id AS query_id, p.cid,
+         list(v.emb[i] - c.cemb[i] ORDER BY i) AS emb
+  FROM qp_a p JOIN vecs v USING (vec_id) JOIN cent1 c ON c.cid = p.cid
+  CROSS JOIN generate_series(1, {M * SUB_DIM}) t(i)
+  GROUP BY p.vec_id, p.cid
+),
+qrsubs AS (
+  SELECT query_id, cid, m,
+         list_slice(emb, m * {SUB_DIM} + 1, m * {SUB_DIM} + {SUB_DIM}) AS s_emb
+  FROM qres, (SELECT unnest(range({M})) AS m)
+),
+rlut_flat AS (
+  SELECT qs.query_id, qs.cid, qs.m, c.code,
+         unnest(qs.s_emb) AS sx, unnest(c.c_emb) AS cx
+  FROM qrsubs qs JOIN r_cb c USING (m)
+),
+rlut AS (
+  SELECT query_id, cid, m, code, ROUND(SUM((sx - cx) * (sx - cx)), 6) AS d2
+  FROM rlut_flat GROUP BY query_id, cid, m, code
+),
+cand AS (
+  SELECT DISTINCT p.vec_id AS query_id, l.cid, l.vec_id
+  FROM qp_a p JOIN L_a l ON l.cid = p.cid
+  WHERE l.vec_id <> p.vec_id
+),
+scored AS (
+  SELECT cd.query_id, cd.vec_id,
+         CAST(SUM(CAST(l.d2 AS DECIMAL(18,6))) AS DOUBLE) AS adc_d2
+  FROM cand cd
+  JOIN r_best b ON b.vec_id = cd.vec_id
+  JOIN rlut l ON l.query_id = cd.query_id AND l.cid = cd.cid
+             AND l.m = b.m AND l.code = b.code
+  GROUP BY cd.query_id, cd.vec_id
+),
+ranked AS (
+  SELECT query_id, vec_id, adc_d2,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY adc_d2, vec_id) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, adc_d2, rank FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+@register("ivfpq_residual_topk", oracle=_ivfpq_residual_oracle())
+def ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVFPQ — the full FAISS-fidelity index: PQ codes are
+    trained and assigned over RESIDUALS (v − coarse centroid of v's
+    list), which quantize far tighter than raw vectors because residual
+    magnitudes are bounded by cell radius; each query builds a LUT PER
+    PROBED CELL from its residual against that cell's centroid.
+    ivfadc_topk is the shared-codebook simplification; this one closes
+    it.
+
+    Plan at 100 TB: residuals are a map-side zip_with; the residual
+    codebook and the Q×nprobe×{M}×{K} LUT broadcast; the scoring join is
+    equi on (query, cell, m, code) — candidates never touch raw
+    vectors."""
+    from .clustering import _assign, _init_centroids_dyn, _update, dyn_k
+
+    vecs = materialize(_vectors(spark, sf_dir))
+    cents1 = materialize(
+        _update(_assign(vecs, _init_centroids_dyn(vecs, dyn_k(vecs.count()))))
+    )
+    lists = _assign(vecs, cents1).select("vec_id", "cid")
+    resid = F.zip_with("emb", "cemb", lambda x, y: x - y)
+    rvecs = materialize(
+        lists.join(vecs, "vec_id")
+        .join(F.broadcast(cents1), "cid")
+        .select("vec_id", resid.alias("emb"))
+    )
+    cb_r = codebook(rvecs)
+    codes_r = encode(rvecs, cb_r).select("vec_id", "m", "code")
+
+    qv = vecs.filter(F.col("vec_id") % QUERY_MOD == 0)
+    qd = (
+        qv.crossJoin(F.broadcast(cents1))
+        .select("vec_id", "cid", _d2("emb", "cemb").alias("d2"), "emb", "cemb")
+    )
+    wq = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    probes = (
+        qd.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= IVFADC_NPROBE)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "cid",
+            resid.alias("emb"),
+        )
+    )
+    rlut = (
+        _subspaces(probes, "emb")
+        .join(F.broadcast(cb_r), "m")
+        .select("query_id", "cid", "m", "code", _d2("s_emb", "c_emb").alias("d2"))
+    )
+    cand = (
+        probes.select("query_id", "cid")
+        .join(lists, "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "cid", "vec_id")
+        .distinct()
+    )
+    scored = (
+        cand.join(codes_r, "vec_id")
+        .join(F.broadcast(rlut), ["query_id", "cid", "m", "code"])
         .groupBy("query_id", "vec_id")
         .agg(F.sum(F.col("d2").cast(_DEC)).cast("double").alias("adc_d2"))
     )

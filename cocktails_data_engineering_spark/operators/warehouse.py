@@ -1040,3 +1040,117 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_rows_suppressed"),
         F.min("l_div").alias("l_div_min"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Optimizer statistics: join-cardinality estimation audit
+# ---------------------------------------------------------------------------
+JCE_SAMPLE_DEN = 8  # universe key-sample rate 1/8 (md5-bucket of the key)
+JCE_HIST_BUCKETS = 64  # equi-width key histogram buckets
+
+
+@register(
+    "join_cardinality_estimates",
+    oracle=f"""
+WITH exact AS (
+  SELECT COUNT(*) AS n
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+),
+samp AS (
+  -- UNIVERSE sampling: sample KEYS (same hash both sides), so every
+  -- joined pair of a sampled key survives; estimate = n / rate
+  SELECT COUNT(*) AS n
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE CAST(('0x' || substr(md5('jce|' || CAST(o.o_custkey AS VARCHAR)), 1, 8))
+             AS BIGINT) % {JCE_SAMPLE_DEN} = 0
+),
+ha AS (
+  SELECT o_custkey % {JCE_HIST_BUCKETS} AS b,
+         COUNT(*) AS na, COUNT(DISTINCT o_custkey) AS va
+  FROM orders GROUP BY 1
+),
+hb AS (
+  SELECT c_custkey % {JCE_HIST_BUCKETS} AS b,
+         COUNT(*) AS nb, COUNT(DISTINCT c_custkey) AS vb
+  FROM customer GROUP BY 1
+),
+hist AS (
+  SELECT CAST(FLOOR(SUM(CAST(na AS DOUBLE) * nb / GREATEST(va, vb))) AS BIGINT) AS est
+  FROM ha JOIN hb USING (b)
+)
+SELECT exact.n AS exact_rows,
+       CAST(samp.n * {JCE_SAMPLE_DEN} AS BIGINT) AS est_sample,
+       hist.est AS est_hist,
+       ROUND(ABS(CAST(samp.n * {JCE_SAMPLE_DEN} AS DOUBLE) - exact.n) / exact.n, 6)
+         AS err_sample,
+       ROUND(ABS(CAST(hist.est AS DOUBLE) - exact.n) / exact.n, 6) AS err_hist
+FROM exact CROSS JOIN samp CROSS JOIN hist
+""",
+)
+def join_cardinality_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation audit — the statistic a cost-based
+    optimizer lives or dies on, computed three ways over the
+    orders⋈customer key: EXACT (ground truth), UNIVERSE KEY-SAMPLING
+    (sample keys by md5 at rate 1/{JCE_SAMPLE_DEN} on BOTH sides — all
+    pairs of a sampled key survive, so estimate = count/rate; the
+    correlated-sampling trick plain row-sampling gets wrong), and a
+    per-bucket SYSTEM-R HISTOGRAM refinement
+    (Σ_b n_a·n_b / max(v_a, v_b)).  Emits both estimates and their
+    relative errors — the audit a warehouse runs when deciding whether
+    its statistics are stale.
+
+    Plan at 100 TB: the sample estimate joins 1/{JCE_SAMPLE_DEN} of the
+    keys (filter pushed to both scans); histograms are metadata-sized
+    map-side aggregates; nothing quadratic anywhere."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    exact = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    keyhash = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("jce|"), F.col("o_custkey").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % JCE_SAMPLE_DEN
+    )
+    samp = (
+        orders.filter(keyhash == 0)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ha = orders.groupBy((F.col("o_custkey") % JCE_HIST_BUCKETS).alias("b")).agg(
+        F.count(F.lit(1)).alias("na"), F.countDistinct("o_custkey").alias("va")
+    )
+    hb = cust.groupBy((F.col("c_custkey") % JCE_HIST_BUCKETS).alias("b")).agg(
+        F.count(F.lit(1)).alias("nb"), F.countDistinct("c_custkey").alias("vb")
+    )
+    hist = ha.join(hb, "b").agg(
+        F.floor(
+            F.sum(F.col("na").cast("double") * F.col("nb") / F.greatest("va", "vb"))
+        ).cast("bigint").alias("est")
+    )
+    ex = exact.select(F.col("n").alias("exact_rows"))
+    sp = samp.select((F.col("n") * JCE_SAMPLE_DEN).cast("bigint").alias("est_sample"))
+    hs = hist.select(F.col("est").alias("est_hist"))
+    return (
+        ex.crossJoin(sp)
+        .crossJoin(hs)
+        .select(
+            "exact_rows",
+            "est_sample",
+            "est_hist",
+            F.round(
+                F.abs(F.col("est_sample").cast("double") - F.col("exact_rows"))
+                / F.col("exact_rows"),
+                6,
+            ).alias("err_sample"),
+            F.round(
+                F.abs(F.col("est_hist").cast("double") - F.col("exact_rows"))
+                / F.col("exact_rows"),
+                6,
+            ).alias("err_hist"),
+        )
+    )

@@ -115,3 +115,32 @@ def test_ivfadc_recall_vs_exhaustive_adc(spark, sf_dir):
     ]
     mean_recall = sum(recalls) / len(recalls)
     assert mean_recall >= 0.5, mean_recall  # nprobe=2 of a dynamic-K index
+
+
+def test_residual_quantization_beats_raw(spark, sf_dir):
+    """The reason residual encoding exists: residuals (v - coarse
+    centroid) have magnitudes bounded by cell radius, so the same
+    {M}x{K} codebook quantizes them with LESS total reconstruction error
+    than raw vectors."""
+    from cocktails_data_engineering_spark.operators.clustering import (
+        _assign,
+        _init_centroids_dyn,
+        _update,
+        dyn_k,
+    )
+
+    vecs = pq._vectors(spark, sf_dir)
+    raw_err = (
+        pq.encode(vecs, pq.codebook(vecs)).agg(F.sum("d2").alias("e")).collect()[0]["e"]
+    )
+    cents1 = _update(_assign(vecs, _init_centroids_dyn(vecs, dyn_k(vecs.count()))))
+    lists = _assign(vecs, cents1).select("vec_id", "cid")
+    rvecs = (
+        lists.join(vecs, "vec_id")
+        .join(F.broadcast(cents1), "cid")
+        .select("vec_id", F.zip_with("emb", "cemb", lambda x, y: x - y).alias("emb"))
+    )
+    res_err = (
+        pq.encode(rvecs, pq.codebook(rvecs)).agg(F.sum("d2").alias("e")).collect()[0]["e"]
+    )
+    assert res_err < raw_err, (res_err, raw_err)
