@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..checkpointing import materialize
+from ..functions.numerics import dsum
 from ..registry import register
 from ..sources.tables import load_spread
 
@@ -677,4 +678,152 @@ def matryoshka_truncation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("retained"), 6).alias("min_retained"),
         )
         .orderBy("label", "dim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random-projection distortion audit
+# ---------------------------------------------------------------------------
+JL_OUT_DIM = 16  # project 64 -> 16; scale 1/sqrt(16) = 0.25 (exact binary)
+JL_QUERY_MOD = 25  # vec_id % 25 == 0 -> sampled left side of each pair
+
+
+def _jl_sign_planes() -> list[list[float]]:
+    """±1 projection rows derived from md5("jl|j|i") — the sign of the
+    same exact-binary [-1, 1) derivation the LSH hyperplanes use, so
+    Python/Spark/DuckDB agree bit-for-bit."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"jl|{j}|{i}".encode()).hexdigest()[:4], 16) / 32768.0
+            - 1.0
+            >= 0
+            else -1.0
+            for i in range(EMB_DIM)
+        ]
+        for j in range(JL_OUT_DIM)
+    ]
+
+
+def _jl_proj_col() -> Column:
+    """All {JL_OUT_DIM} projection components as one array column: per
+    output dim a sequential zip_with/aggregate fold against a ±1 literal
+    row, rounded to 6 then scaled by the exact 0.25 — pure map-side
+    Catalyst, whole-stage codegen, no shuffle."""
+    comps = []
+    for row in _jl_sign_planes():
+        arr = ",".join(f"CAST({v!r} AS DOUBLE)" for v in row)
+        comps.append(
+            f"round(aggregate(zip_with(emb, array({arr}),"
+            f" (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x), 6) * 0.25"
+        )
+    return F.expr("array(" + ", ".join(comps) + ")")
+
+
+_ORACLE_JL_MD5 = "md5('jl|' || CAST(js.range AS VARCHAR) || '|' || CAST(isq.range AS VARCHAR))"
+_ORACLE_JL_R = " + ".join(
+    f"(strpos('{_HEX}', substr({_ORACLE_JL_MD5}, {p + 1}, 1)) - 1) * {16 ** (3 - p)}"
+    for p in range(4)
+)
+
+
+@register(
+    "jl_projection_distortion",
+    oracle=f"""
+WITH vecs AS ({_ORACLE_VECS}),
+planes AS (
+  SELECT CAST(js.range AS INT) AS j, CAST(isq.range AS INT) AS i,
+         CASE WHEN ({_ORACLE_JL_R}) / 32768.0 - 1.0 >= 0 THEN 1.0 ELSE -1.0 END AS r
+  FROM range({JL_OUT_DIM}) js, range({EMB_DIM}) isq
+),
+proj AS (
+  SELECT v.vec_id, p.j, ROUND(SUM(v.emb[p.i + 1] * p.r), 6) * 0.25 AS pj
+  FROM vecs v CROSS JOIN planes p
+  GROUP BY v.vec_id, p.j
+),
+pairs AS (
+  SELECT q.vec_id AS qa, v.vec_id AS qb
+  FROM vecs q JOIN vecs v ON v.vec_id <> q.vec_id
+  WHERE q.vec_id % {JL_QUERY_MOD} = 0
+),
+od AS (
+  SELECT p.qa, p.qb, ROUND(SUM((xa - xb) * (xa - xb)), 6) AS do2
+  FROM (SELECT pr.qa, pr.qb, unnest(va.emb) AS xa, unnest(vb.emb) AS xb
+        FROM pairs pr
+        JOIN vecs va ON va.vec_id = pr.qa
+        JOIN vecs vb ON vb.vec_id = pr.qb) p
+  GROUP BY p.qa, p.qb
+),
+pd AS (
+  SELECT pr.qa, pr.qb, ROUND(SUM((a.pj - b.pj) * (a.pj - b.pj)), 6) AS dp2
+  FROM pairs pr
+  JOIN proj a ON a.vec_id = pr.qa
+  JOIN proj b ON b.vec_id = pr.qb AND b.j = a.j
+  GROUP BY pr.qa, pr.qb
+),
+ratios AS (
+  SELECT od.qa, od.qb, ROUND(pd.dp2 / od.do2, 6) AS ratio
+  FROM od JOIN pd ON pd.qa = od.qa AND pd.qb = od.qb
+)
+SELECT CAST(FLOOR(ratio * 10) AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(CAST(SUM(CAST(ratio AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+         AS mean_ratio,
+       MIN(ratio) AS min_ratio, MAX(ratio) AS max_ratio
+FROM ratios GROUP BY 1
+""",
+)
+def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss audit: project {EMB_DIM}-d embeddings to
+    {JL_OUT_DIM}-d with a deterministic ±1/sqrt({JL_OUT_DIM}) sign
+    matrix and histogram the squared-distance distortion ratio
+    d_proj²/d_orig² over sampled pairs — the measurement that tells you
+    whether a cheap projected index (or projected dedup prefilter) is
+    faithful enough before you pay for it at corpus scale.  The JL bound
+    says ratios concentrate near 1 with spread ~sqrt(2/{JL_OUT_DIM}).
+
+    Plan at 100 TB: the projection is one map-side fold per output dim
+    against literal rows (no shuffle, no matrix table); pair sampling is
+    a pushed-down modulus filter on one side, so the distance join is
+    |sample| × N broadcast-shaped, never N²."""
+    vecs = materialize(
+        _vectors(spark, sf_dir).select("vec_id", "emb", _jl_proj_col().alias("proj"))
+    )
+    q = vecs.filter(F.col("vec_id") % JL_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qa"),
+        F.col("emb").alias("emb_a"),
+        F.col("proj").alias("proj_a"),
+    )
+    pairs = q.join(
+        vecs.select(
+            F.col("vec_id").alias("qb"),
+            F.col("emb").alias("emb_b"),
+            F.col("proj").alias("proj_b"),
+        ),
+        F.col("qb") != F.col("qa"),
+    )
+    sqdist = lambda a, b: F.round(  # noqa: E731
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    ratios = pairs.select(
+        F.round(
+            sqdist(F.col("proj_a"), F.col("proj_b"))
+            / sqdist(F.col("emb_a"), F.col("emb_b")),
+            6,
+        ).alias("ratio")
+    )
+    return ratios.groupBy(
+        F.floor(F.col("ratio") * 10).cast("int").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(dsum(F.col("ratio")) / F.count(F.lit(1)), 6).alias("mean_ratio"),
+        F.min("ratio").alias("min_ratio"),
+        F.max("ratio").alias("max_ratio"),
     )

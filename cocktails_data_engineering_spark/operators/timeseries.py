@@ -1050,3 +1050,216 @@ def seasonal_naive_forecast_error(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum(F.col("actual") - F.col("fcst")).cast("double") / F.count(F.lit(1)), 6
         ).alias("bias"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exponentially-weighted moving average (closed form, exact weights)
+# ---------------------------------------------------------------------------
+# alpha = 1/2 exactly: every weight is a power of two, so the per-term
+# products y * 0.5^k are computed identically by any IEEE-754 engine and
+# no smoothing-recursion rounding drift can accumulate.
+EWMA_ALPHA_POW = 2  # alpha = 1 / EWMA_ALPHA_POW
+
+
+@register(
+    "ewma_daily_revenue",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS d,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS y
+  FROM events WHERE event_type = 'purchase' OR event_type = 'click'
+  GROUP BY 1, 2
+),
+seq AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS INT) AS t
+  FROM daily
+),
+terms AS (
+  SELECT a.event_type, a.d, a.t, a.y AS actual,
+         ROUND(b.y * CASE WHEN b.t = 1 THEN power(0.5, a.t - 1)
+                          ELSE 0.5 * power(0.5, a.t - b.t) END, 6) AS term
+  FROM seq a JOIN seq b ON b.event_type = a.event_type AND b.t <= a.t
+)
+SELECT event_type, strftime(d, '%Y-%m-%d') AS day, actual,
+       ROUND(CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE), 6) AS ewma
+FROM terms GROUP BY event_type, d, actual
+""",
+)
+def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily event value per
+    event type (alpha = 1/2), via the CLOSED FORM rather than the
+    recursion: S_t = y_1*0.5^(t-1) + sum_{k=2..t} y_k*0.5^(t-k+1).
+    alpha is chosen a power of two so every weight is exact in binary
+    and both engines compute bit-identical per-term products; terms
+    round to 6 before DECIMAL accumulation (order-independent sum).
+
+    Plan at 100 TB: the fact table collapses to a |days| x |types|
+    rollup first (map-side combinable); the triangular self-join runs
+    on that metadata-sized table only — the closed form trades an
+    unparallelizable recursion for a tiny T^2 join, the right trade
+    whenever T is calendar-bounded."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.round(dsum(F.col("value")), 6).alias("y"))
+    seq = daily.withColumn(
+        "t",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("d"))
+        .cast("int"),
+    )
+    b = seq.select(
+        F.col("event_type").alias("b_type"),
+        F.col("t").alias("b_t"),
+        F.col("y").alias("b_y"),
+    )
+    w = F.when(F.col("b_t") == 1, F.pow(F.lit(0.5), F.col("t") - 1)).otherwise(
+        F.lit(0.5) * F.pow(F.lit(0.5), F.col("t") - F.col("b_t"))
+    )
+    terms = seq.join(
+        b, (F.col("b_type") == F.col("event_type")) & (F.col("b_t") <= F.col("t"))
+    ).select(
+        "event_type",
+        "d",
+        F.col("y").alias("actual"),
+        F.round(F.col("b_y") * w, 6).alias("term"),
+    )
+    return terms.groupBy(
+        "event_type", "d", "actual"
+    ).agg(F.round(dsum(F.col("term")), 6).alias("ewma")).select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "actual",
+        "ewma",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function of the daily event-count series
+# ---------------------------------------------------------------------------
+ACF_MAX_LAG = 7
+
+
+@register(
+    "acf_daily_events",
+    oracle=f"""
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS d, COUNT(*) AS n FROM events GROUP BY 1
+),
+seq AS (SELECT n, CAST(ROW_NUMBER() OVER (ORDER BY d) AS INT) AS t FROM daily),
+lags AS (SELECT unnest(range(1, {ACF_MAX_LAG + 1})) AS lag),
+pairs AS (
+  SELECT l.lag, a.n AS x, b.n AS y
+  FROM lags l JOIN seq a ON TRUE JOIN seq b ON b.t = a.t + l.lag
+),
+sums AS (
+  SELECT lag, COUNT(*) AS cnt,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM pairs GROUP BY lag
+)
+SELECT CAST(lag AS INT) AS lag, CAST(cnt AS BIGINT) AS n_pairs,
+       ROUND((CAST(cnt AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / sqrt((CAST(cnt AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(cnt AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+         AS acf
+FROM sums
+""",
+)
+def acf_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily event-count series at lags
+    1..{ACF_MAX_LAG} — the seasonality detector that justifies (or
+    refutes) the day-7 seasonal-naive forecaster: a weekly cycle shows
+    as an ACF spike at lag 7.  Pearson correlation of the series with
+    its lag over aligned pairs; all moment sums are INTEGER (counts), so
+    both engines agree exactly until the single final division.
+
+    Plan at 100 TB: the fact scan collapses to one |days|-row rollup;
+    lag alignment is a self-join of that tiny table exploded by
+    {ACF_MAX_LAG} lags.  Nothing downstream of the first aggregate
+    scales with data volume."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    seq = daily.select(
+        "n", F.row_number().over(Window.orderBy("d")).cast("int").alias("t")
+    )
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(F.col("id").cast("int").alias("lag"))
+    b = seq.select(F.col("n").alias("y"), F.col("t").alias("b_t"))
+    pairs = (
+        lags.crossJoin(seq)
+        .join(b, F.col("b_t") == F.col("t") + F.col("lag"))
+        .select("lag", F.col("n").alias("x"), "y")
+    )
+    sums = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    cnt_d = F.col("cnt").cast("double")
+    num = cnt_d * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    denx = cnt_d * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    deny = cnt_d * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    return sums.select(
+        "lag",
+        F.col("cnt").alias("n_pairs"),
+        F.round(num / F.sqrt(denx * deny), 6).alias("acf"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Longest consecutive-active-day streak per user (gaps and islands)
+# ---------------------------------------------------------------------------
+@register(
+    "user_active_day_streaks",
+    oracle="""
+WITH active AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d FROM events
+),
+grp AS (
+  SELECT user_id, d,
+         d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS INT) AS g
+  FROM active
+),
+streaks AS (
+  SELECT user_id, g, COUNT(*) AS len FROM grp GROUP BY user_id, g
+),
+best AS (SELECT user_id, MAX(len) AS max_streak FROM streaks GROUP BY user_id)
+SELECT CAST(max_streak AS INT) AS streak_len,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM best GROUP BY max_streak
+""",
+)
+def user_active_day_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of each user's LONGEST consecutive-active-day streak
+    — the classic gaps-and-islands computation (day minus dense row
+    number is constant within a run), the engagement statistic behind
+    every retention dashboard.  Pure integer/date arithmetic.
+
+    Plan at 100 TB: one shuffle to (user, day) distinct, one per-user
+    window sweep (no self-join), two metadata-sized aggregations.  The
+    window partition is a user's ACTIVE-DAY count — calendar-bounded,
+    never skewed by event volume."""
+    ev = load(spark, sf_dir, "events")
+    active = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).distinct()
+    g = F.date_sub(
+        F.col("d"),
+        F.row_number().over(Window.partitionBy("user_id").orderBy("d")),
+    )
+    streaks = (
+        active.withColumn("g", g)
+        .groupBy("user_id", "g")
+        .agg(F.count(F.lit(1)).alias("len"))
+    )
+    best = streaks.groupBy("user_id").agg(F.max("len").alias("max_streak"))
+    return best.groupBy(F.col("max_streak").cast("int").alias("streak_len")).agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
