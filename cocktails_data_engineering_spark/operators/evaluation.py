@@ -706,3 +706,65 @@ def survival_km_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(F.exp(F.col("sl").cast("double")), 6))
         .alias("survival"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Calibration reliability bins (trained-model probability audit)
+# ---------------------------------------------------------------------------
+def _calibration_oracle() -> str:
+    from .ml import LOGIT_ROUNDS, PRICE_SCALE, _logit_cte_parts
+
+    parts = ",\n".join(_logit_cte_parts())
+    return f"""
+WITH {parts},
+scored AS (
+  SELECT y,
+         ROUND(1.0 / (1.0 + exp(-ROUND(
+           w.w0 * x0 + w.w1 * x1 + w.w2 * x2, 3))), 6) AS p
+  FROM f CROSS JOIN w{LOGIT_ROUNDS} w
+)
+SELECT LEAST(CAST(FLOOR(p * 10) AS INT), 9) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean_p,
+       ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS frac_pos,
+       ROUND(ABS(ROUND(CAST(SUM(CAST(p AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+                 - ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6)), 6) AS calib_gap
+FROM scored GROUP BY 1
+"""
+
+
+@register("calibration_reliability_bins", oracle=_calibration_oracle())
+def calibration_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the in-engine logistic model
+    (ml.train_logistic): bucket predicted probabilities into deciles and
+    compare mean predicted p against the empirical positive rate — the
+    calibration audit that decides whether scores can be thresholded as
+    probabilities, the companion to roc_auc_orders (which only measures
+    ranking).  calib_gap per bin is the summand of expected calibration
+    error (ECE).
+
+    Plan at 100 TB: training collapses to per-round 1-row gradient
+    aggregates; scoring is a map-side literal projection; the diagram is
+    one 10-group aggregation with map-side combine."""
+    from .ml import PRICE_SCALE, _logit_features, train_logistic
+
+    w = train_logistic(spark, sf_dir)[-1]
+    f = _logit_features(spark, sf_dir)
+    z = F.round(
+        F.lit(w[0]) * F.col("x0")
+        + F.lit(w[1]) * F.col("x1")
+        + F.lit(w[2]) * F.col("x2"),
+        3,
+    )
+    p = F.round(1.0 / (1.0 + F.exp(-z)), 6)
+    scored = f.select(F.col("y"), p.alias("p"))
+    mean_p = F.round(dsum(F.col("p")) / F.count(F.lit(1)), 6)
+    frac_pos = F.round(F.sum("y").cast("double") / F.count(F.lit(1)), 6)
+    return scored.groupBy(
+        F.least(F.floor(F.col("p") * 10).cast("int"), F.lit(9)).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        mean_p.alias("mean_p"),
+        frac_pos.alias("frac_pos"),
+        F.round(F.abs(mean_p - frac_pos), 6).alias("calib_gap"),
+    )

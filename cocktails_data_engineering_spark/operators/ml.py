@@ -635,3 +635,113 @@ def logistic_regression_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "round int, w0 double, w1 double, w2 double, n_correct long, n_rows long"
     )
+
+
+# ---------------------------------------------------------------------------
+# Decision-stump split finder (histogram-based, per-feature best Gini)
+# ---------------------------------------------------------------------------
+@register(
+    "gini_best_split",
+    oracle="""
+WITH f AS (
+  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+         CAST(ROUND(l_quantity) AS INT) AS qty,
+         CAST(ROUND(l_discount * 100) AS INT) AS disc
+  FROM lineitem
+),
+long AS (
+  SELECT 'quantity' AS feature, qty AS val, y FROM f
+  UNION ALL
+  SELECT 'discount_pct' AS feature, disc AS val, y FROM f
+),
+hist AS (
+  SELECT feature, val, COUNT(*) AS n, SUM(y) AS npos
+  FROM long GROUP BY feature, val
+),
+cum AS (
+  SELECT feature, val,
+         SUM(n) OVER (PARTITION BY feature ORDER BY val) AS nl,
+         SUM(npos) OVER (PARTITION BY feature ORDER BY val) AS pl,
+         SUM(n) OVER (PARTITION BY feature) AS nt,
+         SUM(npos) OVER (PARTITION BY feature) AS pt,
+         MAX(val) OVER (PARTITION BY feature) AS vmax
+  FROM hist
+),
+splits AS (
+  SELECT feature, val AS threshold,
+         CAST(nl AS BIGINT) AS n_left, CAST(nt - nl AS BIGINT) AS n_right,
+         ROUND(
+           (nl * (1.0 - power(CAST(pl AS DOUBLE) / nl, 2)
+                      - power(1.0 - CAST(pl AS DOUBLE) / nl, 2))
+            + (nt - nl) * (1.0 - power(CAST(pt - pl AS DOUBLE) / (nt - nl), 2)
+                               - power(1.0 - CAST(pt - pl AS DOUBLE) / (nt - nl), 2)))
+           / nt, 6) AS gini_split
+  FROM cum WHERE val < vmax
+)
+SELECT feature, threshold, n_left, n_right, gini_split
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY feature
+                                   ORDER BY gini_split, threshold) AS rk
+      FROM splits) t
+WHERE rk = 1
+""",
+)
+def gini_best_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump split finder over lineitem (label: returned flag),
+    the histogram-based algorithm every distributed tree learner
+    (XGBoost/LightGBM-style) uses: collapse the fact table to per-
+    (feature, value) class counts, then scan thresholds via a window
+    cumsum over that tiny histogram — never sorting the raw rows.
+    Weighted Gini impurity from pure-integer counts; the split with the
+    lowest impurity wins per feature (ties to the smaller threshold).
+
+    Plan at 100 TB: one map-side-combinable histogram aggregation per
+    fact scan; everything after operates on |distinct values| rows.
+    This is THE reason histogram tree learners scale — the split search
+    is O(V), not O(N log N)."""
+    li = load(spark, sf_dir, "lineitem")
+    f = li.select(
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+        F.round(F.col("l_quantity")).cast("int").alias("qty"),
+        F.round(F.col("l_discount") * 100).cast("int").alias("disc"),
+    )
+    long = f.select(F.lit("quantity").alias("feature"), F.col("qty").alias("val"), "y").unionAll(
+        f.select(F.lit("discount_pct").alias("feature"), F.col("disc").alias("val"), "y")
+    )
+    hist = long.groupBy("feature", "val").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("npos")
+    )
+    wc = Window.partitionBy("feature").orderBy("val")
+    wt = Window.partitionBy("feature")
+    cum = hist.select(
+        "feature",
+        "val",
+        F.sum("n").over(wc).alias("nl"),
+        F.sum("npos").over(wc).alias("pl"),
+        F.sum("n").over(wt).alias("nt"),
+        F.sum("npos").over(wt).alias("pt"),
+        F.max("val").over(wt).alias("vmax"),
+    )
+    pl_rate = F.col("pl").cast("double") / F.col("nl")
+    pr_rate = (F.col("pt") - F.col("pl")).cast("double") / (F.col("nt") - F.col("nl"))
+    gini = F.round(
+        (
+            F.col("nl") * (1.0 - F.pow(pl_rate, 2) - F.pow(1.0 - pl_rate, 2))
+            + (F.col("nt") - F.col("nl"))
+            * (1.0 - F.pow(pr_rate, 2) - F.pow(1.0 - pr_rate, 2))
+        )
+        / F.col("nt"),
+        6,
+    )
+    splits = cum.filter(F.col("val") < F.col("vmax")).select(
+        "feature",
+        F.col("val").alias("threshold"),
+        F.col("nl").cast("bigint").alias("n_left"),
+        (F.col("nt") - F.col("nl")).cast("bigint").alias("n_right"),
+        gini.alias("gini_split"),
+    )
+    wr = Window.partitionBy("feature").orderBy("gini_split", "threshold")
+    return (
+        splits.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 1)
+        .select("feature", "threshold", "n_left", "n_right", "gini_split")
+    )

@@ -1244,3 +1244,131 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Poisson-bootstrap confidence interval (online bootstrap, one pass)
+# ---------------------------------------------------------------------------
+BOOT_REPLICAS = 32
+# Poisson(1) inverse-CDF cut points (cumulative probabilities, 6dp
+# literals so both engines compare against the identical constants).
+_POIS_CUM = [0.367879, 0.735759, 0.919699, 0.981012, 0.996340, 0.999406,
+             0.999917, 0.999990]
+_BOOT_U = (
+    "CAST(('0x' || substr(md5('boot|' || CAST(o_orderkey AS VARCHAR) || '|'"
+    " || CAST(b AS VARCHAR)), 1, 4)) AS BIGINT) / 65536.0"
+)
+_BOOT_W_SQL = "CASE " + " ".join(
+    f"WHEN u < {c} THEN {k}" for k, c in enumerate(_POIS_CUM)
+) + f" ELSE {len(_POIS_CUM)} END"
+
+
+@register(
+    "bootstrap_ci_order_value",
+    oracle=f"""
+WITH reps AS (
+  SELECT o_orderkey, o_totalprice, CAST(r.range AS INT) AS b
+  FROM orders, range({BOOT_REPLICAS}) r
+),
+weighted AS (
+  SELECT b, o_totalprice AS x, {_BOOT_W_SQL} AS w
+  FROM (SELECT o_orderkey, o_totalprice, b, {_BOOT_U} AS u FROM reps) t
+),
+means AS (
+  SELECT b,
+         ROUND(CAST(SUM(CAST(ROUND(w * x, 6) AS DECIMAL(18,6))) AS DOUBLE)
+               / SUM(w), 6) AS mean_b
+  FROM weighted GROUP BY b
+),
+ranked AS (
+  SELECT mean_b, ROW_NUMBER() OVER (ORDER BY mean_b, b) AS rn FROM means
+),
+point AS (
+  SELECT ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*), 6) AS point_mean
+  FROM orders
+)
+SELECT CAST({BOOT_REPLICAS} AS INT) AS n_replicas,
+       p.point_mean,
+       MAX(CASE WHEN rn = 2 THEN mean_b END) AS ci_lo,
+       MAX(CASE WHEN rn = {BOOT_REPLICAS - 1} THEN mean_b END) AS ci_hi
+FROM ranked CROSS JOIN point p
+GROUP BY p.point_mean
+""",
+)
+def bootstrap_ci_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 90%% confidence interval for the mean order
+    value — the ONLINE bootstrap (Owen/Chamandy): instead of resampling
+    N rows with replacement (impossible in one distributed pass), each
+    row contributes to each of {BOOT_REPLICAS} replicas with a
+    deterministic Poisson(1) weight (md5-derived uniform through the
+    literal inverse CDF).  Replica means bracket the sampling
+    distribution; the 2nd/31st order statistics of 32 replicas give the
+    ~90%% interval.  The error bar every profiling mean should ship
+    with, computed by the engine itself.
+
+    Plan at 100 TB: one scan exploded x{BOOT_REPLICAS} map-side (no
+    shuffle to build replicas), one {BOOT_REPLICAS}-group aggregate with
+    map-side combine, then O(1) work.  Weight generation is pure hash
+    arithmetic — no RNG state, so the result is identical on any
+    partitioning/retry (the property that makes bootstrap feasible on a
+    cluster at all)."""
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    reps = orders.withColumn(
+        "b", F.explode(F.sequence(F.lit(0), F.lit(BOOT_REPLICAS - 1)))
+    ).withColumn("b", F.col("b").cast("int"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("boot|"),
+                        F.col("o_orderkey").cast("string"),
+                        F.lit("|"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / 65536.0
+    )
+    w = F.lit(len(_POIS_CUM))
+    for k in range(len(_POIS_CUM) - 1, -1, -1):
+        w = F.when(F.col("u") < _POIS_CUM[k], k).otherwise(w)
+    weighted = reps.withColumn("u", u).select(
+        "b", F.col("o_totalprice").alias("x"), w.alias("w")
+    )
+    means = weighted.groupBy("b").agg(
+        F.round(
+            F.sum(F.round(F.col("w") * F.col("x"), 6).cast("decimal(18,6)"))
+            .cast("double")
+            / F.sum("w"),
+            6,
+        ).alias("mean_b")
+    )
+    ranked = means.select(
+        "mean_b", F.row_number().over(Window.orderBy("mean_b", "b")).alias("rn")
+    )
+    point = orders.agg(
+        F.round(dsum(F.col("o_totalprice")) / F.count(F.lit(1)), 6).alias("point_mean")
+    )
+    return (
+        ranked.crossJoin(point)
+        .groupBy("point_mean")
+        .agg(
+            F.max(F.when(F.col("rn") == 2, F.col("mean_b"))).alias("ci_lo"),
+            F.max(
+                F.when(F.col("rn") == BOOT_REPLICAS - 1, F.col("mean_b"))
+            ).alias("ci_hi"),
+        )
+        .select(
+            F.lit(BOOT_REPLICAS).cast("int").alias("n_replicas"),
+            "point_mean",
+            "ci_lo",
+            "ci_hi",
+        )
+    )

@@ -827,3 +827,102 @@ def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ratio").alias("min_ratio"),
         F.max("ratio").alias("max_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# kNN label-vote classifier accuracy (the standard embedding-quality probe)
+# ---------------------------------------------------------------------------
+KNN_K = 5
+
+
+@register(
+    "knn_label_accuracy",
+    oracle=f"""
+WITH vecs AS ({_ORACLE_VECS}),
+q AS (SELECT vec_id AS query_id, label AS true_label, emb AS q_emb, norm AS q_norm
+      FROM vecs WHERE vec_id % {QUERY_MOD} = 0),
+flat AS (
+  SELECT q.query_id, v.vec_id, q.q_norm, v.norm,
+         unnest(q.q_emb) AS qx, unnest(v.emb) AS vx
+  FROM q JOIN vecs v ON v.vec_id <> q.query_id
+),
+scored AS (
+  SELECT query_id, vec_id,
+         ROUND(SUM(qx * vx) / (ANY_VALUE(q_norm) * ANY_VALUE(norm)), 6) AS score
+  FROM flat GROUP BY query_id, vec_id
+),
+nn AS (
+  SELECT s.query_id, v.label
+  FROM (SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, vec_id) AS rank
+        FROM scored) s
+  JOIN vecs v ON v.vec_id = s.vec_id
+  WHERE s.rank <= {KNN_K}
+),
+votes AS (
+  SELECT query_id, label AS pred_label, COUNT(*) AS n_votes,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY COUNT(*) DESC, label) AS rk
+  FROM nn GROUP BY query_id, label
+),
+pred AS (
+  SELECT q.true_label, v.pred_label
+  FROM q JOIN votes v ON v.query_id = q.query_id AND v.rk = 1
+)
+SELECT true_label,
+       CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       ROUND(CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS accuracy
+FROM pred GROUP BY true_label
+""",
+)
+def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classifier accuracy over the labeled embeddings: each query
+    vector is classified by majority label of its {KNN_K} nearest cosine
+    neighbors (ties to the lexicographically smallest label) and scored
+    against its own label, per true label — THE standard probe for
+    whether an embedding space separates its classes, run before anyone
+    trusts those vectors for clustering or retrieval.
+
+    Plan at 100 TB: identical join shape to cosine_topk (query side
+    broadcast, per-query window — no global sort); the vote and accuracy
+    stages operate on Q×{KNN_K} rows.  Swap the brute-force neighbor
+    stage for the LSH/IVF candidate generators when N explodes — the
+    vote logic is unchanged."""
+    vecs = _vectors(spark, sf_dir)
+    q = vecs.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("emb").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    pairs = vecs.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    score = F.round(
+        _dot(F.col("q_emb"), F.col("emb")) / (F.col("q_norm") * F.col("norm")), 6
+    )
+    scored = pairs.select("query_id", "vec_id", "label", score.alias("score"))
+    wnn = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "vec_id")
+    nn = (
+        scored.withColumn("rank", F.row_number().over(wnn))
+        .filter(F.col("rank") <= KNN_K)
+        .select("query_id", "label")
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.col("n_votes").desc(), "pred_label")
+    pred = (
+        nn.groupBy("query_id", F.col("label").alias("pred_label"))
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+        .withColumn("rk", F.row_number().over(wv))
+        .filter(F.col("rk") == 1)
+        .join(q.select("query_id", "true_label"), "query_id")
+    )
+    correct = F.sum(
+        F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
+    )
+    return pred.groupBy("true_label").agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        correct.cast("bigint").alias("n_correct"),
+        F.round(correct.cast("double") / F.count(F.lit(1)), 6).alias("accuracy"),
+    )

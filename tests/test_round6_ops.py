@@ -95,3 +95,64 @@ def test_jl_distortion_concentrates_near_one(spark, sf_dir):
     assert 0.85 <= mean <= 1.15, mean
     within = sum(r.n_pairs for r in rows if 0 <= r.bucket / 10.0 <= 2.0)
     assert within / n >= 0.95, within / n
+
+
+def test_gini_split_beats_parent_impurity(spark, sf_dir):
+    """Any admissible split must not exceed the parent node's Gini; with
+    a ~1/3 positive rate the parent impurity is ~0.444."""
+    from cocktails_data_engineering_spark.operators.ml import gini_best_split
+
+    rows = gini_best_split(spark, sf_dir).collect()
+    assert {r.feature for r in rows} == {"quantity", "discount_pct"}
+    li = load(spark, sf_dir, "lineitem")
+    n = li.count()
+    npos = li.filter(F.col("l_returnflag") == "R").count()
+    p = npos / n
+    parent = 1.0 - p * p - (1.0 - p) * (1.0 - p)
+    for r in rows:
+        assert r.n_left > 0 and r.n_right > 0
+        assert r.gini_split <= parent + 1e-9, (r, parent)
+
+
+def test_calibration_bins_consistency(spark, sf_dir):
+    from cocktails_data_engineering_spark.operators.evaluation import (
+        calibration_reliability_bins,
+    )
+
+    rows = calibration_reliability_bins(spark, sf_dir).collect()
+    n_total = sum(r.n for r in rows)
+    assert n_total == load(spark, sf_dir, "orders").count()
+    for r in rows:
+        assert 0 <= r.bin <= 9
+        assert 0.0 <= r.mean_p <= 1.0 and 0.0 <= r.frac_pos <= 1.0
+        assert abs(r.calib_gap - abs(r.mean_p - r.frac_pos)) < 2e-6, r
+
+
+def test_knn_accuracy_accounting(spark, sf_dir):
+    from cocktails_data_engineering_spark.operators.similarity import (
+        QUERY_MOD,
+        knn_label_accuracy,
+    )
+
+    rows = knn_label_accuracy(spark, sf_dir).collect()
+    n_queries = sum(r.n_queries for r in rows)
+    truth = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % QUERY_MOD == 0)
+        .count()
+    )
+    assert n_queries == truth
+    for r in rows:
+        assert 0 <= r.n_correct <= r.n_queries
+        assert abs(r.accuracy - r.n_correct / r.n_queries) < 1e-6
+
+
+def test_bootstrap_ci_brackets_point_mean(spark, sf_dir):
+    from cocktails_data_engineering_spark.operators.profiling import (
+        bootstrap_ci_order_value,
+    )
+
+    row = bootstrap_ci_order_value(spark, sf_dir).collect()[0]
+    assert row.ci_lo <= row.point_mean <= row.ci_hi, row
+    # replica spread should be small relative to the mean (n is large)
+    assert (row.ci_hi - row.ci_lo) / row.point_mean < 0.05, row
