@@ -712,7 +712,7 @@ def survival_km_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Calibration reliability bins (trained-model probability audit)
 # ---------------------------------------------------------------------------
 def _calibration_oracle() -> str:
-    from .ml import LOGIT_ROUNDS, PRICE_SCALE, _logit_cte_parts
+    from .ml import LOGIT_ROUNDS, _logit_cte_parts
 
     parts = ",\n".join(_logit_cte_parts())
     return f"""
@@ -746,7 +746,7 @@ def calibration_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan at 100 TB: training collapses to per-round 1-row gradient
     aggregates; scoring is a map-side literal projection; the diagram is
     one 10-group aggregation with map-side combine."""
-    from .ml import PRICE_SCALE, _logit_features, train_logistic
+    from .ml import _logit_features, train_logistic
 
     w = train_logistic(spark, sf_dir)[-1]
     f = _logit_features(spark, sf_dir)

@@ -1055,15 +1055,49 @@ def seasonal_naive_forecast_error(spark: SparkSession, sf_dir: str) -> DataFrame
 # ---------------------------------------------------------------------------
 # Exponentially-weighted moving average (closed form, exact weights)
 # ---------------------------------------------------------------------------
-# alpha = 1/2 exactly: every weight is a power of two, so the per-term
-# products y * 0.5^k are computed identically by any IEEE-754 engine and
-# no smoothing-recursion rounding drift can accumulate.
+# alpha = 1/2 exactly: every weight is a power of two.  That makes the
+# per-term product y * 0.5^k BINARY-exact — which is precisely why a
+# double ROUND(term, 6) is NOT cross-engine safe: y has 6 decimal
+# digits and multiplying by 2^-k only shifts the binary exponent, so
+# the product's decimal expansion can terminate in an exact digit-5 tie
+# at the 7th place.  Spark's round (HALF_UP via BigDecimal) and
+# DuckDB's double round resolve that tie differently (found at
+# sf0.001: 371.548792 vs ...791).  Fix: compute each rounded term as an
+# exact INTEGER via 0.5^k = 5^k/10^k —
+#     term6 = (Y*5^k + half) div 10^k,  Y = y*10^6 (exact int),
+#     half  = 5*10^(k-1)   (0 for k=0)
+# which is HALF_UP by construction for the non-negative revenue values,
+# then sum the integers (exact, order-free) and divide by 10^6 once.
+# Both engines run the identical integer arithmetic => equal by
+# construction.  Horizon cap: weights with k > EWMA_K_CAP are dropped
+# in BOTH engines (inner join against the weights table); 2^-26 ~
+# 1.5e-8, far below the 6-dp output resolution for these magnitudes,
+# and the cap keeps Y*5^k inside DECIMAL(38,0) (Y<=1e15 even at 100 TB
+# daily rollups => product <= 1.5e33 < 1e38).
 EWMA_ALPHA_POW = 2  # alpha = 1 / EWMA_ALPHA_POW
+EWMA_K_CAP = 26
+
+
+def _ewma_weight_rows() -> list[tuple[int, int, int, int]]:
+    """(k, 5^k, half=5*10^(k-1), 10^k) for k=0..EWMA_K_CAP, exact ints."""
+    return [
+        (k, 5**k, 0 if k == 0 else 5 * 10 ** (k - 1), 10**k)
+        for k in range(EWMA_K_CAP + 1)
+    ]
+
+
+def _ewma_weights_sql() -> str:
+    """DuckDB VALUES literal mirroring _ewma_weight_rows (HUGEINT-exact)."""
+    rows = ", ".join(
+        f"({k}, {p5}::HUGEINT, {half}::HUGEINT, {p10}::HUGEINT)"
+        for k, p5, half, p10 in _ewma_weight_rows()
+    )
+    return f"weights (k, p5, half, p10) AS (VALUES {rows})"
 
 
 @register(
     "ewma_daily_revenue",
-    oracle="""
+    oracle=f"""
 WITH daily AS (
   SELECT event_type, date_trunc('day', ts) AS d,
          ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS y
@@ -1074,14 +1108,17 @@ seq AS (
   SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS INT) AS t
   FROM daily
 ),
+{_ewma_weights_sql()},
 terms AS (
   SELECT a.event_type, a.d, a.t, a.y AS actual,
-         ROUND(b.y * CASE WHEN b.t = 1 THEN power(0.5, a.t - 1)
-                          ELSE 0.5 * power(0.5, a.t - b.t) END, 6) AS term
-  FROM seq a JOIN seq b ON b.event_type = a.event_type AND b.t <= a.t
+         (CAST(ROUND(b.y * 1000000, 0) AS HUGEINT) * w.p5 + w.half) // w.p10 AS term6
+  FROM seq a
+  JOIN seq b ON b.event_type = a.event_type AND b.t <= a.t
+  JOIN weights w
+    ON w.k = CASE WHEN b.t = 1 THEN a.t - 1 ELSE a.t - b.t + 1 END
 )
 SELECT event_type, strftime(d, '%Y-%m-%d') AS day, actual,
-       ROUND(CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE), 6) AS ewma
+       ROUND(CAST(SUM(term6) AS DOUBLE) / 1000000, 6) AS ewma
 FROM terms GROUP BY event_type, d, actual
 """,
 )
@@ -1089,15 +1126,27 @@ def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially-weighted moving average of daily event value per
     event type (alpha = 1/2), via the CLOSED FORM rather than the
     recursion: S_t = y_1*0.5^(t-1) + sum_{k=2..t} y_k*0.5^(t-k+1).
-    alpha is chosen a power of two so every weight is exact in binary
-    and both engines compute bit-identical per-term products; terms
-    round to 6 before DECIMAL accumulation (order-independent sum).
+    Each rounded term is computed as EXACT integer arithmetic
+    (Y*5^k + half) div 10^k against a broadcast weights table of
+    literal 5^k/10^k decimals (see module comment above EWMA_K_CAP for
+    the tie-safety rationale) — no double rounding of binary-exact
+    products anywhere in the plan.
 
     Plan at 100 TB: the fact table collapses to a |days| x |types|
     rollup first (map-side combinable); the triangular self-join runs
-    on that metadata-sized table only — the closed form trades an
-    unparallelizable recursion for a tiny T^2 join, the right trade
-    whenever T is calendar-bounded."""
+    on that metadata-sized table only, against a 27-row broadcast
+    weights table — the closed form trades an unparallelizable
+    recursion for a tiny T^2 join, the right trade whenever T is
+    calendar-bounded."""
+    import decimal
+
+    from pyspark.sql.types import (
+        DecimalType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
     ev = load(spark, sf_dir, "events").filter(
         F.col("event_type").isin("purchase", "click")
     )
@@ -1115,20 +1164,49 @@ def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t").alias("b_t"),
         F.col("y").alias("b_y"),
     )
-    w = F.when(F.col("b_t") == 1, F.pow(F.lit(0.5), F.col("t") - 1)).otherwise(
-        F.lit(0.5) * F.pow(F.lit(0.5), F.col("t") - F.col("b_t"))
+    wschema = StructType(
+        [
+            StructField("k", IntegerType()),
+            StructField("p5", DecimalType(20, 0)),
+            StructField("half", DecimalType(27, 0)),
+            StructField("p10", DecimalType(27, 0)),
+        ]
     )
-    terms = seq.join(
-        b, (F.col("b_type") == F.col("event_type")) & (F.col("b_t") <= F.col("t"))
-    ).select(
-        "event_type",
-        "d",
-        F.col("y").alias("actual"),
-        F.round(F.col("b_y") * w, 6).alias("term"),
+    weights = spark.createDataFrame(
+        [
+            (k, decimal.Decimal(p5), decimal.Decimal(half), decimal.Decimal(p10))
+            for k, p5, half, p10 in _ewma_weight_rows()
+        ],
+        wschema,
+    )
+    terms = (
+        seq.join(
+            b,
+            (F.col("b_type") == F.col("event_type"))
+            & (F.col("b_t") <= F.col("t")),
+        )
+        .withColumn(
+            "k",
+            F.when(F.col("b_t") == 1, F.col("t") - 1).otherwise(
+                F.col("t") - F.col("b_t") + 1
+            ),
+        )
+        .join(F.broadcast(weights), "k")
+        .select(
+            "event_type",
+            "d",
+            F.col("y").alias("actual"),
+            F.expr(
+                "(CAST(ROUND(b_y * 1000000, 0) AS DECIMAL(18,0)) * p5 + half)"
+                " div p10"
+            ).alias("term6"),
+        )
     )
     return terms.groupBy(
         "event_type", "d", "actual"
-    ).agg(F.round(dsum(F.col("term")), 6).alias("ewma")).select(
+    ).agg(
+        F.round(F.sum("term6").cast("double") / F.lit(1000000), 6).alias("ewma")
+    ).select(
         "event_type",
         F.date_format("d", "yyyy-MM-dd").alias("day"),
         "actual",

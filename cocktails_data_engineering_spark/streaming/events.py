@@ -1186,10 +1186,14 @@ def stream_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("qscore") >= F.col("q_thr"))
     )
     mixed = mixture_keep_filter(gated, rates)
+    # Dedup on (lang, fp), not fp alone: the oracle counts DISTINCT fp
+    # PER LANGUAGE, and a fingerprint surviving in two languages would
+    # otherwise be assigned to one arrival-order-dependent lang (real at
+    # sf0.1, masked at sf0.01) — (lang, fp) keeps counts order-free.
     deduped = mixed.select(
         "lang",
         F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))).alias("fp"),
-    ).dropDuplicates(["fp"])
+    ).dropDuplicates(["lang", "fp"])
     plan = deduped.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_unique_kept")
     )
