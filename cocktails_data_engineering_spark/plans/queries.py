@@ -58,74 +58,40 @@ for _mod in _OPERATOR_MODULES:
 # listed keep their module registration order behind these.  Rotate again
 # next round for whatever the sweep still hasn't reached.
 _SAMPLE_FRONT = (
-    # --- round-6 rotation: the driver's 50-key sample must land first on the
-    # three r4-red oracle-type fixes (green in-repo since r5 but never
-    # re-sampled by the driver), then the reference-evidence crawl family
-    # (O1-O7/O14), then every key the r1-r5 sweeps never sampled (81 keys),
-    # highest evidence value first.  Keys 51+ seed the round-7 rotation.
-    # r4-red fixes (cast-aligned in r5; need a green driver row)
-    "block_checksum_orders",
-    "lexical_cosine_pairs",
-    "multimodal_type_stats",
-    # reference-traced crawl evidence family (web_spider_oo.py:91-263)
-    "crawl_pipeline_e2e",
-    "crawl_spider_edges",
-    "crawl_spider_unique_links",
-    "extract_links_udf",
-    "extract_links_sql",
-    "filter_status",
-    "crawl_budget_allocation",
-    "url_canonicalize",
-    "politeness_gap_audit",
-    # evaluation / model-monitoring family (r5 additions)
-    "model_monitoring_pipeline",
-    "roc_auc_orders",
-    "ks_statistic_status",
-    "gain_deciles_orders",
-    "psi_price_drift",
-    "ndcg_orders",
-    "stream_psi_drift",
-    # dedup / similarity-join tail
-    "containment_dup_pairs",
-    "aligned_block_dedup",
-    "shingle_novelty_score",
-    "sorted_neighborhood_pairs",
-    "passjoin_ed2_words",
-    "fuzzy_join_ed1",
-    "weighted_sample_docs",
-    # ANN / quantization audits
-    "ann_recall_audit",
-    "quantization_error_audit",
-    "int8_quantize_embeddings",
-    "matryoshka_truncation_stats",
-    # corpus / text quality
-    "gopher_quality_rules",
-    "ccnet_perplexity_buckets",
-    "bigram_lm_doc_score",
-    "udtf_chunk_expand",
-    "vocab_oov_stats",
-    "zipf_fit_words",
-    "bpe_top_merges",
-    "word_pmi_pairs",
-    "naive_bayes_lang_confusion",
-    # sketches / retrieval
-    "countmin_word_freq",
-    "bloom_prefilter_join",
-    "rrf_hybrid_retrieval",
-    # warehouse / layout
-    "compaction_bin_packing",
-    "ivm_join_delta",
-    "pareto_frontier_orders",
-    "bucketed_join_no_shuffle",
-    "partitioned_write_prune_agg",
-    "parquet_schema_evolution_agg",
-    # graph
-    "pagerank_crawl_graph",
-    "cooccurrence_triangle_stats",
+    # --- round-7 rotation: exactly the 57 keys the r1-r6 driver sweeps have
+    # NEVER sampled (computed from the CORRECTNESS_r0*.json union), riskiest
+    # first: the ewma tie-fix, then the whole round-6 ML/ANN/stream family
+    # (zero driver evidence so far), then the r5 statistics / geo / join /
+    # io / TPC-H tail.  The 7 keys past the ~50 cut are the lowest-risk
+    # (trivial projections + pytest-covered connectors + the rows-only jdbc
+    # smoke); they and any round-7 additions seed the round-8 rotation.
+    # tie-fix + round-6 ML/ANN flagship family
+    "ewma_daily_revenue",
+    "ivfadc_topk",
+    "ivfpq_residual_topk",
+    "logistic_regression_gd",
+    "dsir_importance_resample",
+    "bpe_train_merges",
+    "label_propagation_communities",
+    "stream_curation_funnel",
+    "bootstrap_ci_order_value",
+    # rest of the round-6 additions
+    "acf_daily_events",
+    "user_active_day_streaks",
+    "adamic_adar_link_prediction",
+    "jl_projection_distortion",
+    "knn_label_accuracy",
+    "gini_best_split",
+    "calibration_reliability_bins",
+    "seasonal_naive_forecast_error",
+    "stream_model_scoring",
+    "k_anonymity_audit",
+    "join_cardinality_estimates",
+    "bpe_apply_tokenize",
+    "stream_user_spend_tws",
+    # r5 statistics / time-series tail
     "kcore_crawl_graph",
     "degree_assortativity",
-    # --- ~50-key driver cut lands around here; the rest seed round 7 ---
-    # statistics / time-series tail
     "winsorized_price_stats",
     "survival_km_shipping",
     "cusum_hourly_shift",
@@ -133,12 +99,10 @@ _SAMPLE_FRONT = (
     "rfm_user_segments",
     "embedding_drift_by_label",
     "assoc_rules_brands",
-    # geo / semi-structured / safety
+    # geo / semi-structured
     "geo_nearest_supplier",
     "geo_cell_density",
     "variant_extract_agg",
-    "null_safe_join_counts",
-    "try_arithmetic_safety",
     # streaming tail
     "stream_topk_trending",
     "stream_chained_window_agg",
@@ -147,13 +111,9 @@ _SAMPLE_FRONT = (
     "range_join_recent_activity",
     "salted_topk_words",
     "salted_join_event_enrich",
-    "dense_rank_top_price_levels",
-    # io roundtrips / connectors
+    # io roundtrips
     "csv_roundtrip_agg",
     "jsonl_roundtrip_agg",
-    "orc_roundtrip_agg",
-    "xml_roundtrip_agg",
-    "python_datasource_scan",
     # TPC-H tail
     "q11_important_stock",
     "q12_late_lines_by_status",
@@ -163,6 +123,14 @@ _SAMPLE_FRONT = (
     "q17_small_quantity_revenue",
     "q20_promotion_suppliers",
     "q21_waiting_suppliers",
+    # --- ~50-key driver cut lands here; lowest-risk tail seeds round 8 ---
+    "orc_roundtrip_agg",
+    "xml_roundtrip_agg",
+    "python_datasource_scan",
+    "null_safe_join_counts",
+    "try_arithmetic_safety",
+    "dense_rank_top_price_levels",
+    "jdbc_roundtrip",
 )
 
 
