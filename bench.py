@@ -13,13 +13,26 @@ The full per-query timing map (every registered query) is written to
 ``BENCH_DETAIL.json`` next to this script and also printed as an earlier
 stdout line for the log.
 
+Measurement order (round-8 method change, fixing the r6/r7 session-bloat
+artifact where the 274-query sweep inflated later timings up to 6.7x):
+
+1. **Headline first, on a clean session.**  The fixed 35-query core set
+   is timed min-of-``passes`` immediately after warm-up, BEFORE the full
+   sweep pollutes the JVM/session with 270+ plans of state.  These are
+   the numbers the driver compares round-over-round.
+2. **Full sweep, single pass.**  Every registered query, diagnostic
+   timings only (recorded separately in ``sweep_queries``).
+3. **Fresh-session spot-check.**  The top-10 slowest sweep queries are
+   re-timed once on a NEW SparkSession (old one stopped — drops cached
+   relations, temp state, and listener backlog).  ``spotcheck_fresh`` in
+   BENCH_DETAIL.json separates real plan cost from sweep-order noise.
+
 Each query is forced through the noop datasource sink so the full plan
 executes (a bare ``count()`` lets Catalyst prune projections); timings are
-wall-clock per query on a shared warmed SparkSession, matching how a real
-deployment would run a query mix.  Failures are recorded as ``null`` and
-never abort the run — but a failed HEADLINE query makes ``value`` null
-(with the culprits listed in ``failed``) rather than silently summing it
-as 0.0 and looking faster.
+wall-clock per query.  Failures are recorded as ``null`` and never abort
+the run — but a failed HEADLINE query makes ``value`` null (with the
+culprits listed in ``failed``) rather than silently summing it as 0.0 and
+looking faster.
 """
 
 from __future__ import annotations
@@ -72,6 +85,8 @@ HEADLINE = (
     "bfs_crawl_sim",
 )
 
+SPOTCHECK_N = 10
+
 
 def _sf_of(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
@@ -83,14 +98,30 @@ def _sf_of(sf_dir: str) -> float:
 
 def _passes_from_argv(argv: list[str]) -> int:
     """``--passes N`` (or ``SPARK_GRAFT_BENCH_PASSES``): headline queries are
-    re-timed N times total and the per-query MIN is kept.  Wall-clock on this
-    shared host is contention-polluted (r3's bench read 3-10x over standalone
+    timed N times and the per-query MIN is kept.  Wall-clock on this shared
+    host is contention-polluted (r3's bench read 3-10x over standalone
     min-of-3 re-timings); min-of-passes recovers the noise floor for the
-    number the driver actually compares.  Default 2: one full sweep + one
-    headline re-pass (~25 s extra)."""
+    number the driver actually compares.  Default 2."""
     if "--passes" in argv:
         return max(1, int(argv[argv.index("--passes") + 1]))
     return max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2")))
+
+
+def _time_query(fn, spark, sf_dir: str) -> float:
+    t0 = time.monotonic()
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return round(time.monotonic() - t0, 3)
+
+
+def _warm(spark, sf_dir: str) -> None:
+    """Warm the JVM + parquet footers once so the first measured query
+    isn't charged for session spin-up."""
+    try:
+        from cocktails_data_engineering_spark.sources.tables import load
+
+        load(spark, sf_dir, "lineitem").write.format("noop").mode("overwrite").save()
+    except Exception:
+        pass
 
 
 def main() -> None:
@@ -101,43 +132,62 @@ def main() -> None:
     from cocktails_data_engineering_spark.plans import queries as plans
 
     spark = get_spark("cocktails_spark_bench")
-
     qs = plans.all_queries()
-    timings: dict[str, float | None] = {}
+    _warm(spark, sf_dir)
 
-    # Warm the JVM + parquet footers once so the first measured query isn't
-    # charged for session spin-up.
-    try:
-        from cocktails_data_engineering_spark.sources.tables import load
-
-        load(spark, sf_dir, "lineitem").write.format("noop").mode("overwrite").save()
-    except Exception:
-        pass
-
-    for name, fn in sorted(qs.items()):
-        t0 = time.monotonic()
-        try:
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.monotonic() - t0, 3)
-        except Exception as exc:  # noqa: BLE001 — bench must emit a line regardless
-            timings[name] = None
-            print(f"bench: {name} failed: {exc}", file=sys.stderr)
-
-    # Extra min-of-passes re-timings for the headline set only: the full
-    # 158-query sweep stays single-pass (its numbers are diagnostic), but the
-    # comparable headline number gets the noise floor.
-    for _ in range(passes - 1):
+    # ---- Phase 1: headline set FIRST, clean session, min-of-passes ----
+    headline_t: dict[str, float | None] = {}
+    for _ in range(passes):
         for name in HEADLINE:
             fn = qs.get(name)
-            if fn is None or timings.get(name) is None:
+            if fn is None:
+                headline_t[name] = None
                 continue
-            t0 = time.monotonic()
             try:
-                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                timings[name] = min(timings[name], round(time.monotonic() - t0, 3))
-            except Exception as exc:  # noqa: BLE001
-                print(f"bench: {name} re-pass failed: {exc}", file=sys.stderr)
+                t = _time_query(fn, spark, sf_dir)
+            except Exception as exc:  # noqa: BLE001 — bench must emit a line regardless
+                headline_t.setdefault(name, None)
+                print(f"bench: headline {name} failed: {exc}", file=sys.stderr)
+                continue
+            prev = headline_t.get(name)
+            headline_t[name] = t if prev is None else min(prev, t)
+
+    # ---- Phase 2: full sweep, single pass (diagnostic timings) ----
+    sweep_t: dict[str, float | None] = {}
+    for name, fn in sorted(qs.items()):
+        try:
+            sweep_t[name] = _time_query(fn, spark, sf_dir)
+        except Exception as exc:  # noqa: BLE001
+            sweep_t[name] = None
+            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+
+    # ---- Phase 3: fresh-session spot-check of the slowest sweep queries ----
+    spotcheck: dict[str, float | None] = {}
+    slowest = sorted(
+        (n for n, t in sweep_t.items() if t is not None),
+        key=lambda n: sweep_t[n],
+        reverse=True,
+    )[:SPOTCHECK_N]
+    if slowest:
+        try:
+            spark.stop()
+            spark = get_spark("cocktails_spark_bench_spotcheck")
+            _warm(spark, sf_dir)
+            for name in slowest:
+                try:
+                    spotcheck[name] = _time_query(qs[name], spark, sf_dir)
+                except Exception as exc:  # noqa: BLE001
+                    spotcheck[name] = None
+                    print(f"bench: spotcheck {name} failed: {exc}", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001
+            print(f"bench: spotcheck phase failed: {exc}", file=sys.stderr)
+
+    # Canonical per-query map: headline keys report their clean-session
+    # min; everything else reports its sweep timing.
+    timings: dict[str, float | None] = dict(sweep_t)
+    for name in HEADLINE:
+        if name in headline_t:
+            timings[name] = headline_t[name]
 
     failed = sorted(n for n, t in timings.items() if t is None)
     failed_headline = [n for n in HEADLINE if timings.get(n) is None]
@@ -151,11 +201,18 @@ def main() -> None:
     detail = {
         "sf": _sf_of(sf_dir),
         "headline_sec": headline,
+        "method": (
+            "headline timed first on a clean session (min of "
+            f"{passes} passes), then full single-pass sweep, then top-"
+            f"{SPOTCHECK_N} slowest re-timed on a fresh session"
+        ),
         "total_all_queries_sec": round(sum(ran), 3),
         "n_queries": len(timings),
         "n_failed": len(failed),
         "failed": failed,
         "queries": timings,
+        "sweep_queries": sweep_t,
+        "spotcheck_fresh": spotcheck,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     try:
@@ -164,12 +221,12 @@ def main() -> None:
     except OSError as exc:
         print(f"bench: could not write {detail_path}: {exc}", file=sys.stderr)
     # Full map on an EARLY stdout line (for the log); the final line stays compact.
-    print(json.dumps(detail, sort_keys=True))
+    print(json.dumps({k: v for k, v in detail.items() if k != "sweep_queries"}, sort_keys=True))
 
     summary = {
         "metric": (
             f"headline wall-clock, fixed {len(HEADLINE)}-query SURVEY core set, "
-            f"noop sink, min of {passes} passes"
+            f"timed first on a clean session, min of {passes} passes"
         ),
         "value": headline,
         "unit": "sec",

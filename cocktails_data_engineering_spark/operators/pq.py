@@ -39,6 +39,14 @@ SUB_DIM = 8  # dims per subspace (64 / M)
 K = 16  # codes per subspace (a real deployment uses 256 = one uint8)
 QUERY_MOD = 50  # vec_id % QUERY_MOD == 0 → query vector (same as cosine_topk)
 TOP_K = 5
+# pq_adc_topk probe cap (round 8): the exhaustive-ADC recall-audit baseline
+# scans ALL codes per query, so an unbounded `vec_id % QUERY_MOD` probe set
+# makes it O(N/MOD · N) = quadratic (SCALE.md measured 10.1x wall at 10x
+# data).  Capping the probe ids to a fixed deterministic slice keeps the
+# probe COUNT constant at any corpus size → O(cap/MOD · N) = linear, while
+# remaining the exact-LUT baseline ivfadc_topk is audited against.  All
+# fixture vec_ids are < 500, so sf0.001/sf0.01 results are unchanged.
+ADC_PROBE_CAP = 500
 _DEC = "decimal(18,6)"
 _DEC_UPD = "decimal(18,12)"  # centroid-update accumulator (clustering._DEC)
 
@@ -304,7 +312,8 @@ def pq_encode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_ADC = f"""
 WITH {_ORACLE_ENCODE},
-q AS (SELECT vec_id AS query_id, emb FROM vecs WHERE vec_id % {QUERY_MOD} = 0),
+q AS (SELECT vec_id AS query_id, emb FROM vecs
+      WHERE vec_id % {QUERY_MOD} = 0 AND vec_id < {ADC_PROBE_CAP}),
 qsubs AS (
   SELECT query_id, m,
          list_slice(emb, m * {SUB_DIM} + 1, m * {SUB_DIM} + {SUB_DIM}) AS s_emb
@@ -356,9 +365,11 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = codebook(vecs)
     codes = encode(vecs, cb).select("vec_id", "m", "code")
 
-    queries = vecs.filter(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("query_id"), "emb"
-    )
+    # Fixed-size deterministic probe sample (see ADC_PROBE_CAP): keeps the
+    # exhaustive baseline O(constant · N) instead of O(N²/MOD).
+    queries = vecs.filter(
+        (F.col("vec_id") % QUERY_MOD == 0) & (F.col("vec_id") < ADC_PROBE_CAP)
+    ).select(F.col("vec_id").alias("query_id"), "emb")
     lut = (
         _subspaces(queries, "emb")
         .join(F.broadcast(cb), "m")

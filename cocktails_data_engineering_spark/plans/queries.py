@@ -58,14 +58,24 @@ for _mod in _OPERATOR_MODULES:
 # listed keep their module registration order behind these.  Rotate again
 # next round for whatever the sweep still hasn't reached.
 _SAMPLE_FRONT = (
-    # --- round-7 rotation: exactly the 57 keys the r1-r6 driver sweeps have
-    # NEVER sampled (computed from the CORRECTNESS_r0*.json union), riskiest
-    # first: the ewma tie-fix, then the whole round-6 ML/ANN/stream family
-    # (zero driver evidence so far), then the r5 statistics / geo / join /
-    # io / TPC-H tail.  The 7 keys past the ~50 cut are the lowest-risk
-    # (trivial projections + pytest-covered connectors + the rows-only jdbc
-    # smoke); they and any round-7 additions seed the round-8 rotation.
-    # tie-fix + round-6 ML/ANN flagship family
+    # --- round-8 rotation: first the ONLY 9 keys without a green-at-latest
+    # driver sample after r7 (cumulative 267/274 sampled): the two STALE
+    # DRIVER-REDS (lang_id_heuristic red since r1, json_parse_robustness
+    # red since r2 — both long fixed and parity-green in-repo, the driver
+    # record just predates the fix), then the 7 never-sampled keys, then
+    # round-8 additions.  Everything after the ~50 cut keeps registration
+    # order; re-samples of green keys are free extra evidence.
+    "lang_id_heuristic",
+    "json_parse_robustness",
+    "jdbc_roundtrip",
+    "python_datasource_scan",
+    "orc_roundtrip_agg",
+    "xml_roundtrip_agg",
+    "try_arithmetic_safety",
+    "null_safe_join_counts",
+    "dense_rank_top_price_levels",
+    # --- round-8 additions land here (newest evidence first) ---
+    # --- prior-round keys below (r7 order), re-sampled as the cut allows ---
     "ewma_daily_revenue",
     "ivfadc_topk",
     "ivfpq_residual_topk",
@@ -123,14 +133,6 @@ _SAMPLE_FRONT = (
     "q17_small_quantity_revenue",
     "q20_promotion_suppliers",
     "q21_waiting_suppliers",
-    # --- ~50-key driver cut lands here; lowest-risk tail seeds round 8 ---
-    "orc_roundtrip_agg",
-    "xml_roundtrip_agg",
-    "python_datasource_scan",
-    "null_safe_join_counts",
-    "try_arithmetic_safety",
-    "dense_rank_top_price_levels",
-    "jdbc_roundtrip",
 )
 
 
