@@ -756,6 +756,13 @@ def calibration_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(w[2]) * F.col("x2"),
         3,
     )
+    # Tie-safety (r6 ask #2 audit): every ROUND here takes a DOUBLE — p is
+    # a sigmoid (transcendental, dense mantissa; a digit-7 decimal tie
+    # would need a 2^-k-aligned value, which exp() cannot produce), and
+    # the bin means divide by COUNT on both engines' double paths.  Both
+    # engines round doubles half-away-from-zero (verified on the exact
+    # tie 0.0078125), and no DECIMAL-typed product is rounded on either
+    # side — the ewma hazard class is structurally absent.
     p = F.round(1.0 / (1.0 + F.exp(-z)), 6)
     scored = f.select(F.col("y"), p.alias("p"))
     mean_p = F.round(dsum(F.col("p")) / F.count(F.lit(1)), 6)

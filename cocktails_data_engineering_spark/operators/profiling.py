@@ -11,6 +11,8 @@ aggregates — with the shuffle structure called out per operator.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1254,25 +1256,44 @@ BOOT_REPLICAS = 32
 # literals so both engines compare against the identical constants).
 _POIS_CUM = [0.367879, 0.735759, 0.919699, 0.981012, 0.996340, 0.999406,
              0.999917, 0.999990]
-_BOOT_U = (
-    "CAST(('0x' || substr(md5('boot|' || CAST(o_orderkey AS VARCHAR) || '|'"
-    " || CAST(b AS VARCHAR)), 1, 4)) AS BIGINT) / 65536.0"
-)
+# Round-8 constant cut (r7 VERDICT ask #6): one md5 per (row, replica) was
+# ~4.8M digests at sf0.1 and dominated the operator's 8.6 s wall.  A 128-bit
+# md5 digest holds EIGHT independent 16-bit uniforms (the op only ever used
+# 16 bits of each digest), so 4 digests per ROW — computed map-side BEFORE
+# the x32 explode — cover all 32 replicas: replica b reads hex chars
+# [(b%8)*4+1, +4) of digest b//8.  8x fewer hashes, same uniform resolution
+# (1/65536), identical derivation in both engines.
+_BOOT_DIGESTS = BOOT_REPLICAS // 8  # 8 x 16-bit uniforms per md5 digest
+_BOOT_DIGS_SQL = "[" + ", ".join(
+    f"md5('boot{j}|' || CAST(o_orderkey AS VARCHAR))" for j in range(_BOOT_DIGESTS)
+) + "]"
+# Second constant cut: fixed-width lowercase hex compares lexicographically
+# in NUMERIC order ('0'..'9' < 'a'..'f' in ASCII), so `v/65536 < c` is
+# exactly `hexslice < hex(ceil(c*65536))` — c*65536 is never an integer, so
+# the integer thresholds preserve every comparison bit-for-bit.  This drops
+# the per-(row, replica) hex->int conversion and float division; the hot
+# loop is one substr + 8 string compares, identical in both engines.
+_POIS_HEX = [format(math.ceil(c * 65536), "04x") for c in _POIS_CUM]
+assert all(c * 65536 != math.floor(c * 65536) for c in _POIS_CUM)
+_BOOT_SLICE = "substr(digs[b // 8 + 1], (b % 8) * 4 + 1, 4)"
 _BOOT_W_SQL = "CASE " + " ".join(
-    f"WHEN u < {c} THEN {k}" for k, c in enumerate(_POIS_CUM)
-) + f" ELSE {len(_POIS_CUM)} END"
+    f"WHEN u < '{h}' THEN {k}" for k, h in enumerate(_POIS_HEX)
+) + f" ELSE {len(_POIS_HEX)} END"
 
 
 @register(
     "bootstrap_ci_order_value",
     oracle=f"""
-WITH reps AS (
-  SELECT o_orderkey, o_totalprice, CAST(r.range AS INT) AS b
-  FROM orders, range({BOOT_REPLICAS}) r
+WITH digs AS (
+  SELECT o_orderkey, o_totalprice, {_BOOT_DIGS_SQL} AS digs FROM orders
+),
+reps AS (
+  SELECT o_orderkey, o_totalprice, digs, CAST(r.range AS INT) AS b
+  FROM digs, range({BOOT_REPLICAS}) r
 ),
 weighted AS (
   SELECT b, o_totalprice AS x, {_BOOT_W_SQL} AS w
-  FROM (SELECT o_orderkey, o_totalprice, b, {_BOOT_U} AS u FROM reps) t
+  FROM (SELECT o_orderkey, o_totalprice, b, {_BOOT_SLICE} AS u FROM reps) t
 ),
 means AS (
   SELECT b,
@@ -1301,8 +1322,10 @@ def bootstrap_ci_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     value — the ONLINE bootstrap (Owen/Chamandy): instead of resampling
     N rows with replacement (impossible in one distributed pass), each
     row contributes to each of {BOOT_REPLICAS} replicas with a
-    deterministic Poisson(1) weight (md5-derived uniform through the
-    literal inverse CDF).  Replica means bracket the sampling
+    deterministic Poisson(1) weight: a 16-bit slice of one of 4 per-row
+    md5 digests, compared against hex-literal inverse-CDF thresholds
+    (fixed-width lowercase hex sorts numerically, so no per-row int
+    conversion).  Replica means bracket the sampling
     distribution; the 2nd/31st order statistics of 32 replicas give the
     ~90%% interval.  The error bar every profiling mean should ship
     with, computed by the engine itself.
@@ -1314,31 +1337,33 @@ def bootstrap_ci_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning/retry (the property that makes bootstrap feasible on a
     cluster at all)."""
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    reps = orders.withColumn(
+    # 4 digests per ROW (before the explode) — each 128-bit digest feeds 8
+    # replicas with a distinct 16-bit slice; see _BOOT_DIGS_SQL.
+    digs = orders.withColumn(
+        "digs",
+        F.array(*[
+            F.md5(F.concat(F.lit(f"boot{j}|"), F.col("o_orderkey").cast("string")))
+            for j in range(_BOOT_DIGESTS)
+        ]),
+    )
+    # Explode replicas, then derive (u, w) per exploded row: ONE small
+    # slice/CASE expression that stays inside whole-stage codegen, applied
+    # 32x per row.  Two alternatives were measured and rejected at sf0.1:
+    # 64 unrolled per-replica aggregate expressions over the un-exploded
+    # scan = 7.9 s (codegen blowup, the round-6 fold lesson), per-row
+    # F.transform weight arrays = 40 s (interpreted lambdas).  This shape:
+    # 5.4 s, and the explode is map-side — no shuffle grows with it.
+    reps = digs.withColumn(
         "b", F.explode(F.sequence(F.lit(0), F.lit(BOOT_REPLICAS - 1)))
     ).withColumn("b", F.col("b").cast("int"))
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit("boot|"),
-                        F.col("o_orderkey").cast("string"),
-                        F.lit("|"),
-                        F.col("b").cast("string"),
-                    )
-                ),
-                1,
-                4,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        / 65536.0
+    u = F.substring(
+        F.element_at("digs", (F.col("b") / 8).cast("int") + F.lit(1)),
+        (F.col("b") % 8) * 4 + 1,
+        F.lit(4),
     )
-    w = F.lit(len(_POIS_CUM))
-    for k in range(len(_POIS_CUM) - 1, -1, -1):
-        w = F.when(F.col("u") < _POIS_CUM[k], k).otherwise(w)
+    w = F.lit(len(_POIS_HEX))
+    for k in range(len(_POIS_HEX) - 1, -1, -1):
+        w = F.when(F.col("u") < _POIS_HEX[k], k).otherwise(w)
     weighted = reps.withColumn("u", u).select(
         "b", F.col("o_totalprice").alias("x"), w.alias("w")
     )

@@ -804,6 +804,15 @@ def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("qb") != F.col("qa"),
     )
+    # Tie-safety (r6 ask #2 audit): both ROUND sites here take a DOUBLE
+    # (sums of squared float32 diffs / their ratio — dense-mantissa,
+    # transcendental-free but never 2^-k-aligned), and both engines round
+    # the DOUBLE path half-away-from-zero (verified: Spark
+    # round(0.0078125, 6) == DuckDB round(0.0078125::DOUBLE, 6) ==
+    # 0.007813), so even an exact digit-7 decimal tie agrees.  The ewma
+    # hazard class — a DECIMAL-typed exact product rounded under DuckDB's
+    # decimal semantics against Spark's double — cannot arise: no decimal
+    # product is rounded on either side of this query.
     sqdist = lambda a, b: F.round(  # noqa: E731
         F.aggregate(
             F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),

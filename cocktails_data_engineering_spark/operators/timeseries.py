@@ -1038,6 +1038,13 @@ def seasonal_naive_forecast_error(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("n").alias("actual"),
         "fcst",
         F.abs(F.col("n") - F.col("fcst")).alias("abs_err"),
+        # Tie-safety (r6 ask #2 audit): ape = int/int in DOUBLE, which CAN
+        # land on an exact digit-7 tie (e.g. 1/128 = 0.0078125) — but both
+        # engines compute the identical IEEE quotient and round the DOUBLE
+        # path half-away-from-zero (verified on 0.0078125 → 0.007813 in
+        # both), so ties resolve identically.  The ewma hazard was a
+        # DECIMAL-typed product rounded under decimal semantics on one
+        # side only; here neither engine rounds a decimal product.
         F.round(F.abs(F.col("n") - F.col("fcst")).cast("double") / F.col("n"), 6).alias(
             "ape"
         ),
@@ -1070,12 +1077,19 @@ def seasonal_naive_forecast_error(spark: SparkSession, sf_dir: str) -> DataFrame
 # then sum the integers (exact, order-free) and divide by 10^6 once.
 # Both engines run the identical integer arithmetic => equal by
 # construction.  Horizon cap: weights with k > EWMA_K_CAP are dropped
-# in BOTH engines (inner join against the weights table); 2^-26 ~
-# 1.5e-8, far below the 6-dp output resolution for these magnitudes,
-# and the cap keeps Y*5^k inside DECIMAL(38,0) (Y<=1e15 even at 100 TB
-# daily rollups => product <= 1.5e33 < 1e38).
+# in BOTH engines (inner join against the weights table), and the cap
+# is PART OF THE OPERATOR'S DEFINITION — the reported ewma is the
+# closed form truncated to the most recent EWMA_K_CAP+1 days.  The
+# dropped tail is ABSOLUTE, not relative: it is bounded by
+# y_max * 2^-EWMA_K_CAP (~y_max * 2.3e-10 at cap 32), so it exceeds
+# the 5e-7 half-ulp of the 6-dp output only when daily sums pass
+# ~2.1e3 — at any magnitude, parity holds because both engines drop
+# the identical terms.  Cap sizing: 32 is the LARGEST cap whose
+# products fit the stated 100 TB bound — Y = y*10^6 <= 1e15 gives
+# Y*5^32 <= 2.4e37 < 1e38 (DECIMAL(38,0)) and < 1.7e38 (HUGEINT);
+# k=33 would already overflow at Y=1e15.
 EWMA_ALPHA_POW = 2  # alpha = 1 / EWMA_ALPHA_POW
-EWMA_K_CAP = 26
+EWMA_K_CAP = 32
 
 
 def _ewma_weight_rows() -> list[tuple[int, int, int, int]]:
@@ -1134,7 +1148,7 @@ def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan at 100 TB: the fact table collapses to a |days| x |types|
     rollup first (map-side combinable); the triangular self-join runs
-    on that metadata-sized table only, against a 27-row broadcast
+    on that metadata-sized table only, against a 33-row broadcast
     weights table — the closed form trades an unparallelizable
     recursion for a tiny T^2 join, the right trade whenever T is
     calendar-bounded."""
@@ -1167,9 +1181,9 @@ def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     wschema = StructType(
         [
             StructField("k", IntegerType()),
-            StructField("p5", DecimalType(20, 0)),
-            StructField("half", DecimalType(27, 0)),
-            StructField("p10", DecimalType(27, 0)),
+            StructField("p5", DecimalType(25, 0)),  # 5^32 has 23 digits
+            StructField("half", DecimalType(35, 0)),  # 5*10^31 has 32 digits
+            StructField("p10", DecimalType(35, 0)),  # 10^32 has 33 digits
         ]
     )
     weights = spark.createDataFrame(

@@ -228,9 +228,11 @@ def jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     way, and a bench run should price the JDBC leg, not Derby's
     single-threaded ingest of the full fact table.
 
-    Fallback policy: ONLY a missing/unloadable JDBC driver class falls
-    back to parquet — any other failure (write error, partitioned-read
-    bug, SQL error) must surface, not be silently absorbed.  The chosen
+    Fallback policy: driver availability is probed UP FRONT
+    (``Class.forName`` through the session's JVM) and the parquet
+    fallback is taken only on a failed probe — once the probe passes, any
+    JDBC failure (write error, partitioned-read bug, SQL error) surfaces
+    instead of being classified post-hoc from exception text.  The chosen
     sink and any fallback reason are logged into the result row."""
     edges = (
         load(spark, sf_dir, "orders")
@@ -250,57 +252,73 @@ def jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     jdbc_url = os.environ.get("SPARK_GRAFT_JDBC_URL") or ("jdbc:derby:" + derby_dir)
     detail = ""
+    cfg = SinkConfig.from_url(jdbc_url)
+    # Probe the driver class BEFORE writing (advice r7): a post-hoc
+    # substring match on the exception text could both false-positive (an
+    # unrelated ClassNotFoundException deep in a wrapped Py4J stack) and
+    # false-negative (driver absence surfacing as NoClassDefFoundError).
     try:
-        cfg = SinkConfig.from_url(jdbc_url)
-        if cfg.engine == "derby":
-            # embedded Derby serializes on the db directory lock: 32
-            # concurrent insert partitions just contend.  4 writers +
-            # 10x batches is the measured sweet spot locally; a real
-            # server-side target keeps the scan's parallelism.
-            cfg = SinkConfig(**{**cfg.__dict__, "batchsize": 10000})
-            edges = edges.coalesce(4)
-        write_jdbc(edges, cfg, cfg.indexing_table, mode="overwrite")
-        lo, hi = edges.agg(F.min("parent_id"), F.max("parent_id")).first()
-        back = read_jdbc(
-            spark, cfg, cfg.indexing_table,
-            partition_column="parent_id", lower=lo, upper=hi,
-        )
-        sink = "jdbc" if os.environ.get("SPARK_GRAFT_JDBC_URL") else "jdbc_derby_embedded"
-        n_written = edges.count()
-        n_read = back.count()
-    except Exception as exc:  # narrow below: only driver-absence falls back
-        msg = str(exc)
-        driver_missing = (
-            "ClassNotFoundException" in msg
-            or "No suitable driver" in msg
-            or "SQLException: No suitable driver" in msg
-        )
-        if not driver_missing:
-            raise  # real JDBC regression (write/read/SQL) — surface it
+        spark._jvm.java.lang.Class.forName(cfg.options()["driver"])
+        driver_ok = True
+    except Exception as exc:  # noqa: BLE001 — probe failure IS the signal
+        driver_ok = False
+        detail = str(exc).splitlines()[0][:200]
+    if driver_ok:
+        try:
+            if cfg.engine == "derby":
+                # embedded Derby serializes on the db directory lock: 32
+                # concurrent insert partitions just contend.  4 writers +
+                # 10x batches is the measured sweet spot locally; a real
+                # server-side target keeps the scan's parallelism.
+                cfg = SinkConfig(**{**cfg.__dict__, "batchsize": 10000})
+                edges = edges.coalesce(4)
+            write_jdbc(edges, cfg, cfg.indexing_table, mode="overwrite")
+            lo, hi = edges.agg(F.min("parent_id"), F.max("parent_id")).first()
+            back = read_jdbc(
+                spark, cfg, cfg.indexing_table,
+                partition_column="parent_id", lower=lo, upper=hi,
+            )
+            sink = (
+                "jdbc" if os.environ.get("SPARK_GRAFT_JDBC_URL")
+                else "jdbc_derby_embedded"
+            )
+            n_written = edges.count()
+            n_read = back.count()
+        finally:
+            if os.path.isdir(derby_dir):
+                # Shut the embedded database down BEFORE removing its
+                # files: Derby keeps booted dbs keyed by path inside the
+                # JVM, so a bare rmtree would leave a booted instance
+                # pointing at deleted inodes and break the next run in the
+                # same session.  Derby signals a SUCCESSFUL shutdown by
+                # throwing SQLException 08006 — delete ONLY in that case;
+                # any other outcome leaves the directory for the still-
+                # booted instance to reuse (create=true is idempotent).
+                shutdown_ok = False
+                try:
+                    spark._jvm.java.sql.DriverManager.getConnection(
+                        f"jdbc:derby:{derby_dir};shutdown=true"
+                    )
+                except Exception as exc:  # noqa: BLE001 — 08006 = success
+                    state = None
+                    jexc = getattr(exc, "java_exception", None)
+                    if jexc is not None:
+                        try:
+                            state = jexc.getSQLState()
+                        except Exception:  # noqa: BLE001
+                            state = None
+                    shutdown_ok = state == "08006" or "08006" in str(exc)
+                if shutdown_ok:
+                    shutil.rmtree(derby_dir, ignore_errors=True)
+    else:
         # no usable JDBC driver on this Spark build: parquet fallback keeps
         # the write->read path exercised (and the query registered).
         path = os.path.join(tempfile.gettempdir(), "cocktails_spark_roundtrip")
         write_binary_store(edges, path)
         back = spark.read.parquet(path)
         sink = "parquet_fallback"
-        detail = msg.splitlines()[0][:200]
         n_written = edges.count()
         n_read = back.count()
-    finally:
-        if os.path.isdir(derby_dir):
-            # Shut the embedded database down BEFORE removing its files:
-            # Derby keeps booted dbs keyed by path inside the JVM, so a
-            # bare rmtree would leave a booted instance pointing at
-            # deleted inodes and break the next run in the same session
-            # (bench runs every query twice).  Derby signals a SUCCESSFUL
-            # shutdown by throwing SQLException 08006 — swallow it.
-            try:
-                spark._jvm.java.sql.DriverManager.getConnection(
-                    f"jdbc:derby:{derby_dir};shutdown=true"
-                )
-            except Exception:
-                pass
-            shutil.rmtree(derby_dir, ignore_errors=True)
     return spark.createDataFrame(
         [(sink, detail, n_written, n_read, n_written == n_read)],
         "sink string, fallback_reason string, n_written long, n_read long,"

@@ -20,12 +20,24 @@ from cocktails_data_engineering_spark.plans.queries import all_oracles, all_quer
 
 # Cross-engine rounding ties are DATA-DEPENDENT (the r6 ewma bug was
 # invisible at sf0.01 and red at sf0.001), so parity runs against BOTH
-# small fixtures by default.  Override with a colon-separated list to
-# pin a single fixture (e.g. while iterating on one query).
-_PARITY_DIRS = os.environ.get(
-    "SPARK_GRAFT_PARITY_SF_DIRS",
-    "/root/testdata/sf0.001:/root/testdata/sf0.01",
-).split(":")
+# small fixtures by default.  Defaults derive from the SAME knob the rest
+# of the suite uses (conftest's SPARK_GRAFT_TEST_SF_DIR): that fixture's
+# sibling sf0.001/sf0.01 dirs, so relocated fixtures keep parity honest.
+# Override with a colon-separated SPARK_GRAFT_PARITY_SF_DIRS to pin a
+# single fixture (e.g. while iterating on one query).
+_TEST_SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+_SF_ROOT = os.path.dirname(_TEST_SF_DIR.rstrip("/")) or "/root/testdata"
+_DEFAULT_PARITY = ":".join(
+    dict.fromkeys(  # ordered de-dup: the conftest dir itself, then sf0.01
+        [_TEST_SF_DIR.rstrip("/"),
+         os.path.join(_SF_ROOT, "sf0.001"),
+         os.path.join(_SF_ROOT, "sf0.01")]
+    )
+)
+_PARITY_DIRS = [
+    p for p in os.environ.get("SPARK_GRAFT_PARITY_SF_DIRS", _DEFAULT_PARITY).split(":")
+    if os.path.isdir(p)
+] or [_TEST_SF_DIR]
 
 
 @pytest.fixture(

@@ -487,3 +487,71 @@ def test_schema_evolution_read_merges_without_python(spark, sf_dir):
     plan = _plan(spark, sf_dir, "parquet_schema_evolution_agg")
     assert "BatchEvalPython" not in plan
     assert "quality" in plan  # evolved column visible to the unified scan
+
+
+# ---------------------------------------------------------------------------
+# Round-8 contracts: intended plan shapes for the r6/r7 operator families
+# (r6 ask #7) — the global sweep only asserts the anti-pattern floor.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("name", ["ivfadc_topk", "ivfpq_residual_topk"])
+def test_ivf_pq_luts_broadcast_and_equi_join(spark, sf_dir, name):
+    """The ADC lookup tables and coarse centroids are metadata-sized and
+    must reach the CODE TABLE by BROADCAST equi-joins — a shuffled or
+    nested-loop candidate join is the O(Q·N) failure the IVF structure
+    exists to avoid.  The only nested loops allowed are broadcast
+    CROSSES between quantizer-metadata sides (queries x coarse
+    centroids for nprobe cell selection / LUT construction: Q·K_COARSE
+    rows, independent of corpus size); every join that touches the
+    corpus-sized code table must be a BroadcastHashJoin."""
+    plan = _plan(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, name
+    assert "BroadcastHashJoin" in plan, name
+    for ln in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in ln:
+            assert "Cross" in ln, f"{name}: non-cross nested loop:\n{ln}"
+    assert plan.count("BroadcastNestedLoopJoin") <= 3, name
+
+
+def test_logistic_gd_plan_is_aggregate_only(spark, sf_dir):
+    """Gradient descent = per-round 1-row gradient AGGREGATES; the final
+    weights table must contain no window, no join of the fact with
+    itself, and no Python stage."""
+    plan = _plan(spark, sf_dir, "logistic_regression_gd")
+    assert "BatchEvalPython" not in plan
+    for i, ln in enumerate(plan.splitlines()):
+        if "Window" in ln and "WindowGroupLimit" not in ln:
+            raise AssertionError(f"logistic_regression_gd: window node:\n{ln}")
+
+
+def test_bootstrap_window_sees_only_replica_aggregate(spark, sf_dir):
+    """The only Window (rank of 32 replica means) must be fed by the
+    32-group aggregate — never by the exploded fact rows.  The explode
+    itself must flow into a partial aggregate with no shuffle between."""
+    plan = _plan(spark, sf_dir, "bootstrap_ci_order_value")
+    lines = plan.splitlines()
+    windows = [i for i, ln in enumerate(lines)
+               if "Window" in ln and "WindowGroupLimit" not in ln]
+    assert len(windows) == 1, f"expected 1 window, got {len(windows)}"
+    ctx = "\n".join(lines[windows[0]: windows[0] + 8])
+    assert "HashAggregate" in ctx, f"window not fed by the replica aggregate:\n{ctx}"
+
+
+def test_dsir_delta_table_broadcasts(spark, sf_dir):
+    """DSIR's hashed-unigram log-ratio table is vocabulary-sized metadata
+    and must broadcast onto the document scan — shuffling the corpus by
+    token to meet it would be the 100 TB bottleneck."""
+    plan = _plan(spark, sf_dir, "dsir_importance_resample")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ewma_weights_broadcast_onto_rollup_sized_join(spark, sf_dir):
+    """The exact-decimal weights table must broadcast, and the triangular
+    self-join must run on the daily ROLLUP (the fact table is scanned at
+    most twice — once per self-join side — and never nested-looped)."""
+    plan = _plan(spark, sf_dir, "ewma_daily_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("events.parquet") <= 2

@@ -115,7 +115,10 @@ def cmd_check(msg_file: str) -> int:
             msg = fh.read()
     except OSError:
         return 0
-    if MARKER not in msg.lower():
+    # Match the SUBJECT line only: a body that merely mentions the phrase
+    # (e.g. a commit describing this gate) must not trigger a suite run.
+    subject = msg.strip().splitlines()[0].lower() if msg.strip() else ""
+    if MARKER not in subject:
         return 0  # ordinary commit — gate only guards the round snapshot
 
     fp = tree_fingerprint()
