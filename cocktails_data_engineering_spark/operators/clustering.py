@@ -396,3 +396,127 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Greedy k-center coreset (farthest-point traversal) — data-pruning seed
+# ---------------------------------------------------------------------------
+K_CENTERS = 8
+
+
+def _kcenter_oracle() -> str:
+    """Unrolled greedy farthest-point traversal (K_CENTERS rounds): the
+    same sequential argmax the Spark driver loop runs, as chained CTEs
+    (the mmr_diverse_topk unrolling device).  Every CTE is MATERIALIZED:
+    DuckDB inlines plain CTEs, and the s/m chains reference each other
+    recursively — un-materialized, the inlined plan grows exponentially
+    in K_CENTERS (measured: >200 s at K=8 vs 0.1 s materialized)."""
+    parts = [
+        """vecs AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+)""",
+        """s1 AS MATERIALIZED (
+  SELECT vec_id, emb FROM vecs
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1
+)""",
+    ]
+    chosen = ["s1"]
+    prev_min = None
+    for i in range(2, K_CENTERS + 1):
+        c = chosen[-1]
+        flat = f"""f{i} AS MATERIALIZED (
+  SELECT v.vec_id, unnest(v.emb) AS vx, unnest(c.emb) AS cx
+  FROM vecs v, {c} c
+)"""
+        d = f"""d{i} AS MATERIALIZED (
+  SELECT vec_id, ROUND(SUM((vx - cx) * (vx - cx)), 6) AS d
+  FROM f{i} GROUP BY vec_id
+)"""
+        if prev_min is None:
+            m = f"m{i} AS MATERIALIZED (SELECT vec_id, d FROM d{i})"
+        else:
+            m = f"""m{i} AS MATERIALIZED (
+  SELECT p.vec_id, LEAST(p.d, d{i}.d) AS d
+  FROM {prev_min} p JOIN d{i} USING (vec_id)
+)"""
+        excl = " UNION ALL ".join(f"SELECT vec_id FROM {s}" for s in chosen)
+        s = f"""s{i} AS MATERIALIZED (
+  SELECT v.vec_id, v.emb, m.d
+  FROM m{i} m JOIN vecs v USING (vec_id)
+  WHERE m.vec_id NOT IN ({excl})
+  ORDER BY m.d DESC, m.vec_id LIMIT 1
+)"""
+        parts += [flat, d, m, s]
+        chosen.append(f"s{i}")
+        prev_min = f"m{i}"
+    selects = ["SELECT 1 AS step, vec_id AS center_id, 0.0 AS sel_d2 FROM s1"] + [
+        f"SELECT {i} AS step, vec_id AS center_id, d AS sel_d2 FROM s{i}"
+        for i in range(2, K_CENTERS + 1)
+    ]
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@register("kcenter_coreset_sample", oracle=_kcenter_oracle())
+def kcenter_coreset_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset over the embeddings: farthest-point
+    traversal picks {K_CENTERS} maximally-spread vectors (seed = the
+    md5-first vector, then repeatedly the point farthest from every
+    chosen center).  The classic 2-approximation to the k-center
+    cover — the coreset/data-pruning seed set a curation pipeline uses
+    to cover the embedding space with few exemplars (and the init
+    k-means++ approximates).  Emits (step, center_id, sel_d2): sel_d2
+    is the coverage radius just before each pick, a non-increasing
+    curve whose tail is the residual covering radius.
+
+    Determinism: distances fold sequentially and ROUND to 6 before the
+    argmax (ties break on vec_id) — the kmeans discipline; the oracle
+    unrolls the identical greedy rounds as chained CTEs.
+
+    Plan at 100 TB: each of the {K_CENTERS}-1 rounds is one map-side
+    fold against ONE broadcast (literal) center + a 1-row argmax
+    aggregate collected driver-side (the O(rounds) scalar pattern of
+    kmeans/BPE); the running min-distance column is materialized per
+    round, so the corpus is never shuffled and never self-joined."""
+    vecs = _vectors(spark, sf_dir)
+    seed = (
+        vecs.select("vec_id", "emb", F.md5(F.col("vec_id").cast("string")).alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(1)
+        .collect()[0]
+    )
+
+    def _d2_to(center_emb) -> Column:
+        lit = F.array(*[F.lit(float(v)) for v in center_emb])
+        return F.round(
+            F.aggregate(
+                F.zip_with("emb", lit, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+
+    centers = [(1, int(seed["vec_id"]), 0.0)]
+    mind = materialize(
+        vecs.select("vec_id", "emb", _d2_to(seed["emb"]).alias("d"))
+    )
+    for step in range(2, K_CENTERS + 1):
+        chosen_ids = [c[1] for c in centers]
+        top = (
+            mind.filter(~F.col("vec_id").isin(chosen_ids))
+            .orderBy(F.desc("d"), "vec_id")
+            .limit(1)
+            .collect()[0]
+        )
+        centers.append((step, int(top["vec_id"]), float(top["d"])))
+        mind = materialize(
+            mind.select(
+                "vec_id",
+                "emb",
+                F.least(F.col("d"), _d2_to(top["emb"])).alias("d"),
+            )
+        )
+    return vecs.sparkSession.createDataFrame(
+        centers, "step int, center_id bigint, sel_d2 double"
+    )

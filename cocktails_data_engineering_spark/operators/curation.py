@@ -1102,3 +1102,104 @@ def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("n_kept"),
         F.round(dsum(F.col("avg_lr")) / F.count(F.lit(1)), 6).alias("mean_lr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# EL2N example-difficulty pruning audit (model-based data curation)
+# ---------------------------------------------------------------------------
+EL2N_DECILES = 10
+
+
+def _el2n_oracle() -> str:
+    from .ml import LOGIT_ROUNDS, _logit_cte_parts
+
+    parts = ",\n".join(_logit_cte_parts())
+    qs = ", ".join(
+        str(q / EL2N_DECILES) for q in range(1, EL2N_DECILES)
+    )
+    bucket = " + ".join(
+        f"CASE WHEN el2n > bs[{j}] THEN 1 ELSE 0 END"
+        for j in range(1, EL2N_DECILES)
+    )
+    return f"""
+WITH {parts},
+scored AS (
+  SELECT y,
+         ROUND(ABS(ROUND(1.0 / (1.0 + exp(-ROUND(
+           w.w0 * x0 + w.w1 * x1 + w.w2 * x2, 3))), 6) - y), 6) AS el2n
+  FROM f CROSS JOIN w{LOGIT_ROUNDS} w
+),
+bounds AS (
+  SELECT list_transform(quantile_cont(el2n, [{qs}]),
+                        q -> ROUND(CAST(q AS DOUBLE), 6)) AS bs
+  FROM scored
+)
+SELECT CAST({bucket} AS INT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(CAST(el2n AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+         AS mean_el2n,
+       ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS pos_rate
+FROM scored CROSS JOIN bounds
+GROUP BY 1
+"""
+
+
+@register("el2n_prune_deciles", oracle=_el2n_oracle())
+def el2n_prune_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EL2N data-pruning audit (Paul et al., "Deep Learning on a Data
+    Diet"): score every training example by the trained model's error
+    norm — for the binary logistic case EL2N = |p - y| — and profile
+    the corpus by EL2N decile.  Low deciles are the easy, redundant
+    examples a pruning pass drops first; the per-decile positive rate
+    shows whether pruning would skew the label mix.  Reuses the
+    in-engine GD model (ml.train_logistic), so scores are identical to
+    the deployed scorer's.
+
+    Determinism: p and el2n ROUND to 6; decile boundaries are exact
+    percentiles rounded to 6 BEFORE the comparisons (the derived-stat
+    discipline), so boundary ties resolve identically cross-engine.
+
+    Plan at 100 TB: scoring is a map-side literal projection (weights
+    are driver literals); the boundary vector is ONE 9-number aggregate
+    broadcast back over the scan (never an NTILE global sort); the
+    final rollup is a 10-group map-side-combinable aggregate."""
+    from .ml import _logit_features, train_logistic
+
+    w = train_logistic(spark, sf_dir)[-1]
+    f = _logit_features(spark, sf_dir)
+    z = F.round(
+        F.lit(w[0]) * F.col("x0")
+        + F.lit(w[1]) * F.col("x1")
+        + F.lit(w[2]) * F.col("x2"),
+        3,
+    )
+    p = F.round(1.0 / (1.0 + F.exp(-z)), 6)
+    scored = f.select(F.col("y"), F.round(F.abs(p - F.col("y")), 6).alias("el2n"))
+    bounds = scored.agg(
+        F.transform(
+            F.percentile(
+                "el2n",
+                F.array(*[F.lit(q / EL2N_DECILES) for q in range(1, EL2N_DECILES)]),
+            ),
+            lambda q: F.round(q, 6),
+        ).alias("bs")
+    )
+    bucket = sum(
+        (F.col("el2n") > F.element_at("bs", j)).cast("int")
+        for j in range(1, EL2N_DECILES)
+    )
+    return (
+        scored.crossJoin(F.broadcast(bounds))
+        .groupBy(bucket.cast("int").alias("decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("el2n").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_el2n"),
+            F.round(F.sum("y").cast("double") / F.count(F.lit(1)), 6).alias(
+                "pos_rate"
+            ),
+        )
+    )

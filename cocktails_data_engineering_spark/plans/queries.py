@@ -75,6 +75,8 @@ _SAMPLE_FRONT = (
     "null_safe_join_counts",
     "dense_rank_top_price_levels",
     # --- round-8 additions land here (newest evidence first) ---
+    "kcenter_coreset_sample",
+    "el2n_prune_deciles",
     # --- prior-round keys below (r7 order), re-sampled as the cut allows ---
     "ewma_daily_revenue",
     "ivfadc_topk",

@@ -46,3 +46,21 @@ def test_kmeans_summary_deterministic_and_complete(spark, sf_dir):
     assert 1 <= len(r1) <= clustering.K
     n_vecs = clustering._vectors(spark, sf_dir).count()
     assert sum(r["n_members"] for r in r1) == n_vecs
+
+
+def test_kcenter_coreset_greedy_invariants(spark, sf_dir):
+    """Farthest-point traversal: 8 distinct centers, sel_d2 non-increasing
+    (each pick covers the previous worst gap), and every later pick's
+    distance is positive (no duplicate vectors chosen)."""
+    from cocktails_data_engineering_spark.operators.clustering import (
+        kcenter_coreset_sample,
+    )
+
+    rows = sorted(
+        kcenter_coreset_sample(spark, sf_dir).collect(), key=lambda r: r.step
+    )
+    assert [r.step for r in rows] == list(range(1, 9))
+    assert len({r.center_id for r in rows}) == 8
+    dists = [r.sel_d2 for r in rows[1:]]
+    assert all(a >= b for a, b in zip(dists, dists[1:])), dists
+    assert all(d > 0 for d in dists)

@@ -200,3 +200,20 @@ def test_dsir_keeps_target_like_docs_drops_alien_vocabulary(spark, tmp_path):
     assert out["en"]["n_kept"] == out["en"]["n_docs"] == 30
     assert out["zh"]["n_kept"] < 10  # ratio << 1: most alien docs dropped
     assert out["en"]["mean_lr"] > 0 > out["zh"]["mean_lr"]
+
+
+def test_el2n_deciles_partition_and_order(spark, sf_dir):
+    """The ten deciles partition the training set and mean EL2N rises
+    with the decile index (boundaries are order statistics)."""
+    from pyspark.sql import functions as F
+
+    from cocktails_data_engineering_spark.operators.curation import (
+        el2n_prune_deciles,
+    )
+    from cocktails_data_engineering_spark.sources.tables import load
+
+    rows = sorted(el2n_prune_deciles(spark, sf_dir).collect(), key=lambda r: r.decile)
+    n_orders = load(spark, sf_dir, "orders").count()
+    assert sum(r.n for r in rows) == n_orders
+    means = [r.mean_el2n for r in rows]
+    assert all(a <= b for a, b in zip(means, means[1:])), means
