@@ -1078,3 +1078,113 @@ def aligned_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_blocks"))
         .filter(F.col("n_blocks") >= BLOCK_MATCH_MIN)
     )
+
+
+# ---------------------------------------------------------------------------
+# Train/test split-leakage (decontamination) audit
+# ---------------------------------------------------------------------------
+# Deterministic ~12.5% holdout: a doc is 'test' iff the first two hex chars
+# of md5(doc_id) sort below this bound (32/256).  Both engines render
+# BIGINT→VARCHAR and md5 identically, so assignment is engine-exact.
+TEST_SPLIT_HEX_BOUND = "20"
+
+_SPLIT_LEAKAGE_ORACLE = f"""
+WITH {_ORACLE_CANDIDATES},
+splits AS (
+  SELECT doc_id, lang,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                   < '{TEST_SPLIT_HEX_BOUND}'
+              THEN 'test' ELSE 'train' END AS split
+  FROM documents
+),
+cross_pairs AS (
+  SELECT CASE WHEN a.split = 'test' THEN a.doc_id ELSE b.doc_id END AS test_doc,
+         CASE WHEN a.split = 'test' THEN a.lang ELSE b.lang END AS lang
+  FROM cands c
+  JOIN splits a ON c.doc_a = a.doc_id
+  JOIN splits b ON c.doc_b = b.doc_id
+  WHERE a.split <> b.split
+),
+leaked AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS n_cross_pairs,
+         CAST(COUNT(DISTINCT test_doc) AS BIGINT) AS n_contaminated
+  FROM cross_pairs GROUP BY lang
+),
+test_pop AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_test_docs
+  FROM splits WHERE split = 'test' GROUP BY lang
+)
+SELECT t.lang, t.n_test_docs,
+       COALESCE(l.n_contaminated, 0) AS n_contaminated,
+       COALESCE(l.n_cross_pairs, 0) AS n_cross_pairs,
+       ROUND(COALESCE(l.n_contaminated, 0) * 1.0 / t.n_test_docs, 6)
+         AS contamination_rate
+FROM test_pop t LEFT JOIN leaked l ON t.lang = l.lang
+"""
+
+
+@register("split_leakage_audit", oracle=_SPLIT_LEAKAGE_ORACLE)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination audit: near-duplicate pairs that STRADDLE a
+    deterministic ~12.5% md5-holdout split — the standard train/eval
+    leakage check (an eval doc with a lexical near-twin in training data
+    inflates benchmark scores; pipelines must count and then drop them).
+    Per eval-side language: holdout size, contaminated holdout docs
+    (distinct eval docs with >=1 cross-split near-dup), straddling pair
+    count, and the contamination rate.
+
+    Reuses minhash_candidates (128-perm, 32x4 bands, hot-bucket star
+    cap), so "near-twin" here is exactly the corpus dedup notion — the
+    audit and the dedup pass can never disagree on the pair set.
+
+    Plan at 100 TB: candidates stay banded-LSH-bounded (never all
+    pairs); the split label is a map-side md5 projection; the two
+    label joins key on doc_id (broadcast-able eval side at real
+    train>>eval ratios); the rollup is a lang-keyed aggregate."""
+    docs = load(spark, sf_dir, "documents")
+    splits = docs.select(
+        "doc_id",
+        "lang",
+        F.when(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+            < TEST_SPLIT_HEX_BOUND,
+            "test",
+        )
+        .otherwise("train")
+        .alias("split"),
+    )
+    cands = minhash_candidates(spark, sf_dir)
+    a = splits.alias("a")
+    b = splits.alias("b")
+    cross = (
+        cands.join(a, F.col("doc_a") == F.col("a.doc_id"))
+        .join(b, F.col("doc_b") == F.col("b.doc_id"))
+        .filter(F.col("a.split") != F.col("b.split"))
+        .select(
+            F.when(F.col("a.split") == "test", F.col("a.doc_id"))
+            .otherwise(F.col("b.doc_id"))
+            .alias("test_doc"),
+            F.when(F.col("a.split") == "test", F.col("a.lang"))
+            .otherwise(F.col("b.lang"))
+            .alias("lang"),
+        )
+    )
+    leaked = cross.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_cross_pairs"),
+        F.countDistinct("test_doc").alias("n_contaminated"),
+    )
+    test_pop = (
+        splits.filter(F.col("split") == "test")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_test_docs"))
+    )
+    return test_pop.join(leaked, "lang", "left").select(
+        "lang",
+        "n_test_docs",
+        F.coalesce("n_contaminated", F.lit(0)).cast("bigint").alias("n_contaminated"),
+        F.coalesce("n_cross_pairs", F.lit(0)).cast("bigint").alias("n_cross_pairs"),
+        F.round(
+            F.coalesce("n_contaminated", F.lit(0)) * 1.0 / F.col("n_test_docs"), 6
+        ).alias("contamination_rate"),
+    )

@@ -77,6 +77,7 @@ _SAMPLE_FRONT = (
     # --- round-8 additions land here (newest evidence first) ---
     "kcenter_coreset_sample",
     "el2n_prune_deciles",
+    "split_leakage_audit",
     # --- prior-round keys below (r7 order), re-sampled as the cut allows ---
     "ewma_daily_revenue",
     "ivfadc_topk",

@@ -72,3 +72,14 @@ def test_survey_ledger_mentions_every_registered_query(spark):
     text = survey.read_text()
     missing = [name for name in all_queries() if name not in text]
     assert not missing, f"queries missing from SURVEY.md: {missing}"
+
+
+def test_sample_front_names_only_registered_keys():
+    """_SAMPLE_FRONT drives which keys the external sweep samples first; a
+    typo'd name would silently fall out of the rotation (the _fronted
+    builder skips unknown keys), so every entry must resolve."""
+    from cocktails_data_engineering_spark.plans import queries as plans
+
+    registered = set(plans.all_queries())
+    missing = [k for k in plans._SAMPLE_FRONT if k not in registered]
+    assert not missing, f"_SAMPLE_FRONT keys not in the registry: {missing}"

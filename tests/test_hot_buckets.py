@@ -66,3 +66,44 @@ def test_cold_buckets_still_all_pairs(spark):
     docs = spark.createDataFrame(rows, "doc_id bigint, text string")
     pairs = {(r.doc_a, r.doc_b) for r in minhash_candidates_from(_shingles(docs)).collect()}
     assert pairs == {(a, b) for a in range(n) for b in range(n) if a < b}
+
+
+def test_split_leakage_audit_invariants(spark, sf_dir):
+    """The holdout partitions the corpus (~12.5% expected), contamination
+    counts are bounded by the holdout population, and every counted
+    cross pair really does straddle the split (re-derived from the
+    candidate set independently)."""
+    from pyspark.sql import functions as F
+
+    from cocktails_data_engineering_spark.operators.dedup import (
+        TEST_SPLIT_HEX_BOUND,
+        minhash_candidates,
+        split_leakage_audit,
+    )
+    from cocktails_data_engineering_spark.sources.tables import load
+
+    rows = {r["lang"]: r for r in split_leakage_audit(spark, sf_dir).collect()}
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    n_test = sum(r["n_test_docs"] for r in rows.values())
+    assert 0 < n_test < n_docs
+    for r in rows.values():
+        assert 0 <= r["n_contaminated"] <= r["n_test_docs"]
+        assert r["n_contaminated"] <= r["n_cross_pairs"]
+        assert abs(r["contamination_rate"] - r["n_contaminated"] / r["n_test_docs"]) < 1e-6
+
+    # independent recount of straddling pairs (split derived inline)
+    split_col = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+        < TEST_SPLIT_HEX_BOUND,
+        "test",
+    ).otherwise("train")
+    lab = docs.select("doc_id", split_col.alias("split"))
+    cands = minhash_candidates(spark, sf_dir)
+    n_cross = (
+        cands.join(lab.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("split", "sa"), "doc_a")
+        .join(lab.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("split", "sb"), "doc_b")
+        .filter(F.col("sa") != F.col("sb"))
+        .count()
+    )
+    assert n_cross == sum(r["n_cross_pairs"] for r in rows.values())

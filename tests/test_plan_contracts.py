@@ -555,3 +555,58 @@ def test_ewma_weights_broadcast_onto_rollup_sized_join(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert plan.count("events.parquet") <= 2
+
+
+def test_el2n_boundaries_broadcast_no_window(spark, sf_dir):
+    """EL2N scoring is a literal-weight projection (the GD weights are
+    driver scalars); the 9 decile boundaries are ONE 1-row aggregate
+    broadcast back over the scan as a cross join — never an NTILE/global
+    Window over the fact — and orders is scanned at most twice (score
+    side + boundary side)."""
+    plan = _plan(spark, sf_dir, "el2n_prune_deciles")
+    for ln in plan.splitlines():
+        if "Window" in ln and "WindowGroupLimit" not in ln:
+            raise AssertionError(f"el2n_prune_deciles: window node:\n{ln}")
+    assert "BatchEvalPython" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # the 1-row bounds cross
+    assert "Cross" in plan
+    assert plan.count("orders.parquet") <= 2
+
+
+def test_kcenter_rounds_are_map_side_folds(spark, sf_dir):
+    """The greedy traversal runs at build time as O(K) rounds of
+    (map-side fold against one literal center) + (1-row argmax collect)
+    — the kmeans/BPE driver-scalar pattern.  Contract: the returned
+    DataFrame is a driver-local K-row table (no distributed recompute at
+    consumption), and a single round's running-min projection is
+    join-free and exchange-free (pure map over the materialized state)."""
+    from pyspark.sql import functions as F
+
+    from cocktails_data_engineering_spark.operators import clustering as C
+
+    plan = _plan(spark, sf_dir, "kcenter_coreset_sample")
+    assert "LocalTableScan" in plan or "ExistingRDD" in plan
+    for bad in ("Join", "Exchange", "parquet"):
+        assert bad not in plan, f"kcenter result recomputes distributed work:\n{plan}"
+
+    vecs = C._vectors(spark, sf_dir)
+    center = [0.0] * len(vecs.select("emb").first()["emb"])
+    lit = F.array(*[F.lit(v) for v in center])
+    rnd = vecs.select(
+        "vec_id",
+        "emb",
+        F.round(
+            F.aggregate(
+                F.zip_with("emb", lit, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("d"),
+    )
+    round_plan = rnd._jdf.queryExecution().executedPlan().toString()
+    # _vectors' RoundRobin load-spread repartition is the one allowed
+    # exchange; a keyed (hash) exchange or any join would mean the fold
+    # stopped being a pure map over the materialized state.
+    for bad in ("Join", "hashpartitioning", "BatchEvalPython"):
+        assert bad not in round_plan, f"kcenter round not map-only:\n{round_plan}"
