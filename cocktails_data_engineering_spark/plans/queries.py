@@ -78,6 +78,7 @@ _SAMPLE_FRONT = (
     "kcenter_coreset_sample",
     "el2n_prune_deciles",
     "split_leakage_audit",
+    "winnowing_fingerprint_pairs",
     # --- prior-round keys below (r7 order), re-sampled as the cut allows ---
     "ewma_daily_revenue",
     "ivfadc_topk",

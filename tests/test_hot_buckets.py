@@ -107,3 +107,32 @@ def test_split_leakage_audit_invariants(spark, sf_dir):
         .count()
     )
     assert n_cross == sum(r["n_cross_pairs"] for r in rows.values())
+
+
+def test_winnowing_locality_guarantee(spark, tmp_path):
+    """Winnowing's defining property: documents sharing a long contiguous
+    word run MUST share fingerprints (every full window inside the run
+    selects the same minimum), while vocabulary-disjoint docs share none."""
+    import os
+
+    from cocktails_data_engineering_spark.operators.dedup import (
+        winnowing_fingerprint_pairs,
+    )
+
+    run = " ".join(f"tok{i}" for i in range(40))  # shared 40-word run
+    rows = [
+        (1, "alpha beta " + run + " gamma delta", "en", "web", 300),
+        (2, "omega sigma " + run + " tau kappa", "en", "web", 300),
+        (3, " ".join(f"other{i}" for i in range(50)), "en", "web", 300),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "documents.parquet")
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["n_shared"]
+        for r in winnowing_fingerprint_pairs(spark, str(tmp_path)).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 3
+    assert all(3 not in p for p in pairs)
