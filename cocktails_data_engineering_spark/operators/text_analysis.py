@@ -604,3 +604,89 @@ def bpe_apply_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chars_per_token"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Lexical-diversity profile (distinct-n / type-token ratios per source)
+# ---------------------------------------------------------------------------
+@register(
+    "ngram_diversity_by_source",
+    oracle="""
+WITH toked AS (
+  SELECT source, list_filter(string_split(text, ' '), w -> w <> '') AS toks
+  FROM documents
+),
+words AS (
+  SELECT source, unnest(toks) AS w FROM toked
+),
+bigrams AS (
+  SELECT source, unnest(list_transform(range(1, len(toks)),
+                                       i -> toks[i] || ' ' || toks[i+1])) AS bg
+  FROM toked WHERE len(toks) >= 2
+),
+wstat AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(COUNT(DISTINCT w) AS BIGINT) AS n_types
+  FROM words GROUP BY source
+),
+bstat AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(COUNT(DISTINCT bg) AS BIGINT) AS n_distinct_bigrams
+  FROM bigrams GROUP BY source
+)
+SELECT w.source, w.n_tokens, w.n_types,
+       ROUND(w.n_types * 1.0 / w.n_tokens, 6) AS type_token_ratio,
+       b.n_bigrams, b.n_distinct_bigrams,
+       ROUND(b.n_distinct_bigrams * 1.0 / b.n_bigrams, 6) AS bigram_diversity
+FROM wstat w JOIN bstat b USING (source)
+""",
+)
+def ngram_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity profile per source: type-token ratio and
+    distinct-bigram ratio (the distinct-n diversity metric curation
+    pipelines use to catch templated/spun corpora slices — low diversity
+    at high volume flags machine-generated or boilerplate-heavy sources
+    long before a dedup pass pays to prove it).
+
+    Plan at 100 TB: two explodes feed source-keyed aggregates; the
+    COUNT(DISTINCT) expands into Spark's two-phase partial-distinct
+    aggregate (map-side dedup per partition before the shuffle), so
+    shuffle volume is the per-partition distinct set, not the corpus."""
+    docs = load_spread(spark, sf_dir, "documents")
+    toked = docs.select(
+        "source", F.filter(F.split("text", " "), lambda w: w != "").alias("toks")
+    )
+    words = toked.select("source", F.explode("toks").alias("w"))
+    toks = F.col("toks")
+    bigrams = toked.filter(F.size("toks") >= 2).select(
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 2),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+                ),
+            )
+        ).alias("bg"),
+    )
+    wstat = words.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("w").alias("n_types"),
+    )
+    bstat = bigrams.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.countDistinct("bg").alias("n_distinct_bigrams"),
+    )
+    return wstat.join(bstat, "source").select(
+        "source",
+        "n_tokens",
+        "n_types",
+        F.round(F.col("n_types") * 1.0 / F.col("n_tokens"), 6).alias(
+            "type_token_ratio"
+        ),
+        "n_bigrams",
+        "n_distinct_bigrams",
+        F.round(
+            F.col("n_distinct_bigrams") * 1.0 / F.col("n_bigrams"), 6
+        ).alias("bigram_diversity"),
+    )

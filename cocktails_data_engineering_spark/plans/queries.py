@@ -79,6 +79,7 @@ _SAMPLE_FRONT = (
     "el2n_prune_deciles",
     "split_leakage_audit",
     "winnowing_fingerprint_pairs",
+    "ngram_diversity_by_source",
     # --- prior-round keys below (r7 order), re-sampled as the cut allows ---
     "ewma_daily_revenue",
     "ivfadc_topk",

@@ -170,3 +170,31 @@ def test_bpe_train_merges_recounts_after_each_merge(spark, tmp_path):
         (2, "a", "b", "ab", 4),
         (3, "aa", "ab", "aaab", 2),
     ]
+
+
+def test_ngram_diversity_flags_templated_source(spark, tmp_path):
+    """Bounds hold (distinct <= total, ratios in (0,1]) and a templated
+    source scores strictly lower bigram diversity than a varied one."""
+    import os
+
+    from cocktails_data_engineering_spark.operators.text_analysis import (
+        ngram_diversity_by_source,
+    )
+
+    rows = [(i, "the same template line again", "en", "spun", 27) for i in range(20)]
+    rows += [
+        (100 + i, " ".join(f"w{i}x{j}" for j in range(10)), "en", "varied", 60)
+        for i in range(20)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "documents.parquet")
+    )
+    out = {r["source"]: r for r in ngram_diversity_by_source(spark, str(tmp_path)).collect()}
+    for r in out.values():
+        assert 0 < r["n_types"] <= r["n_tokens"]
+        assert 0 < r["type_token_ratio"] <= 1
+        assert 0 < r["bigram_diversity"] <= 1
+    assert out["spun"]["bigram_diversity"] < out["varied"]["bigram_diversity"]
+    assert out["spun"]["type_token_ratio"] < out["varied"]["type_token_ratio"]
