@@ -100,11 +100,13 @@ def _passes_from_argv(argv: list[str]) -> int:
     """``--passes N`` (or ``SPARK_GRAFT_BENCH_PASSES``): headline queries are
     timed N times and the per-query MIN is kept.  Wall-clock on this shared
     host is contention-polluted (r3's bench read 3-10x over standalone
-    min-of-3 re-timings); min-of-passes recovers the noise floor for the
-    number the driver actually compares.  Default 2."""
+    min-of-3 re-timings; two clean-session r8 runs differed 20.8 vs 25.0 s
+    on ambient load alone); min-of-passes recovers the noise floor for the
+    number the driver actually compares.  Default 3 (~20 s extra runtime
+    buys the headline two more chances to dodge a load spike)."""
     if "--passes" in argv:
         return max(1, int(argv[argv.index("--passes") + 1]))
-    return max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2")))
+    return max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
 
 
 def _time_query(fn, spark, sf_dir: str) -> float:
