@@ -173,6 +173,13 @@ def main() -> None:
     if slowest:
         try:
             spark.stop()
+            # Python-side memoized state survives spark.stop(); drop it so
+            # "fresh session" means fresh model training too, or the
+            # spot-check under-reports queries whose sweep time included
+            # training (the misattribution this phase exists to catch).
+            from cocktails_data_engineering_spark.operators import ml
+
+            ml._TRAIN_CACHE.clear()
             spark = get_spark("cocktails_spark_bench_spotcheck")
             _warm(spark, sf_dir)
             for name in slowest:

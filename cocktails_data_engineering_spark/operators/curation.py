@@ -1114,13 +1114,13 @@ def _el2n_oracle() -> str:
     from .ml import LOGIT_ROUNDS, _logit_cte_parts
 
     parts = ",\n".join(_logit_cte_parts())
-    qs = ", ".join(
-        str(q / EL2N_DECILES) for q in range(1, EL2N_DECILES)
-    )
-    bucket = " + ".join(
-        f"CASE WHEN el2n > bs[{j}] THEN 1 ELSE 0 END"
-        for j in range(1, EL2N_DECILES)
-    )
+    # Rank-based deciles in pure INTEGER arithmetic (the ewma device):
+    # decile(v) = (rank_before(v) * 10) // N over the per-distinct-value
+    # cumulative counts.  Interpolated quantile_cont boundaries were
+    # rejected: Spark and DuckDB associate the interpolation differently
+    # (lower*(1-f)+higher*f vs lower+(higher-lower)*f), so a boundary one
+    # ulp from a digit-6 rounding edge could round apart data-dependently.
+    # Ties share a rank, so tied groups can never straddle a decile.
     return f"""
 WITH {parts},
 scored AS (
@@ -1129,17 +1129,22 @@ scored AS (
            w.w0 * x0 + w.w1 * x1 + w.w2 * x2, 3))), 6) - y), 6) AS el2n
   FROM f CROSS JOIN w{LOGIT_ROUNDS} w
 ),
-bounds AS (
-  SELECT list_transform(quantile_cont(el2n, [{qs}]),
-                        q -> ROUND(CAST(q AS DOUBLE), 6)) AS bs
-  FROM scored
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM scored),
+vals AS (
+  SELECT el2n, CAST(COUNT(*) AS BIGINT) AS cnt FROM scored GROUP BY el2n
+),
+buckets AS (
+  SELECT el2n,
+         CAST(((SUM(cnt) OVER (ORDER BY el2n) - cnt) * 10) // n AS INT)
+           AS decile
+  FROM vals CROSS JOIN tot
 )
-SELECT CAST({bucket} AS INT) AS decile,
+SELECT b.decile,
        CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(CAST(SUM(CAST(el2n AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+       ROUND(CAST(SUM(CAST(s.el2n AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
          AS mean_el2n,
        ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS pos_rate
-FROM scored CROSS JOIN bounds
+FROM scored s JOIN buckets b USING (el2n)
 GROUP BY 1
 """
 
@@ -1155,14 +1160,21 @@ def el2n_prune_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-engine GD model (ml.train_logistic), so scores are identical to
     the deployed scorer's.
 
-    Determinism: p and el2n ROUND to 6; decile boundaries are exact
-    percentiles rounded to 6 BEFORE the comparisons (the derived-stat
-    discipline), so boundary ties resolve identically cross-engine.
+    Determinism: p and el2n ROUND to 6; deciles are RANK-based in pure
+    integer arithmetic — decile(v) = (rank_before(v)·10) div N over the
+    per-distinct-value cumulative counts — because interpolated
+    percentile boundaries are NOT engine-exact (Spark and DuckDB
+    associate lower/higher interpolation differently, the r6 ewma bug
+    class).  Ties share a rank, so a tied group never straddles deciles.
 
     Plan at 100 TB: scoring is a map-side literal projection (weights
-    are driver literals); the boundary vector is ONE 9-number aggregate
-    broadcast back over the scan (never an NTILE global sort); the
-    final rollup is a 10-group map-side-combinable aggregate."""
+    are driver literals); the decile table is a value rollup (≤1e6+1
+    distinct 6-dp scores — metadata-sized) with one ordered window over
+    THAT rollup, broadcast back over the scan (never an NTILE global
+    sort of the fact); the final rollup is a ≤10-group
+    map-side-combinable aggregate."""
+    from pyspark.sql import Window as W
+
     from .ml import _logit_features, train_logistic
 
     w = train_logistic(spark, sf_dir)[-1]
@@ -1175,22 +1187,21 @@ def el2n_prune_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = F.round(1.0 / (1.0 + F.exp(-z)), 6)
     scored = f.select(F.col("y"), F.round(F.abs(p - F.col("y")), 6).alias("el2n"))
-    bounds = scored.agg(
-        F.transform(
-            F.percentile(
-                "el2n",
-                F.array(*[F.lit(q / EL2N_DECILES) for q in range(1, EL2N_DECILES)]),
-            ),
-            lambda q: F.round(q, 6),
-        ).alias("bs")
+    tot = scored.agg(F.count(F.lit(1)).alias("n"))
+    vals = scored.groupBy("el2n").agg(F.count(F.lit(1)).alias("cnt"))
+    cum = vals.select(
+        "el2n",
+        "cnt",
+        F.sum("cnt")
+        .over(W.orderBy("el2n").rowsBetween(W.unboundedPreceding, 0))
+        .alias("cum"),
     )
-    bucket = sum(
-        (F.col("el2n") > F.element_at("bs", j)).cast("int")
-        for j in range(1, EL2N_DECILES)
+    buckets = cum.crossJoin(F.broadcast(tot)).select(
+        "el2n", F.expr("CAST((cum - cnt) * 10 div n AS INT)").alias("decile")
     )
     return (
-        scored.crossJoin(F.broadcast(bounds))
-        .groupBy(bucket.cast("int").alias("decile"))
+        scored.join(F.broadcast(buckets), "el2n")
+        .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(

@@ -1273,9 +1273,15 @@ _BOOT_DIGS_SQL = "[" + ", ".join(
 # the integer thresholds preserve every comparison bit-for-bit.  This drops
 # the per-(row, replica) hex->int conversion and float division; the hot
 # loop is one substr + 8 string compares, identical in both engines.
-_POIS_HEX = [format(math.ceil(c * 65536), "04x") for c in _POIS_CUM]
+# Width: the LAST cut point ceils to 65536 = 0x10000, which is FIVE hex
+# chars — compared against a 4-char slice the lexicographic==numeric
+# equivalence breaks ('fffb' < '10000' is false), silently making w=7
+# unreachable.  Both sides therefore compare at fixed width 5: thresholds
+# zero-pad to 5 chars and the 16-bit slice gets a leading '0'.
+_POIS_HEX = [format(math.ceil(c * 65536), "05x") for c in _POIS_CUM]
 assert all(c * 65536 != math.floor(c * 65536) for c in _POIS_CUM)
-_BOOT_SLICE = "substr(digs[b // 8 + 1], (b % 8) * 4 + 1, 4)"
+assert all(len(h) == 5 for h in _POIS_HEX)  # width overflow tripwire
+_BOOT_SLICE = "'0' || substr(digs[b // 8 + 1], (b % 8) * 4 + 1, 4)"
 _BOOT_W_SQL = "CASE " + " ".join(
     f"WHEN u < '{h}' THEN {k}" for k, h in enumerate(_POIS_HEX)
 ) + f" ELSE {len(_POIS_HEX)} END"
@@ -1356,10 +1362,13 @@ def bootstrap_ci_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     reps = digs.withColumn(
         "b", F.explode(F.sequence(F.lit(0), F.lit(BOOT_REPLICAS - 1)))
     ).withColumn("b", F.col("b").cast("int"))
-    u = F.substring(
-        F.element_at("digs", (F.col("b") / 8).cast("int") + F.lit(1)),
-        (F.col("b") % 8) * 4 + 1,
-        F.lit(4),
+    u = F.concat(
+        F.lit("0"),  # width-5 compare: see the _POIS_HEX width note
+        F.substring(
+            F.element_at("digs", (F.col("b") / 8).cast("int") + F.lit(1)),
+            (F.col("b") % 8) * 4 + 1,
+            F.lit(4),
+        ),
     )
     w = F.lit(len(_POIS_HEX))
     for k in range(len(_POIS_HEX) - 1, -1, -1):

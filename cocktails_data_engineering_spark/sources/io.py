@@ -257,12 +257,24 @@ def jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # substring match on the exception text could both false-positive (an
     # unrelated ClassNotFoundException deep in a wrapped Py4J stack) and
     # false-negative (driver absence surfacing as NoClassDefFoundError).
-    try:
-        spark._jvm.java.lang.Class.forName(cfg.options()["driver"])
-        driver_ok = True
-    except Exception as exc:  # noqa: BLE001 — probe failure IS the signal
-        driver_ok = False
-        detail = str(exc).splitlines()[0][:200]
+    # Two-step probe: Class.forName resolves against the system classpath
+    # only; jars supplied via --jars/spark.jars land on Spark's mutable
+    # URL classloader, visible through the JVM thread's CONTEXT
+    # classloader — check both before concluding the driver is absent, or
+    # working --jars setups silently degrade to the parquet fallback.
+    driver_ok = False
+    for _probe in (
+        lambda n: spark._jvm.java.lang.Class.forName(n),
+        lambda n: spark._jvm.java.lang.Thread.currentThread()
+        .getContextClassLoader()
+        .loadClass(n),
+    ):
+        try:
+            _probe(cfg.options()["driver"])
+            driver_ok = True
+            break
+        except Exception as exc:  # noqa: BLE001 — probe failure IS the signal
+            detail = str(exc).splitlines()[0][:200]
     if driver_ok:
         try:
             if cfg.engine == "derby":

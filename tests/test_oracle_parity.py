@@ -34,10 +34,21 @@ _DEFAULT_PARITY = ":".join(
          os.path.join(_SF_ROOT, "sf0.01")]
     )
 )
-_PARITY_DIRS = [
-    p for p in os.environ.get("SPARK_GRAFT_PARITY_SF_DIRS", _DEFAULT_PARITY).split(":")
-    if os.path.isdir(p)
-] or [_TEST_SF_DIR]
+_PARITY_OVERRIDE = os.environ.get("SPARK_GRAFT_PARITY_SF_DIRS")
+if _PARITY_OVERRIDE is not None:
+    # An EXPLICIT override must fail loudly on a typo'd/moved path — a
+    # silent fallback to the defaults would report parity green against
+    # the wrong data while the developer believes the pinned fixture ran.
+    _PARITY_DIRS = [p for p in _PARITY_OVERRIDE.split(":") if p]
+    _missing = [p for p in _PARITY_DIRS if not os.path.isdir(p)]
+    if _missing:
+        raise RuntimeError(
+            f"SPARK_GRAFT_PARITY_SF_DIRS names nonexistent dirs: {_missing}"
+        )
+else:
+    _PARITY_DIRS = [
+        p for p in _DEFAULT_PARITY.split(":") if os.path.isdir(p)
+    ] or [_TEST_SF_DIR]
 
 
 @pytest.fixture(

@@ -557,20 +557,22 @@ def test_ewma_weights_broadcast_onto_rollup_sized_join(spark, sf_dir):
     assert plan.count("events.parquet") <= 2
 
 
-def test_el2n_boundaries_broadcast_no_window(spark, sf_dir):
+def test_el2n_decile_window_runs_on_value_rollup_only(spark, sf_dir):
     """EL2N scoring is a literal-weight projection (the GD weights are
-    driver scalars); the 9 decile boundaries are ONE 1-row aggregate
-    broadcast back over the scan as a cross join — never an NTILE/global
-    Window over the fact — and orders is scanned at most twice (score
-    side + boundary side)."""
+    driver scalars); the rank-based decile table is built from the
+    VALUE ROLLUP (≤1e6+1 distinct 6-dp scores), so the only Window must
+    be fed by a HashAggregate — never an NTILE/global sort of the fact —
+    and the decile table reaches the fact scan by broadcast."""
     plan = _plan(spark, sf_dir, "el2n_prune_deciles")
-    for ln in plan.splitlines():
-        if "Window" in ln and "WindowGroupLimit" not in ln:
-            raise AssertionError(f"el2n_prune_deciles: window node:\n{ln}")
+    lines = plan.splitlines()
+    windows = [i for i, ln in enumerate(lines)
+               if "Window" in ln and "WindowGroupLimit" not in ln]
+    assert len(windows) == 1, f"expected 1 window, got {len(windows)}"
+    ctx = "\n".join(lines[windows[0]: windows[0] + 10])
+    assert "HashAggregate" in ctx, f"window not fed by the value rollup:\n{ctx}"
     assert "BatchEvalPython" not in plan
-    assert plan.count("BroadcastNestedLoopJoin") == 1  # the 1-row bounds cross
-    assert "Cross" in plan
-    assert plan.count("orders.parquet") <= 2
+    assert "BroadcastHashJoin" in plan  # decile table broadcast onto scored
+    assert plan.count("orders.parquet") <= 3
 
 
 def test_kcenter_rounds_are_map_side_folds(spark, sf_dir):

@@ -122,6 +122,28 @@ def cmd_check(msg_file: str) -> int:
         return 0  # ordinary commit — gate only guards the round snapshot
 
     fp = tree_fingerprint()
+    # The suite can only certify the WORKING TREE, but the commit ships the
+    # INDEX.  If they diverge (unstaged edits / untracked files), say so
+    # loudly: a green gate then proves the working tree, not the exact
+    # bytes being committed.  (Not a refusal — blocking the round snapshot
+    # on a stray untracked file would lose the round's work, and the
+    # driver's snapshot flow stages everything first.)
+    try:
+        idx = subprocess.run(
+            ["git", "write-tree"], cwd=REPO, check=True,
+            capture_output=True, text=True,
+        ).stdout.strip()
+        if idx != fp:
+            unstaged = subprocess.run(
+                ["git", "status", "--porcelain"], cwd=REPO,
+                capture_output=True, text=True,
+            ).stdout.strip()
+            print("SNAPSHOT GATE: WARNING — the index being committed does "
+                  "not match the working tree the suite certifies. Unstaged "
+                  f"state:\n{unstaged}\nRun `git add -A` so the committed "
+                  "bytes are the tested bytes.")
+    except subprocess.CalledProcessError:
+        pass  # unborn HEAD or odd index state: fall through to the normal gate
     stamp = read_stamp()
     if stamp and stamp.get("tree") == fp:
         print(f"SNAPSHOT GATE: pass — full pytest suite ran green on this exact "
