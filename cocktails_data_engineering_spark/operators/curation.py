@@ -1214,3 +1214,400 @@ def el2n_prune_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled domain mixture weights (mT5 alpha-sampling)
+# ---------------------------------------------------------------------------
+MIX_ALPHAS = (0.3, 0.7)  # sampling temperatures; alpha=1.0 is the raw share
+
+
+def _pow_alpha_sql(alpha: float) -> str:
+    # c^alpha as exp(alpha * ln c) with BOTH transcendentals rounded (ln to
+    # 6 before the exact-decimal multiply, exp to 6 after) — POWER() is not
+    # used because the two engines' pow need not agree in the last ulp.
+    return f"ROUND(exp(ROUND({alpha} * ROUND(ln(CAST(n_docs AS DOUBLE)), 6), 6)), 6)"
+
+
+@register(
+    "temperature_mixture_weights",
+    oracle=f"""
+WITH c AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY source
+),
+p AS (
+  SELECT source, n_docs,
+         {_pow_alpha_sql(0.3)} AS p03,
+         {_pow_alpha_sql(0.7)} AS p07
+  FROM c
+),
+tot AS (
+  SELECT CAST(SUM(CAST(p03 AS DECIMAL(18,6))) AS DOUBLE) AS s03,
+         CAST(SUM(CAST(p07 AS DECIMAL(18,6))) AS DOUBLE) AS s07,
+         CAST(SUM(n_docs) AS BIGINT) AS n_total
+  FROM p
+)
+SELECT source, n_docs,
+       ROUND(CAST(n_docs AS DOUBLE) / n_total, 6) AS w_raw,
+       ROUND(p03 / s03, 6) AS w_a03,
+       ROUND(p07 / s07, 6) AS w_a07,
+       ROUND((p03 / s03) / (CAST(n_docs AS DOUBLE) / n_total), 6) AS boost_a03
+FROM p CROSS JOIN tot
+""",
+)
+def temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled sampling weights per source (the mT5 / multilingual
+    alpha-sampling rule): w_alpha(s) = c_s^alpha / sum c^alpha for
+    alpha in {0.3, 0.7} next to the raw share (alpha = 1) — the standard
+    knob that upsamples tail domains when assembling a training mixture.
+    ``boost_a03`` is each source's upsampling factor at the flattest
+    temperature, the number a mixture designer actually reads.
+
+    Determinism: c^alpha goes through exp(alpha·ln c) with ln rounded to 6
+    BEFORE the exact multiply and exp rounded to 6 after (POWER() is
+    avoided — the engines' pow need not agree in the last ulp); the
+    normalizers are exact DECIMAL sums of the 6-dp terms; each final
+    ratio is one IEEE division rounded to 6.
+
+    Plan at 100 TB: one ≤n_sources-group partial-aggregated count of the
+    corpus, then all arithmetic happens on that metadata-sized rollup
+    (broadcast of a one-row total) — the scan is touched exactly once."""
+    docs = load(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+
+    def pow_alpha(alpha: float):
+        ln_c = F.round(F.log(F.col("n_docs").cast("double")), 6)
+        return F.round(F.exp(F.round(F.lit(alpha) * ln_c, 6)), 6)
+
+    p = c.select(
+        "source", "n_docs", pow_alpha(0.3).alias("p03"), pow_alpha(0.7).alias("p07")
+    )
+    # Normalizers via an unpartitioned window over the per-source ROLLUP
+    # (n_sources rows — metadata-sized at any corpus scale): keeps the
+    # corpus scan at exactly one, with no self-join re-reading the parquet.
+    everything = Window.partitionBy()
+    p = p.select(
+        "source",
+        "n_docs",
+        "p03",
+        "p07",
+        F.sum(F.col("p03").cast("decimal(18,6)"))
+        .over(everything)
+        .cast("double")
+        .alias("s03"),
+        F.sum(F.col("p07").cast("decimal(18,6)"))
+        .over(everything)
+        .cast("double")
+        .alias("s07"),
+        F.sum("n_docs").over(everything).cast("bigint").alias("n_total"),
+    )
+    return p.select(
+        "source",
+        "n_docs",
+        F.round(F.col("n_docs").cast("double") / F.col("n_total"), 6).alias("w_raw"),
+        F.round(F.col("p03") / F.col("s03"), 6).alias("w_a03"),
+        F.round(F.col("p07") / F.col("s07"), 6).alias("w_a07"),
+        F.round(
+            (F.col("p03") / F.col("s03"))
+            / (F.col("n_docs").cast("double") / F.col("n_total")),
+            6,
+        ).alias("boost_a03"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RHO-loss data selection (reducible holdout loss)
+# ---------------------------------------------------------------------------
+def _rho_oracle() -> str:
+    from .ml import LOGIT_ROUNDS, SPLIT_SQL, _logit_cte_parts
+
+    parts = _logit_cte_parts(where=SPLIT_SQL["train"], prefix="t")
+    parts += _logit_cte_parts(where=SPLIT_SQL["holdout"], prefix="h")
+    chains = ",\n".join(parts)
+    sig = "LEAST(GREATEST(ROUND(1.0 / (1.0 + exp(-ROUND({w}.w0 * x0 + {w}.w1 * x1 + {w}.w2 * x2, 3))), 6), 0.000001), 0.999999)"
+    pm, pi = sig.format(w="wt"), sig.format(w="wh")
+    return f"""
+WITH {chains},
+s AS (
+  SELECT o_orderpriority,
+         CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y,
+         1.0 AS x0,
+         ROUND(o_totalprice / 100000.0, 6) AS x1,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1.0 ELSE 0.0 END AS x2
+  FROM orders WHERE {SPLIT_SQL["train"]}
+),
+sc AS (
+  SELECT o_orderpriority, y, {pm} AS pm, {pi} AS pi
+  FROM s CROSS JOIN wt{LOGIT_ROUNDS} wt CROSS JOIN wh{LOGIT_ROUNDS} wh
+),
+r AS (
+  SELECT o_orderpriority,
+         ROUND(ROUND(-ln(CASE WHEN y = 1.0 THEN pm ELSE 1.0 - pm END), 6)
+             - ROUND(-ln(CASE WHEN y = 1.0 THEN pi ELSE 1.0 - pi END), 6), 6) AS rho
+  FROM sc
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM r),
+vals AS (SELECT rho, CAST(COUNT(*) AS BIGINT) AS cnt FROM r GROUP BY rho),
+buckets AS (
+  SELECT rho,
+         CAST(((SUM(cnt) OVER (ORDER BY rho DESC) - cnt) * 4) // n AS INT) AS qb
+  FROM vals CROSS JOIN tot
+)
+SELECT r.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_train,
+       CAST(SUM(CASE WHEN b.qb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+       ROUND(CAST(SUM(CASE WHEN b.qb = 0 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+         AS sel_rate,
+       ROUND(CAST(SUM(CAST(r.rho AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+         AS mean_rho
+FROM r JOIN buckets b USING (rho)
+GROUP BY 1
+"""
+
+
+@register("rho_loss_selection", oracle=_rho_oracle())
+def rho_loss_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RHO-loss data selection (Mindermann et al., "Prioritized Training on
+    Points that are Learnable, Worth Learning, and Not Yet Learnt"): score
+    every training example by its REDUCIBLE loss — cross-entropy under the
+    model trained on the train split minus cross-entropy under the
+    irreducible-loss model trained on the holdout split — and select the
+    top quartile.  High rho = the model still gets it wrong but the
+    holdout model shows it is learnable (not label noise); the per-priority
+    selection profile shows where the remaining signal lives.  Both models
+    are the in-engine GD logistic (ml.train_logistic_split) on a
+    deterministic md5-hex 75/25 order-key split.
+
+    Determinism: weights follow the GD round-before-reuse discipline; the
+    sigmoid rounds to 6 then clamps to [1e-6, 1-1e-6] so ln never sees 0;
+    each loss rounds to 6 after the one ln; rho rounds to 6; the quartile
+    is RANK-based pure-integer arithmetic over the per-distinct-rho
+    cumulative counts (the el2n device — interpolated percentile
+    boundaries are not engine-exact), ties sharing a bucket.
+
+    Plan at 100 TB: two GD trainings = one map-combinable aggregate per
+    round per split; scoring is a map-side literal projection; the
+    quartile table is a rollup over distinct 6-dp rho values
+    (metadata-sized) with one window over THAT rollup, broadcast back;
+    the final rollup is a ≤5-group aggregate.  The fact table is never
+    globally sorted or re-partitioned."""
+    from .ml import PRICE_SCALE, _split_col, train_logistic_split
+
+    w_m = train_logistic_split(spark, sf_dir, "train")[-1]
+    w_il = train_logistic_split(spark, sf_dir, "holdout")[-1]
+    orders = load(spark, sf_dir, "orders").filter(_split_col("train"))
+    # Mirrors ml._logit_features' expressions (kept inline to carry the
+    # grouping column through; the oracle's s CTE is the same text).
+    s = orders.select(
+        "o_orderpriority",
+        F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0).alias("y"),
+        F.lit(1.0).alias("x0"),
+        F.round(F.col("o_totalprice") / float(PRICE_SCALE), 6).alias("x1"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1.0
+        ).otherwise(0.0).alias("x2"),
+    )
+
+    def prob(w: list[float]):
+        z = F.round(
+            F.lit(w[0]) * F.col("x0")
+            + F.lit(w[1]) * F.col("x1")
+            + F.lit(w[2]) * F.col("x2"),
+            3,
+        )
+        p = F.round(1.0 / (1.0 + F.exp(-z)), 6)
+        return F.least(F.greatest(p, F.lit(0.000001)), F.lit(0.999999))
+
+    def loss(p):
+        return F.round(
+            -F.log(F.when(F.col("y") == 1.0, p).otherwise(1.0 - p)), 6
+        )
+
+    r = s.select(
+        "o_orderpriority",
+        F.round(loss(prob(w_m)) - loss(prob(w_il)), 6).alias("rho"),
+    )
+    tot = r.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    vals = r.groupBy("rho").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    cum = vals.select(
+        "rho",
+        "cnt",
+        F.sum("cnt")
+        .over(Window.orderBy(F.desc("rho")).rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+    )
+    buckets = cum.crossJoin(F.broadcast(tot)).select(
+        "rho", F.expr("CAST((cum - cnt) * 4 div n AS INT)").alias("qb")
+    )
+    sel = F.sum(F.when(F.col("qb") == 0, 1).otherwise(0))
+    return (
+        r.join(F.broadcast(buckets), "rho")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_train"),
+            sel.cast("bigint").alias("n_selected"),
+            F.round(sel.cast("double") / F.count(F.lit(1)), 6).alias("sel_rate"),
+            F.round(
+                F.sum(F.col("rho").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_rho"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# DoReMi-style domain reweighting (excess-loss mixture weights)
+# ---------------------------------------------------------------------------
+DOREMI_ETA = 2.0  # multiplicative-weights step (literal, engine-exact)
+
+_NLL_TERM_U = "CAST(ROUND(ln(CAST(c AS DOUBLE) / total), 6) AS DECIMAL(18,6))"
+_NLL_TERM_B = "CAST(ROUND(ln(CAST(n2 AS DOUBLE) / n1), 6) AS DECIMAL(18,6))"
+
+
+@register(
+    "doremi_domain_reweight",
+    oracle=f"""
+WITH toks AS (
+  SELECT source, list_filter(string_split(text, ' '), w -> w <> '') AS t
+  FROM documents
+),
+uni AS (SELECT source, unnest(t) AS w FROM toks),
+cu AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY w),
+tu AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM uni),
+su AS (
+  SELECT source,
+         ROUND(-(CAST(SUM({_NLL_TERM_U}) AS DOUBLE) / COUNT(*)), 6) AS nll_uni
+  FROM uni JOIN cu USING (w) CROSS JOIN tu GROUP BY source
+),
+big AS (
+  SELECT source, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+  FROM toks WHERE len(t) >= 2
+),
+c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM big GROUP BY w1, w2),
+c1 AS (SELECT w1, COUNT(*) AS n1 FROM big GROUP BY w1),
+sb AS (
+  SELECT source,
+         ROUND(-(CAST(SUM({_NLL_TERM_B}) AS DOUBLE) / COUNT(*)), 6) AS nll_big
+  FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1) GROUP BY source
+),
+nd AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY source),
+e AS (
+  SELECT source, n_docs, nll_uni, nll_big,
+         GREATEST(ROUND(nll_uni - nll_big, 6), 0.0) AS excess
+  FROM su JOIN sb USING (source) JOIN nd USING (source)
+),
+wts AS (
+  SELECT source, n_docs, nll_uni, nll_big, excess,
+         ROUND(exp(ROUND({DOREMI_ETA} * excess, 6)), 6) AS wgt
+  FROM e
+),
+tw AS (SELECT CAST(SUM(CAST(wgt AS DECIMAL(18,6))) AS DOUBLE) AS s FROM wts)
+SELECT source, n_docs, nll_uni, nll_big, excess,
+       ROUND(wgt / s, 6) AS alpha
+FROM wts CROSS JOIN tw
+""",
+)
+def doremi_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain reweighting (Xie et al., 2023): per source,
+    compute the EXCESS loss of a weak proxy model over a stronger
+    reference — here mean unigram-LM NLL minus mean bigram-LM NLL, both
+    trained in-engine on the corpus itself — clip at 0, and turn it into
+    mixture weights by one multiplicative-weights step
+    alpha_s ∝ exp(eta · excess_s).  Domains where the weak model lags the
+    strong one most (the most learnable headroom) get upweighted; domains
+    both models already fit get flattened — the published recipe for
+    choosing pretraining mixture proportions without training on every
+    candidate mixture.
+
+    Determinism: per-token/per-bigram log-probs round to 6 before exact
+    DECIMAL sums (the bigram_lm_doc_score discipline); per-source means
+    round to 6; the excess subtraction of two 6-dp doubles is
+    correctly-rounded IEEE on both engines, rounded to 6 then clipped;
+    exp rounds to 6 after a 6-dp-rounded exact multiply; the normalizer
+    is an exact DECIMAL sum.
+
+    Plan at 100 TB: one explode feeds the vocabulary-sized count tables
+    AND the scoring joins (all partial-aggregated before their shuffles,
+    the TF-IDF shape — AQE absorbs stop-word skew); everything after the
+    per-source rollup is metadata-sized."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda w: w != "")
+    base = docs.select("source", toks.alias("t"))
+    uni = base.select("source", F.explode("t").alias("w"))
+    cu = uni.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    tu = uni.agg(F.count(F.lit(1)).cast("bigint").alias("total"))
+    su = (
+        uni.join(cu, "w")
+        .crossJoin(F.broadcast(tu))
+        .select(
+            "source",
+            F.round(F.log(F.col("c").cast("double") / F.col("total")), 6)
+            .cast("decimal(18,6)")
+            .alias("lp"),
+        )
+        .groupBy("source")
+        .agg(
+            F.round(
+                -(F.sum("lp").cast("double") / F.count(F.lit(1))), 6
+            ).alias("nll_uni")
+        )
+    )
+    big = (
+        base.filter(F.size("t") >= 2)
+        .select(
+            "source",
+            F.explode(
+                F.zip_with(
+                    F.slice("t", 1, F.size("t") - 1),
+                    F.slice("t", 2, F.size("t") - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("bg"),
+        )
+        .select("source", "bg.w1", "bg.w2")
+    )
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    sb = (
+        big.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .select(
+            "source",
+            F.round(F.log(F.col("n2").cast("double") / F.col("n1")), 6)
+            .cast("decimal(18,6)")
+            .alias("lp"),
+        )
+        .groupBy("source")
+        .agg(
+            F.round(
+                -(F.sum("lp").cast("double") / F.count(F.lit(1))), 6
+            ).alias("nll_big")
+        )
+    )
+    nd = docs.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    e = (
+        su.join(sb, "source")
+        .join(nd, "source")
+        .select(
+            "source",
+            "n_docs",
+            "nll_uni",
+            "nll_big",
+            F.greatest(
+                F.round(F.col("nll_uni") - F.col("nll_big"), 6), F.lit(0.0)
+            ).alias("excess"),
+        )
+    )
+    wts = e.withColumn(
+        "wgt", F.round(F.exp(F.round(F.lit(DOREMI_ETA) * F.col("excess"), 6)), 6)
+    )
+    tw = wts.agg(F.sum(F.col("wgt").cast("decimal(18,6)")).cast("double").alias("s"))
+    return wts.crossJoin(F.broadcast(tw)).select(
+        "source",
+        "n_docs",
+        "nll_uni",
+        "nll_big",
+        "excess",
+        F.round(F.col("wgt") / F.col("s"), 6).alias("alpha"),
+    )

@@ -481,42 +481,50 @@ LOGIT_LR = 1.0  # learning rate (literal, engine-exact)
 PRICE_SCALE = 100_000  # o_totalprice / 100k keeps z in a well-behaved range
 
 
-def _logit_cte_parts() -> list[str]:
+def _logit_cte_parts(where: str = "", prefix: str = "") -> list[str]:
     # Discipline for the one transcendental (exp): z rounds to 3 decimals
     # BEFORE the sigmoid, p rounds to 6 after — a 1-ulp libm-vs-JVM exp
     # difference on the same z survives the 6dp round only at a
     # .5e-6 boundary of the true value, and gradient terms round to 6
     # before the DECIMAL sum, so weights stay bit-identical per round.
-    feats = f"""f AS (
+    #
+    # ``where`` restricts the training rows (e.g. an md5-hex split for the
+    # RHO-loss train/holdout pair); ``prefix`` namespaces every CTE so two
+    # independent GD chains can live in one oracle.  Defaults preserve the
+    # original names, so the logistic_regression_gd and el2n oracles are
+    # byte-identical to the pre-parameterized version.
+    q = prefix
+    wc = f"\n  WHERE {where}" if where else ""
+    feats = f"""f{q} AS (
   SELECT CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y,
          1.0 AS x0,
          ROUND(o_totalprice / {PRICE_SCALE}.0, 6) AS x1,
          CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1.0 ELSE 0.0 END AS x2
-  FROM orders
+  FROM orders{wc}
 ),
-n AS (SELECT COUNT(*) AS n_rows FROM f),
-w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2)"""
+n{q} AS (SELECT COUNT(*) AS n_rows FROM f{q}),
+w{q}0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2)"""
     parts = [feats]
-    prev = "w0"
+    prev = f"w{q}0"
     for r in range(1, LOGIT_ROUNDS + 1):
-        parts.append(f"""p{r} AS (
+        parts.append(f"""p{q}{r} AS (
   SELECT y, x0, x1, x2,
          ROUND(1.0 / (1.0 + exp(-ROUND(w.w0 * x0 + w.w1 * x1 + w.w2 * x2, 3))), 6) AS p
-  FROM f CROSS JOIN {prev} w
+  FROM f{q} CROSS JOIN {prev} w
 ),
-g{r} AS (
+g{q}{r} AS (
   SELECT CAST(SUM(CAST(ROUND((p - y) * x0, 6) AS DECIMAL(18,6))) AS DOUBLE) AS g0,
          CAST(SUM(CAST(ROUND((p - y) * x1, 6) AS DECIMAL(18,6))) AS DOUBLE) AS g1,
          CAST(SUM(CAST(ROUND((p - y) * x2, 6) AS DECIMAL(18,6))) AS DOUBLE) AS g2
-  FROM p{r}
+  FROM p{q}{r}
 ),
-w{r} AS (
-  SELECT ROUND(w.w0 - {LOGIT_LR} * g.g0 / n.n_rows, 6) AS w0,
-         ROUND(w.w1 - {LOGIT_LR} * g.g1 / n.n_rows, 6) AS w1,
-         ROUND(w.w2 - {LOGIT_LR} * g.g2 / n.n_rows, 6) AS w2
-  FROM {prev} w CROSS JOIN g{r} g CROSS JOIN n
+w{q}{r} AS (
+  SELECT ROUND(w.w0 - {LOGIT_LR} * g.g0 / n{q}.n_rows, 6) AS w0,
+         ROUND(w.w1 - {LOGIT_LR} * g.g1 / n{q}.n_rows, 6) AS w1,
+         ROUND(w.w2 - {LOGIT_LR} * g.g2 / n{q}.n_rows, 6) AS w2
+  FROM {prev} w CROSS JOIN g{q}{r} g CROSS JOIN n{q}
 )""")
-        prev = f"w{r}"
+        prev = f"w{q}{r}"
     return parts
 
 
@@ -544,8 +552,12 @@ FROM w{LOGIT_ROUNDS} w CROSS JOIN acc a)"""
     )
 
 
-def _logit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _logit_features(
+    spark: SparkSession, sf_dir: str, side: str | None = None
+) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
+    if side is not None:
+        orders = orders.filter(_split_col(side))
     return orders.select(
         F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0).alias("y"),
         F.lit(1.0).alias("x0"),
@@ -554,6 +566,21 @@ def _logit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1.0
         ).otherwise(0.0).alias("x2"),
     )
+
+
+# Deterministic 75/25 train/holdout split on the md5 hex of the order key
+# (hex digits 0-9a-b = 12/16 of the space train, c-f holdout) — the same
+# md5-hex split device as split_leakage_audit, so both engines agree
+# row-for-row with no randomness.
+SPLIT_SQL = {
+    "train": "substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) < 'c'",
+    "holdout": "substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) >= 'c'",
+}
+
+
+def _split_col(side: str):
+    nib = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
+    return nib < "c" if side == "train" else nib >= "c"
 
 
 _TRAIN_CACHE: dict[str, list[list[float]]] = {}
@@ -572,7 +599,31 @@ def train_logistic(spark: SparkSession, sf_dir: str) -> list[list[float]]:
     cached = _TRAIN_CACHE.get(sf_dir)
     if cached is not None:
         return [list(w) for w in cached]
-    f = materialize(_logit_features(spark, sf_dir))
+    history = _run_gd(spark, materialize(_logit_features(spark, sf_dir)))
+    _TRAIN_CACHE[sf_dir] = [list(w) for w in history]
+    return history
+
+
+def train_logistic_split(
+    spark: SparkSession, sf_dir: str, side: str
+) -> list[list[float]]:
+    """GD training restricted to one side of the md5-hex order-key split
+    (``SPLIT_SQL``) — the train-model / irreducible-loss-model pair the
+    RHO-loss selector needs.  Memoized per (sf_dir, side) like
+    train_logistic; weights follow the identical round-before-reuse
+    discipline, so the oracle's prefixed CTE chain reproduces them
+    bit-for-bit."""
+    key = f"{sf_dir}|{side}"
+    cached = _TRAIN_CACHE.get(key)
+    if cached is not None:
+        return [list(w) for w in cached]
+    f = materialize(_logit_features(spark, sf_dir, side=side))
+    history = _run_gd(spark, f)
+    _TRAIN_CACHE[key] = [list(w) for w in history]
+    return history
+
+
+def _run_gd(spark: SparkSession, f: DataFrame) -> list[list[float]]:
     n_rows = f.count()
     w = [0.0, 0.0, 0.0]
     history = []
@@ -603,7 +654,6 @@ def train_logistic(spark: SparkSession, sf_dir: str) -> list[list[float]]:
             .collect()[0]
         )
         history.append(list(w))
-    _TRAIN_CACHE[sf_dir] = [list(w) for w in history]
     return history
 
 

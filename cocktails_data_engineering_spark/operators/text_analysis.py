@@ -690,3 +690,66 @@ def ngram_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_distinct_bigrams") * 1.0 / F.col("n_bigrams"), 6
         ).alias("bigram_diversity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility by language
+# ---------------------------------------------------------------------------
+@register(
+    "tokenizer_fertility_stats",
+    oracle="""
+WITH t AS (
+  SELECT lang,
+         len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_words,
+         len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS n_toks,
+         length(text) AS n_chars
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS total_words,
+       CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       ROUND(CAST(SUM(n_toks) AS DOUBLE) / SUM(n_words), 6) AS fertility,
+       ROUND(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_toks), 6) AS chars_per_token
+FROM t GROUP BY lang
+""",
+)
+def tokenizer_fertility_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: BPE-ish tokens per whitespace word
+    and characters per token — the standard audit for how evenly a
+    tokenizer spends its budget across languages (high fertility = a
+    language pays more tokens per word, i.e. is under-served by the
+    vocabulary).  Reuses the bpe_ish_token_count pre-tokenizer regex so
+    the two operators can never disagree on what a token is.
+
+    Determinism: all sums are exact BIGINT sums of per-doc integers; the
+    two ratios are single IEEE divisions of exact integers, rounded to 6
+    — identical across engines by construction (no transcendentals).
+
+    Plan at 100 TB: map-side per-doc counting (split/regexp inside
+    codegen, no Python), one ≤n_langs-group partial-aggregated rollup —
+    the same linear shape as token_count_stats."""
+    docs = load(spark, sf_dir, "documents")
+    words = F.size(F.filter(F.split("text", " "), lambda w: w != ""))
+    toks = F.size(
+        F.expr("regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)")
+    )
+    per = docs.select(
+        "lang",
+        words.alias("n_words"),
+        toks.alias("n_toks"),
+        F.length("text").alias("n_chars"),
+    )
+    return per.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("total_words"),
+        F.sum("n_toks").cast("bigint").alias("total_tokens"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.round(
+            F.sum("n_toks").cast("double") / F.sum("n_words"), 6
+        ).alias("fertility"),
+        F.round(
+            F.sum("n_chars").cast("double") / F.sum("n_toks"), 6
+        ).alias("chars_per_token"),
+    )

@@ -80,6 +80,10 @@ _SAMPLE_FRONT = (
     "split_leakage_audit",
     "winnowing_fingerprint_pairs",
     "ngram_diversity_by_source",
+    "rho_loss_selection",
+    "doremi_domain_reweight",
+    "temperature_mixture_weights",
+    "tokenizer_fertility_stats",
     # --- prior-round keys below (r7 order), re-sampled as the cut allows ---
     "ewma_daily_revenue",
     "ivfadc_topk",

@@ -612,3 +612,52 @@ def test_kcenter_rounds_are_map_side_folds(spark, sf_dir):
     # stopped being a pure map over the materialized state.
     for bad in ("Join", "hashpartitioning", "BatchEvalPython"):
         assert bad not in round_plan, f"kcenter round not map-only:\n{round_plan}"
+
+
+def test_fertility_is_one_scan_one_rollup(spark, sf_dir):
+    """Tokenizer-fertility counting is codegen'd per-doc arithmetic plus
+    one ≤n_langs-group aggregate: exactly one scan of the corpus, no
+    joins, no Python."""
+    plan = _plan(spark, sf_dir, "tokenizer_fertility_stats")
+    assert plan.count("documents.parquet") == 1
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_temperature_mixture_touches_scan_once(spark, sf_dir):
+    """The alpha-sampling weights are computed entirely on the per-source
+    rollup: the corpus is scanned exactly once and the one-row normalizer
+    reaches the rollup by broadcast, never a shuffle."""
+    plan = _plan(spark, sf_dir, "temperature_mixture_weights")
+    assert plan.count("documents.parquet") == 1
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_rho_loss_quartile_window_on_value_rollup(spark, sf_dir):
+    """RHO scoring is a literal-weight projection (both GD models arrive
+    as driver scalars); the rank-based quartile table is built from the
+    distinct-rho VALUE ROLLUP — the only Window must be fed by a
+    HashAggregate, the quartile table must broadcast back, and the fact
+    is never nested-looped."""
+    plan = _plan(spark, sf_dir, "rho_loss_selection")
+    lines = plan.splitlines()
+    windows = [i for i, ln in enumerate(lines)
+               if "Window" in ln and "WindowGroupLimit" not in ln]
+    assert len(windows) == 1, f"expected 1 window, got {len(windows)}"
+    ctx = "\n".join(lines[windows[0]: windows[0] + 10])
+    assert "HashAggregate" in ctx, f"window not fed by the value rollup:\n{ctx}"
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_doremi_count_tables_join_without_cartesian(spark, sf_dir):
+    """DoReMi's proxy/reference NLLs reuse the TF-IDF shape: the explode
+    feeds vocabulary-sized count tables joined back on their natural keys
+    (partial-aggregated equi-joins); the only non-equi join is the
+    broadcast of the one-row normalizer.  Nothing nested-loops the
+    corpus."""
+    plan = _plan(spark, sf_dir, "doremi_domain_reweight")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
