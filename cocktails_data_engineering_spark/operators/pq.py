@@ -575,7 +575,9 @@ def quantization_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVFADC_NPROBE = 2
 
 
-def _ivfadc_oracle() -> str:
+def _ivfadc_chain() -> str:
+    """The full IVFADC CTE body through ``ranked`` (ADC-ranked candidates
+    per query) — shared by ivfadc_topk and the exact-rerank refine stage."""
     from .clustering import _oracle_cent, _oracle_init_dyn, _oracle_round
 
     coarse = ",\n".join(
@@ -586,8 +588,7 @@ def _ivfadc_oracle() -> str:
             _oracle_round("cent1", "L").strip(),
         ]
     )
-    return f"""
-WITH {_ORACLE_ENCODE},
+    return f"""{_ORACLE_ENCODE},
 {coarse},
 qp_flat AS (
   SELECT v.vec_id, c.cid, unnest(v.emb) AS vx, unnest(c.cemb) AS cx
@@ -635,7 +636,12 @@ ranked AS (
          CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                                  ORDER BY adc_d2, vec_id) AS INT) AS rank
   FROM scored
-)
+)"""
+
+
+def _ivfadc_oracle() -> str:
+    return f"""
+WITH {_ivfadc_chain()}
 SELECT query_id, vec_id, adc_d2, rank FROM ranked WHERE rank <= {TOP_K}
 """
 
@@ -661,6 +667,21 @@ def ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan at 100 TB: centroids + LUT broadcast (both metadata-sized);
     lists partition by cell id; the candidate join is equi on cell id,
     the scoring join equi on (query, m, code) — no N² anywhere."""
+    _, _, scored = _ivfadc_scored(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy("adc_d2", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", "adc_d2", "rank")
+    )
+
+
+def _ivfadc_scored(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Build the IVFADC pipeline through ADC scoring; returns
+    (vecs, queries, scored) so ivfadc_topk and the exact-rerank refine
+    stage share one implementation."""
     from .clustering import _assign, _init_centroids_dyn, _update, dyn_k
 
     vecs = _vectors(spark, sf_dir)
@@ -706,11 +727,77 @@ def ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id", "vec_id")
         .agg(F.sum(F.col("d2").cast(_DEC)).cast("double").alias("adc_d2"))
     )
+    return vecs, queries, scored
+
+
+RERANK_C = 20  # ADC shortlist size per query fed to the exact refine stage
+
+
+def _ivfadc_rerank_oracle() -> str:
+    return f"""
+WITH {_ivfadc_chain()},
+short AS (SELECT query_id, vec_id, adc_d2 FROM ranked WHERE rank <= {RERANK_C}),
+ex_flat AS (
+  SELECT s.query_id, s.vec_id, s.adc_d2, unnest(q.emb) AS qx, unnest(v.emb) AS vx
+  FROM short s JOIN q ON q.query_id = s.query_id JOIN vecs v ON v.vec_id = s.vec_id
+),
+ex AS (
+  SELECT query_id, vec_id, adc_d2,
+         ROUND(SUM((qx - vx) * (qx - vx)), 6) AS exact_d2
+  FROM ex_flat GROUP BY query_id, vec_id, adc_d2
+),
+rr AS (
+  SELECT query_id, vec_id, exact_d2, adc_d2,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY exact_d2, vec_id) AS INT) AS rank
+  FROM ex
+)
+SELECT query_id, vec_id, exact_d2, adc_d2, rank FROM rr WHERE rank <= {TOP_K}
+"""
+
+
+@register("ivfadc_rerank_topk", oracle=_ivfadc_rerank_oracle())
+def ivfadc_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval with an exact refine stage (the FAISS
+    ``IndexRefineFlat`` composition, the production serving shape): the
+    IVFADC pipeline prunes each query to its {RERANK_C}-candidate ADC
+    shortlist, then ONLY those candidates are re-scored with exact
+    squared L2 on the raw vectors and re-ranked to the final top-{TOP_K}.
+    ADC distances are biased by quantization error; the refine stage
+    removes that bias from the final ranking while touching raw vectors
+    for just {RERANK_C} candidates per query instead of N.
+
+    Determinism: exact d2 is the ordered per-dimension fold rounded to 6
+    (the _d2 device, matching DuckDB's unnest-order SUM); rank ties
+    break on vec_id in both engines.
+
+    Plan at 100 TB: everything through the shortlist is the ivfadc_topk
+    plan (broadcast centroids + LUTs, equi-joins only); the refine joins
+    are equi on query_id / vec_id with Q·{RERANK_C} rows on the probe
+    side — the raw-vector table is hash-joined once, never scanned per
+    query."""
+    vecs, queries, scored = _ivfadc_scored(spark, sf_dir)
     w = Window.partitionBy("query_id").orderBy("adc_d2", "vec_id")
-    return (
+    short = (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= RERANK_C)
+        .select("query_id", "vec_id", "adc_d2")
+    )
+    ex = (
+        short.join(queries.select("query_id", F.col("emb").alias("q_emb")), "query_id")
+        .join(vecs.select("vec_id", F.col("emb").alias("v_emb")), "vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            "adc_d2",
+            _d2("q_emb", "v_emb").alias("exact_d2"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy("exact_d2", "vec_id")
+    return (
+        ex.withColumn("rank", F.row_number().over(wr).cast("int"))
         .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "vec_id", "adc_d2", "rank")
+        .select("query_id", "vec_id", "exact_d2", "adc_d2", "rank")
     )
 
 

@@ -81,6 +81,7 @@ _SAMPLE_FRONT = (
     "winnowing_fingerprint_pairs",
     "ngram_diversity_by_source",
     "rho_loss_selection",
+    "ivfadc_rerank_topk",
     "doremi_domain_reweight",
     "temperature_mixture_weights",
     "tokenizer_fertility_stats",

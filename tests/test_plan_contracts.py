@@ -495,7 +495,9 @@ def test_schema_evolution_read_merges_without_python(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@pytest.mark.parametrize("name", ["ivfadc_topk", "ivfpq_residual_topk"])
+@pytest.mark.parametrize(
+    "name", ["ivfadc_topk", "ivfpq_residual_topk", "ivfadc_rerank_topk"]
+)
 def test_ivf_pq_luts_broadcast_and_equi_join(spark, sf_dir, name):
     """The ADC lookup tables and coarse centroids are metadata-sized and
     must reach the CODE TABLE by BROADCAST equi-joins — a shuffled or
