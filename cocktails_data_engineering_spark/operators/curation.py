@@ -1611,3 +1611,107 @@ def doremi_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
         "excess",
         F.round(F.col("wgt") / F.col("s"), 6).alias("alpha"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget epoch planning (data-constrained scaling)
+# ---------------------------------------------------------------------------
+BUDGET_MULT = 2  # total token budget = BUDGET_MULT x unique corpus tokens
+EPOCH_CAP = 4  # max useful repeats per domain (data-constrained scaling)
+
+
+@register(
+    "token_budget_epoch_plan",
+    oracle=f"""
+WITH c AS (
+  SELECT source,
+         CAST(SUM(len(list_filter(string_split(text, ' '), w -> w <> ''))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY source
+),
+p AS (
+  SELECT source, n_tokens,
+         ROUND(exp(ROUND(0.5 * ROUND(ln(CAST(n_tokens AS DOUBLE)), 6), 6)), 6) AS pw
+  FROM c
+),
+t AS (
+  SELECT source, n_tokens, pw,
+         SUM(CAST(pw AS DECIMAL(18,6))) OVER () AS s,
+         SUM(n_tokens) OVER () AS total_tokens
+  FROM p
+),
+plan AS (
+  SELECT source, n_tokens,
+         ROUND(pw / CAST(s AS DOUBLE), 6) AS w,
+         CAST(FLOOR(CAST(ROUND(pw / CAST(s AS DOUBLE), 6) AS DECIMAL(18,6))
+                    * ({BUDGET_MULT} * total_tokens)) AS BIGINT) AS target_tokens
+  FROM t
+)
+SELECT source, n_tokens, w, target_tokens,
+       ROUND(CAST(target_tokens AS DOUBLE) / n_tokens, 6) AS epochs_uncapped,
+       LEAST(target_tokens, {EPOCH_CAP} * n_tokens) AS effective_tokens,
+       ROUND(CAST(LEAST(target_tokens, {EPOCH_CAP} * n_tokens) AS DOUBLE)
+             / n_tokens, 6) AS epochs
+FROM plan
+""",
+)
+def token_budget_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget epoch planning under data-constrained scaling
+    (Muennighoff et al., 2023): given a total training budget of
+    {BUDGET_MULT}x the unique corpus tokens and temperature-flattened
+    target shares (alpha = 0.5 over per-source token counts), compute
+    each source's target tokens, the repeat factor that implies, and the
+    effective allocation after capping repeats at {EPOCH_CAP} epochs —
+    past which repeated data stops buying loss.  This is the planning
+    artifact a mixture designer derives BEFORE launching a run: which
+    domains are repeat-limited and where the surplus budget is stranded.
+
+    Determinism: token counts are exact integer sums; the alpha power
+    goes through the exp/ln rounding discipline; the target-token
+    allocation multiplies the 6-dp weight as an EXACT DECIMAL by the
+    integer budget before FLOOR (a double product could sit one ulp
+    under an integer and floor apart across engines); caps and
+    effective tokens are pure integer arithmetic.
+
+    Plan at 100 TB: ONE corpus scan into a per-source rollup; the
+    normalizer and total-token windows run over that n_sources-row
+    rollup — all planning arithmetic is metadata-sized."""
+    docs = load(spark, sf_dir, "documents")
+    ntok = F.size(F.filter(F.split("text", " "), lambda w: w != ""))
+    c = docs.select("source", ntok.alias("tk")).groupBy("source").agg(
+        F.sum("tk").cast("bigint").alias("n_tokens")
+    )
+    pw = F.round(
+        F.exp(F.round(F.lit(0.5) * F.round(F.log(F.col("n_tokens").cast("double")), 6), 6)),
+        6,
+    )
+    p = c.select("source", "n_tokens", pw.alias("pw"))
+    everything = Window.partitionBy()
+    t = p.select(
+        "source",
+        "n_tokens",
+        "pw",
+        F.sum(F.col("pw").cast("decimal(18,6)")).over(everything).alias("s"),
+        F.sum("n_tokens").over(everything).alias("total_tokens"),
+    )
+    w = F.round(F.col("pw") / F.col("s").cast("double"), 6)
+    target = F.floor(
+        w.cast("decimal(18,6)") * (F.lit(BUDGET_MULT) * F.col("total_tokens"))
+    ).cast("bigint")
+    plan = t.select(
+        "source", "n_tokens", w.alias("w"), target.alias("target_tokens")
+    )
+    eff = F.least(
+        F.col("target_tokens"), F.lit(EPOCH_CAP) * F.col("n_tokens")
+    )
+    return plan.select(
+        "source",
+        "n_tokens",
+        "w",
+        "target_tokens",
+        F.round(F.col("target_tokens").cast("double") / F.col("n_tokens"), 6).alias(
+            "epochs_uncapped"
+        ),
+        eff.alias("effective_tokens"),
+        F.round(eff.cast("double") / F.col("n_tokens"), 6).alias("epochs"),
+    )

@@ -727,3 +727,112 @@ def adamic_adar_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= AA_TOP_K)
         .select("u", "v", "n_common", "aa_score", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (Kleinberg), fixed unrolled iterations
+# ---------------------------------------------------------------------------
+HITS_ITERS = 3
+_H_DEC = "decimal(18,9)"
+
+
+def _hits_oracle() -> str:
+    """Unrolled HITS_ITERS hub/authority rounds as chained CTEs.
+
+    Arithmetic contract (mirrored exactly by the Spark plan): scores are
+    9-dp doubles; each update sums them in DECIMAL(18,9) (exact,
+    order-independent), L1-normalizes by the exact DECIMAL total, and
+    rounds back to 9 — both engines carry bit-identical scores into the
+    next round.  L1 (not L2) normalization is the deliberate variant: it
+    needs no sqrt, keeping the chain free of a second transcendental."""
+    parts = [
+        """WITH e AS (SELECT DISTINCT o_custkey % 30 AS src, o_orderkey % 30 AS dst FROM orders),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+n AS (SELECT COUNT(*) AS n_nodes FROM nodes),
+h0 AS (SELECT node, ROUND(1.0 / n_nodes, 9) AS h FROM nodes CROSS JOIN n)"""
+    ]
+    for i in range(1, HITS_ITERS + 1):
+        parts.append(
+            f"""ar{i} AS (
+  SELECT e.dst AS node, SUM(CAST(h.h AS DECIMAL(18,9))) AS v
+  FROM e JOIN h{i - 1} h ON h.node = e.src GROUP BY e.dst
+),
+asum{i} AS (SELECT SUM(v) AS s FROM ar{i}),
+a{i} AS (
+  SELECT nodes.node,
+         ROUND(CAST(COALESCE(ar.v, 0) AS DOUBLE) / CAST(s AS DOUBLE), 9) AS a
+  FROM nodes CROSS JOIN asum{i} LEFT JOIN ar{i} ar ON ar.node = nodes.node
+),
+hr{i} AS (
+  SELECT e.src AS node, SUM(CAST(a.a AS DECIMAL(18,9))) AS v
+  FROM e JOIN a{i} a ON a.node = e.dst GROUP BY e.src
+),
+hsum{i} AS (SELECT SUM(v) AS s FROM hr{i}),
+h{i} AS (
+  SELECT nodes.node,
+         ROUND(CAST(COALESCE(hr.v, 0) AS DOUBLE) / CAST(s AS DOUBLE), 9) AS h
+  FROM nodes CROSS JOIN hsum{i} LEFT JOIN hr{i} hr ON hr.node = nodes.node
+)"""
+        )
+    last = HITS_ITERS
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT h{last}.node, h{last}.h AS hub, a{last}.a AS authority
+FROM h{last} JOIN a{last} ON a{last}.node = h{last}.node"""
+    )
+
+
+@register("hits_hub_authority", oracle=_hits_oracle())
+def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities over the derived link graph, HITS_ITERS
+    fixed mutually-recursive rounds with L1 normalization — the second
+    classical link-analysis ranking next to pagerank_crawl_graph
+    (authorities = heavily-pointed-to pages, hubs = pages pointing at
+    good authorities; the crawl-prioritization pair).
+
+    Spark shape per round: authority update = edges ⋈ hub scores (one
+    shuffle on src) DECIMAL-summed per dst (partial map-side), L1
+    normalizer = ONE exact-decimal scalar broadcast back; hub update
+    mirrors it on the transposed edge.  Scores round to 9 per round
+    (the pagerank discipline), so any partitioning yields the identical
+    result the unrolled-CTE oracle computes.  The driver loop
+    checkpoints per round (lineage truncation)."""
+    e = derived_edges(spark, sf_dir).transform(materialize)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .transform(materialize)
+    )
+    n_nodes = nodes.count()
+    h = nodes.select("node", F.round(F.lit(1.0) / n_nodes, 9).alias("h"))
+
+    def _step(scores: DataFrame, col: str, join_on: str, out_key: str, out: str):
+        raw = (
+            e.join(scores, scores.node == e[join_on])
+            .groupBy(e[out_key].alias("node"))
+            .agg(F.sum(F.col(col).cast(_H_DEC)).alias("v"))
+        )
+        # L1 normalizer as an unpartitioned window over the NODE-SIZED
+        # score table (missing nodes contribute exactly 0, so the sum
+        # equals the raw total) — a separate aggregate + cross join would
+        # evaluate the `raw` subtree twice per step, which compounds
+        # across the unmaterialized half-rounds.
+        joined = nodes.join(raw, "node", "left")
+        v = F.coalesce(F.col("v"), F.lit(0).cast(_H_DEC))
+        s = F.sum(v).over(Window.partitionBy())
+        return joined.select(
+            "node", F.round(v.cast("double") / s.cast("double"), 9).alias(out)
+        )
+
+    # One checkpoint per ROUND (on h): a's lineage is then a single step
+    # off the previous materialized h, so the final join recomputes at
+    # most one update — half the checkpoint cost of materializing both.
+    a = None
+    for _ in range(HITS_ITERS):
+        a = _step(h, "h", "src", "dst", "a")
+        h = materialize(_step(a, "a", "dst", "src", "h"))
+    return h.join(a, "node").select(
+        "node", F.col("h").alias("hub"), F.col("a").alias("authority")
+    )

@@ -83,6 +83,8 @@ _SAMPLE_FRONT = (
     "rho_loss_selection",
     "ivfadc_rerank_topk",
     "doremi_domain_reweight",
+    "hits_hub_authority",
+    "token_budget_epoch_plan",
     "temperature_mixture_weights",
     "tokenizer_fertility_stats",
     # --- prior-round keys below (r7 order), re-sampled as the cut allows ---

@@ -29,6 +29,10 @@ SENSITIVE = (
     "el2n_prune_deciles",  # percentile boundary broadcast
     "roc_auc_orders",  # two-phase ordered running sums
     "pagerank_crawl_graph",  # per-round rounded DECIMAL sums
+    "rho_loss_selection",  # two split-trained GD models + rank quartiles
+    "doremi_domain_reweight",  # DECIMAL NLL means + exp/normalize chain
+    "ivfadc_rerank_topk",  # ADC shortlist + ordered-fold exact rerank
+    "hits_hub_authority",  # per-round DECIMAL L1 normalization
 )
 
 

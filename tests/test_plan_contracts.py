@@ -663,3 +663,21 @@ def test_doremi_count_tables_join_without_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "doremi_domain_reweight")
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_hits_consumption_plan_is_checkpointed(spark, sf_dir):
+    """Each HITS round materializes (lineage truncation, the pagerank
+    device), so the RETURNED frame joins two round-sized score tables —
+    consuming it must never recompute the iterative chain from parquet."""
+    plan = _plan(spark, sf_dir, "hits_hub_authority")
+    assert "parquet" not in plan, f"HITS result recomputes from parquet:\n{plan}"
+    assert "BatchEvalPython" not in plan
+
+
+def test_token_budget_plan_touches_scan_once(spark, sf_dir):
+    """All epoch-plan arithmetic runs on the per-source token rollup: the
+    corpus is scanned exactly once, with no join back to the fact."""
+    plan = _plan(spark, sf_dir, "token_budget_epoch_plan")
+    assert plan.count("documents.parquet") == 1
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
