@@ -1307,3 +1307,111 @@ def winnowing_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator-quality audit (estimated vs exact Jaccard per candidate)
+# ---------------------------------------------------------------------------
+# Grouped 8-at-a-time: a flat 128-term `+` chain binds left-deep and
+# overflows DuckDB's 128-frame expression-binder recursion limit.
+_EST_TERMS = " + ".join(
+    "("
+    + " + ".join(
+        f"CASE WHEN ma.h{i} = mb.h{i} THEN 1 ELSE 0 END"
+        for i in range(g * 8, g * 8 + 8)
+    )
+    + ")"
+    for g in range(N_HASHES // 8)
+)
+
+_AUDIT_TAIL = f"""
+counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingled GROUP BY doc_id),
+common AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  FROM cands c
+  JOIN shingled sa ON sa.doc_id = c.doc_a
+  JOIN shingled sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+),
+est AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST({_EST_TERMS} AS INT) AS est_matches
+  FROM cands c
+  JOIN mins ma ON ma.doc_id = c.doc_a
+  JOIN mins mb ON mb.doc_id = c.doc_b
+)
+SELECT e.doc_a, e.doc_b, e.est_matches,
+       CAST(e.est_matches AS DOUBLE) / {N_HASHES} AS est_jaccard,
+       CAST(COALESCE(cm.n_common, 0) AS BIGINT) AS n_common,
+       CAST(COALESCE(cm.n_common, 0) AS DOUBLE)
+         / (ca.n_sh + cb.n_sh - COALESCE(cm.n_common, 0)) AS exact_jaccard,
+       ABS(CAST(e.est_matches AS DOUBLE) / {N_HASHES}
+           - CAST(COALESCE(cm.n_common, 0) AS DOUBLE)
+             / (ca.n_sh + cb.n_sh - COALESCE(cm.n_common, 0))) AS abs_err
+FROM est e
+LEFT JOIN common cm ON cm.doc_a = e.doc_a AND cm.doc_b = e.doc_b
+JOIN counts ca ON ca.doc_id = e.doc_a
+JOIN counts cb ON cb.doc_id = e.doc_b
+"""
+
+
+@register(
+    "minhash_jaccard_estimate_audit",
+    oracle=f"WITH {_ORACLE_CANDIDATES},{_AUDIT_TAIL}",
+)
+def minhash_jaccard_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator-quality audit: for every LSH candidate pair,
+    the ESTIMATED Jaccard (fraction of the {N_HASHES} permutations whose
+    minima agree — the unbiased MinHash estimator) next to the EXACT
+    3-shingle Jaccard and the absolute error.  Zero-overlap pairs are
+    kept (LEFT JOIN): those are the banding false positives the audit
+    exists to expose — the dedup-family analogue of ann_recall_audit.
+
+    Determinism: est_jaccard is an int over 128 (a power of two — exact
+    in binary, no rounding needed); exact Jaccard is one int/int IEEE
+    division; their difference and ABS are bit-identical across engines,
+    so no rounding appears anywhere.
+
+    Plan at 100 TB: the shingle table is checkpointed once and feeds all
+    branches; minima and candidates are the minhash_near_dedup plan; the
+    audit adds only candidate-keyed equi-joins back to the doc-sized
+    mins/counts tables — cost is |candidates| × O(1), never all-pairs."""
+    docs = load_spread(spark, sf_dir, "documents")
+    shingled = _shingles(docs).transform(materialize)
+    sview = f"audit_shingled_{next(_VIEW_COUNTER)}"
+    shingled.createOrReplaceTempView(sview)
+    hview = f"minhash_hashed_{next(_VIEW_COUNTER)}"
+    shingled.select("doc_id", _x_col().alias("x")).createOrReplaceTempView(hview)
+    # The signature table is referenced THREE times (banding + both join
+    # sides of the estimator); Catalyst inlines CTEs, so without this
+    # checkpoint the 128-hash aggregate would run 3x.
+    mins = materialize(
+        spark.sql(f"SELECT doc_id, {_SPARK_MINS} FROM {hview} GROUP BY doc_id")
+    )
+    mview = f"audit_mins_{next(_VIEW_COUNTER)}"
+    mins.createOrReplaceTempView(mview)
+    return spark.sql(
+        f"""
+WITH mins AS (SELECT * FROM {mview}),
+bands AS (SELECT doc_id, {_SPARK_STACK} AS (band_id, band_key) FROM mins),
+sized AS (
+  SELECT doc_id, band_id, band_key,
+         COUNT(*) OVER (PARTITION BY band_id, band_key) AS bucket_n,
+         MIN(doc_id) OVER (PARTITION BY band_id, band_key) AS anchor
+  FROM bands
+),
+cands AS (
+  SELECT DISTINCT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sized a JOIN sized b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    WHERE a.bucket_n <= {HOT_BUCKET_CAP}
+    UNION ALL
+    SELECT anchor AS doc_a, doc_id AS doc_b
+    FROM sized
+    WHERE bucket_n > {HOT_BUCKET_CAP} AND doc_id <> anchor
+  ) u
+),
+shingled AS (SELECT doc_id, shingle FROM {sview}),{_AUDIT_TAIL}
+"""
+    )

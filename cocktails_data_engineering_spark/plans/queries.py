@@ -85,6 +85,7 @@ _SAMPLE_FRONT = (
     "doremi_domain_reweight",
     "hits_hub_authority",
     "token_budget_epoch_plan",
+    "minhash_jaccard_estimate_audit",
     "temperature_mixture_weights",
     "tokenizer_fertility_stats",
     # --- prior-round keys below (r7 order), re-sampled as the cut allows ---

@@ -681,3 +681,13 @@ def test_token_budget_plan_touches_scan_once(spark, sf_dir):
     assert plan.count("documents.parquet") == 1
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_minhash_estimate_audit_stays_candidate_keyed(spark, sf_dir):
+    """The estimator audit must add only candidate-keyed equi-joins back
+    to the doc-sized mins/counts tables on top of the LSH candidate plan
+    — never an all-pairs comparison of signature vectors."""
+    plan = _plan(spark, sf_dir, "minhash_jaccard_estimate_audit")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan

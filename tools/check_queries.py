@@ -4,7 +4,9 @@ Usage: python tools/check_queries.py name1 name2 ...   (no names = all)
 Same comparison as drive_entry.py (sorted-column value multiset), but
 skips the entry() smoke and lets you iterate on one query in seconds.
 """
-import sys, math
+import math
+import os
+import sys
 from collections import Counter
 
 sys.path.insert(0, "/root/repo")
@@ -24,7 +26,12 @@ import __spark_entry__ as e
 qs, os_ = e.queries(), e.oracle_sql()
 names = sys.argv[1:] or sorted(os_)
 
-sf = "/root/testdata/sf0.01"
+# Honors the same knob as conftest/parity (a hard-coded dir here silently
+# re-ran "other-fixture" spot checks at sf0.01).
+sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
+if not os.path.isdir(sf):
+    raise SystemExit(f"check_queries: fixture dir does not exist: {sf}")
+print(f"fixture: {sf}")
 con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
