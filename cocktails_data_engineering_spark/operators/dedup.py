@@ -1415,3 +1415,190 @@ cands AS (
 shingled AS (SELECT doc_id, shingle FROM {sview}),{_AUDIT_TAIL}
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup-rate preview (sample estimate + Wilson CI vs the full rate)
+# ---------------------------------------------------------------------------
+PREVIEW_NIBBLE_MAX = 4  # md5 first hex digit < 4 → deterministic 25% sample
+
+_PREV_NIB = (
+    "(strpos('0123456789abcdef', substr(md5('prev|' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1)"
+)
+
+# Wilson 95% bounds on k/n (z = 1.96) — the ab_test_wilson_bounds formula,
+# written identically in both engines: pure arithmetic + one
+# correctly-rounded sqrt, rounded to 6.
+_WILSON = """ROUND((CAST(k AS DOUBLE) / n + 1.9208 / n
+       {sign} 1.96 * sqrt((CAST(k AS DOUBLE) / n) * (1 - CAST(k AS DOUBLE) / n) / n
+                     + 0.9604 / (n * CAST(n AS DOUBLE))))
+      / (1 + 3.8416 / n), 6)"""
+
+
+@register(
+    "dedup_rate_preview",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+q AS (
+  SELECT doc_id, ws,
+         CAST(floor((len(ws) + {BLOCKS - 1}) / {BLOCKS}.0) AS INT) AS q
+  FROM w
+),
+blocks AS (
+  SELECT doc_id, g.i,
+         md5(array_to_string(ws[g.i * q + 1 : g.i * q + q], ' ')) AS h
+  FROM q CROSS JOIN (SELECT unnest(range(0, {BLOCKS})) AS i) g
+  WHERE g.i * q + 1 <= len(ws)
+),
+pairs AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM blocks x JOIN blocks y
+    ON x.i = y.i AND x.h = y.h AND x.doc_id < y.doc_id
+  GROUP BY doc_a, doc_b
+  HAVING COUNT(*) >= {BLOCK_MATCH_MIN}
+),
+samp AS (SELECT doc_id FROM documents WHERE {_PREV_NIB} < {PREVIEW_NIBBLE_MAX}),
+dup_full AS (SELECT DISTINCT d FROM (SELECT doc_a AS d FROM pairs UNION ALL SELECT doc_b FROM pairs) u),
+dup_samp AS (
+  SELECT DISTINCT d FROM (
+    SELECT doc_a AS d FROM pairs
+    WHERE doc_a IN (SELECT doc_id FROM samp) AND doc_b IN (SELECT doc_id FROM samp)
+    UNION ALL
+    SELECT doc_b FROM pairs
+    WHERE doc_a IN (SELECT doc_id FROM samp) AND doc_b IN (SELECT doc_id FROM samp)
+  ) u
+),
+c AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM samp) AS n,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM dup_samp) AS k,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS full_n,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM dup_full) AS full_k
+)
+SELECT n AS sample_n, k AS sample_dups,
+       ROUND(CAST(k AS DOUBLE) / n, 6) AS sample_rate,
+       {_WILSON.format(sign="-")} AS wilson_low,
+       {_WILSON.format(sign="+")} AS wilson_high,
+       full_n, full_k AS full_dups,
+       ROUND(CAST(full_k AS DOUBLE) / full_n, 6) AS full_rate,
+       (CAST(full_k AS DOUBLE) / full_n >= {_WILSON.format(sign="-")}
+        AND CAST(full_k AS DOUBLE) / full_n <= {_WILSON.format(sign="+")})
+         AS full_in_ci
+FROM c
+""",
+)
+def dedup_rate_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-rate preview — the estimate-before-you-run pattern: run the
+    aligned-block near-dup detector on a deterministic 25% document
+    sample, report the sample-internal duplicated-doc rate with its
+    Wilson 95% interval, next to the full-corpus rate.  At 100 TB the
+    preview is what you run FIRST to size the real dedup job.
+
+    The audit deliberately exposes the estimator's known bias: a sampled
+    doc's duplicate partner survives the sample only w.p. ~25%, so the
+    sample-internal rate UNDERESTIMATES the pairwise dup rate (the CI
+    covers sampling noise, not missing partners) — ``full_in_ci`` makes
+    the gap a first-class output instead of a silent surprise.  (The
+    detector itself is population-independent — a pair shares blocks or
+    not regardless of other docs — which is also why the sample run
+    equals the pair set filtered to sample members, computed once.)
+
+    Determinism: counts are exact integers; rates are single IEEE
+    divisions; Wilson is the ab_test_wilson_bounds formula verbatim
+    (one sqrt, rounded to 6).
+
+    Plan at 100 TB: the block/pair plan is aligned_block_dedup's
+    (equi-join on (position, hash), never all-pairs), computed ONCE and
+    checkpointed; the sample leg adds two semi-joins against the
+    md5-sampled id set; everything after is a 1-row aggregate."""
+    docs = load_spread(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    qn = F.floor((F.size(ws) + (BLOCKS - 1)) / F.lit(float(BLOCKS))).cast("int")
+    base = docs.select("doc_id", ws.alias("ws"), qn.alias("q"), F.size(ws).alias("nw"))
+    blocks = (
+        base.select(
+            "doc_id",
+            "nw",
+            "q",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("i"),
+                            F.md5(
+                                F.array_join(
+                                    F.slice(
+                                        F.col("ws"), F.lit(i) * F.col("q") + 1, F.col("q")
+                                    ),
+                                    " ",
+                                )
+                            ).alias("h"),
+                        )
+                        for i in range(BLOCKS)
+                    ]
+                )
+            ).alias("blk"),
+        )
+        .filter(F.col("blk.i") * F.col("q") + 1 <= F.col("nw"))
+        .select("doc_id", F.col("blk.i").alias("i"), F.col("blk.h").alias("h"))
+    )
+    x, y = blocks.alias("x"), blocks.alias("y")
+    pairs = materialize(
+        x.join(
+            y,
+            (F.col("x.i") == F.col("y.i"))
+            & (F.col("x.h") == F.col("y.h"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .groupBy(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("nb"))
+        .filter(F.col("nb") >= BLOCK_MATCH_MIN)
+        .select("doc_a", "doc_b")
+    )
+    nib = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(
+                F.md5(F.concat(F.lit("prev|"), F.col("doc_id").cast("string"))), 1, 1
+            ),
+        )
+        - 1
+    )
+    samp = docs.select("doc_id").filter(nib < PREVIEW_NIBBLE_MAX)
+    dup_full = (
+        pairs.select(F.col("doc_a").alias("d"))
+        .unionAll(pairs.select(F.col("doc_b").alias("d")))
+        .distinct()
+    )
+    sp = (
+        pairs.join(samp.select(F.col("doc_id").alias("doc_a")), "doc_a", "left_semi")
+        .join(samp.select(F.col("doc_id").alias("doc_b")), "doc_b", "left_semi")
+    )
+    dup_samp = (
+        sp.select(F.col("doc_a").alias("d"))
+        .unionAll(sp.select(F.col("doc_b").alias("d")))
+        .distinct()
+    )
+    c = (
+        samp.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .crossJoin(F.broadcast(dup_samp.agg(F.count(F.lit(1)).cast("bigint").alias("k"))))
+        .crossJoin(F.broadcast(docs.agg(F.count(F.lit(1)).cast("bigint").alias("full_n"))))
+        .crossJoin(F.broadcast(dup_full.agg(F.count(F.lit(1)).cast("bigint").alias("full_k"))))
+    )
+    cview = f"dedup_preview_c_{next(_VIEW_COUNTER)}"
+    c.createOrReplaceTempView(cview)
+    return spark.sql(
+        f"""
+SELECT n AS sample_n, k AS sample_dups,
+       ROUND(CAST(k AS DOUBLE) / n, 6) AS sample_rate,
+       {_WILSON.format(sign="-")} AS wilson_low,
+       {_WILSON.format(sign="+")} AS wilson_high,
+       full_n, full_k AS full_dups,
+       ROUND(CAST(full_k AS DOUBLE) / full_n, 6) AS full_rate,
+       (CAST(full_k AS DOUBLE) / full_n >= {_WILSON.format(sign="-")}
+        AND CAST(full_k AS DOUBLE) / full_n <= {_WILSON.format(sign="+")})
+         AS full_in_ci
+FROM {cview}
+"""
+    )

@@ -86,6 +86,7 @@ _SAMPLE_FRONT = (
     "hits_hub_authority",
     "token_budget_epoch_plan",
     "minhash_jaccard_estimate_audit",
+    "dedup_rate_preview",
     "temperature_mixture_weights",
     "tokenizer_fertility_stats",
     # --- prior-round keys below (r7 order), re-sampled as the cut allows ---

@@ -691,3 +691,18 @@ def test_minhash_estimate_audit_stays_candidate_keyed(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_dedup_preview_reuses_one_pair_computation(spark, sf_dir):
+    """The preview's pair set is computed once and CHECKPOINTED (the
+    detector is population-independent, so the sample leg is a filter of
+    the full pairs, never a second block join) — consuming the result
+    must not re-run the block self-join, and nothing nested-loops."""
+    plan = _plan(spark, sf_dir, "dedup_rate_preview")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # the (i, h) block self-join ran at build time into the checkpoint:
+    # pairs arrive as an ExistingRDD scan, and no block explode (the
+    # per-quarter slice/array_join projection) appears at consumption
+    assert "ExistingRDD" in plan, "pairs not consumed from the checkpoint"
+    assert "array_join" not in plan, "block hashing re-runs at consumption"
