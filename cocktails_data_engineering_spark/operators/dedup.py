@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import itertools
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..checkpointing import materialize
@@ -1601,4 +1601,126 @@ SELECT n AS sample_n, k AS sample_dups,
          AS full_in_ci
 FROM {cview}
 """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunk dedup (insertion-robust boundaries)
+# ---------------------------------------------------------------------------
+CDC_MIN_CHUNK_WORDS = 3  # 1-2 word chunks are stop-word collisions, not signal
+CDC_MATCH_MIN = 2  # docs must share >= this many chunk hashes
+CDC_DF_CAP = 64  # chunks present in more docs are boilerplate, carry no signal
+
+
+@register(
+    "cdc_chunk_dedup",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+),
+b AS (
+  SELECT doc_id, pos, word,
+         CASE WHEN (strpos('0123456789abcdef', substr(md5(word), 1, 1)) - 1) = 0
+              THEN 1 ELSE 0 END AS is_b
+  FROM w WHERE word <> ''
+),
+g AS (
+  SELECT doc_id, pos, word,
+         COALESCE(SUM(is_b) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS grp
+  FROM b
+),
+chunks AS (
+  SELECT DISTINCT doc_id,
+         md5(array_to_string(list(word ORDER BY pos), ' ')) AS h
+  FROM g GROUP BY doc_id, grp
+  HAVING COUNT(*) >= {CDC_MIN_CHUNK_WORDS}
+),
+df AS (SELECT h, COUNT(*) AS n_docs FROM chunks GROUP BY h),
+sig AS (SELECT c.doc_id, c.h FROM chunks c JOIN df USING (h)
+        WHERE df.n_docs BETWEEN 2 AND {CDC_DF_CAP})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM sig a JOIN sig b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY doc_a, doc_b
+HAVING COUNT(*) >= {CDC_MATCH_MIN}
+""",
+)
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunk dedup — the insertion-robust variant
+    aligned_block_dedup documents as its extension: chunk boundaries are
+    declared wherever md5(word) starts with nibble 0 (expected chunk
+    ~16 words, a Rabin-style content-defined cut), so an INSERTED word
+    shifts only its own chunk while every later chunk re-synchronizes —
+    exactly the edit class that breaks fixed-position quarters.  Docs
+    sharing >= {CDC_MATCH_MIN} chunk hashes are near-dup candidates.
+
+    Guards: chunks under {CDC_MIN_CHUNK_WORDS} words are dropped
+    (stop-word-sized chunks collide without signal) and chunk hashes in
+    more than {CDC_DF_CAP} docs are excluded as boilerplate (the
+    hot-bucket discipline in document-frequency form — a chunk shared by
+    10^5 docs would otherwise emit 10^10 pairs and says nothing about
+    any one pair).
+
+    Determinism: boundaries and hashes are md5-derived; chunk content is
+    re-assembled with an ORDERED aggregation on the in-document word
+    position on both engines (Spark: array_sort over (pos, word)
+    structs — collect_list alone is partition-order-dependent).
+
+    Plan at 100 TB: per-doc windows partition on doc_id (never global);
+    the pair join is an equi-join on the chunk hash with df-capped fan-out
+    (Σ min(df, CAP)²); everything is linear in the token count."""
+    return cdc_chunk_pairs_from(load_spread(spark, sf_dir, "documents"))
+
+
+def cdc_chunk_pairs_from(docs: DataFrame) -> DataFrame:
+    """CDC pair candidates from any (doc_id, text) frame — the planted
+    insertion-robustness test drives this directly."""
+    w = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    ).filter(F.col("word") != "")
+    is_b = (
+        F.instr(F.lit("0123456789abcdef"), F.substring(F.md5("word"), 1, 1)) - 1 == 0
+    ).cast("int")
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    g = w.select(
+        "doc_id",
+        "pos",
+        "word",
+        F.coalesce(F.sum(is_b).over(win), F.lit(0)).alias("grp"),
+    )
+    content = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "word"))),
+            lambda s: s.getField("word"),
+        ),
+        " ",
+    )
+    chunks = (
+        g.groupBy("doc_id", "grp")
+        .agg(F.count(F.lit(1)).alias("nw"), F.md5(content).alias("h"))
+        .filter(F.col("nw") >= CDC_MIN_CHUNK_WORDS)
+        .select("doc_id", "h")
+        .distinct()
+    )
+    df_t = chunks.groupBy("h").agg(F.count(F.lit(1)).alias("n_docs"))
+    sig = chunks.join(
+        df_t.filter(
+            (F.col("n_docs") >= 2) & (F.col("n_docs") <= CDC_DF_CAP)
+        ).select("h"),
+        "h",
+    ).transform(materialize)
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= CDC_MATCH_MIN)
     )

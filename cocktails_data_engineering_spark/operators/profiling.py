@@ -16,6 +16,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..checkpointing import materialize
 from ..functions.numerics import davg, dsum, oracle_dsum
 from ..registry import register
 from ..sources.tables import load, load_spread
@@ -1405,4 +1406,106 @@ def bootstrap_ci_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ci_lo",
             "ci_hi",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation between two model-based quality signals
+# ---------------------------------------------------------------------------
+def _spearman_oracle() -> str:
+    from ..registry import get_spec
+
+    ent = get_spec("char_entropy_quality").oracle.strip()
+    lm = get_spec("bigram_lm_doc_score").oracle.strip()
+    return f"""
+WITH ent AS (SELECT doc_id, char_entropy_nats AS xv FROM ({ent}) t),
+lm AS (SELECT doc_id, avg_logprob AS yv FROM ({lm}) t),
+j AS (SELECT ent.doc_id, xv, yv FROM ent JOIN lm USING (doc_id)),
+xvals AS (SELECT xv, CAST(COUNT(*) AS BIGINT) AS cnt FROM j GROUP BY xv),
+xr AS (SELECT xv, 2 * (SUM(cnt) OVER (ORDER BY xv) - cnt) + cnt + 1 AS r2 FROM xvals),
+yvals AS (SELECT yv, CAST(COUNT(*) AS BIGINT) AS cnt FROM j GROUP BY yv),
+yr AS (SELECT yv, 2 * (SUM(cnt) OVER (ORDER BY yv) - cnt) + cnt + 1 AS r2 FROM yvals),
+r AS (SELECT j.doc_id, xr.r2 AS rx, yr.r2 AS ry FROM j JOIN xr USING (xv) JOIN yr USING (yv)),
+m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(rx AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(ry AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(rx * ry AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(rx * rx AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(ry * ry AS DECIMAL(38,0))) AS DOUBLE) AS syy
+  FROM r
+)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       ROUND((n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+         AS spearman_rho
+FROM m
+"""
+
+
+@register("spearman_entropy_fluency", oracle=_spearman_oracle())
+def spearman_entropy_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between two model-based quality signals —
+    per-doc character entropy vs bigram-LM fluency — the nonparametric
+    check a curation team runs before stacking filters: signals that rank
+    documents the same way are redundant gates, anti-correlated ones
+    genuinely prune different corners.  Both signals are the engine's own
+    registered operators (char_entropy_quality, bigram_lm_doc_score), so
+    this correlation can never drift from what the filters actually see.
+
+    Determinism: tied values get the classic AVERAGE rank, carried as
+    2x-average-rank = 2·rank_before + cnt + 1 — an INTEGER (doubling both
+    rank variables leaves the correlation unchanged), built from the
+    per-distinct-value cumulative counts (the el2n device, never a global
+    row_number over the fact).  Per-doc rank products fit BIGINT up to
+    ~1.5e9 docs (rx·ry ≤ 4N²); moment sums are exact DECIMAL(38,0); the
+    closed form runs once in double (IEEE-identical both engines), one
+    sqrt pair, rounded to 6.
+
+    Plan at 100 TB: the two signal subplans are the registered operators'
+    (both linear); rank tables are windows over DISTINCT-VALUE rollups
+    broadcast back; the moments are one map-combinable aggregate."""
+    from ..registry import get_spec
+    from pyspark.sql import Window as W
+
+    ent = get_spec("char_entropy_quality").fn(spark, sf_dir).select(
+        "doc_id", F.col("char_entropy_nats").alias("xv")
+    )
+    lm = get_spec("bigram_lm_doc_score").fn(spark, sf_dir).select(
+        "doc_id", F.col("avg_logprob").alias("yv")
+    )
+    j = materialize(ent.join(lm, "doc_id"))
+
+    def rank2(col: str) -> DataFrame:
+        vals = j.groupBy(col).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        w = W.orderBy(col).rowsBetween(W.unboundedPreceding, 0)
+        return vals.select(
+            col,
+            (2 * (F.sum("cnt").over(w) - F.col("cnt")) + F.col("cnt") + 1).alias("r2"),
+        )
+
+    r = (
+        j.join(F.broadcast(rank2("xv").withColumnRenamed("r2", "rx")), "xv")
+        .join(F.broadcast(rank2("yv").withColumnRenamed("r2", "ry")), "yv")
+        .select("doc_id", "rx", "ry")
+    )
+    dec = "decimal(38,0)"
+    m = r.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("rx").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("ry").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("rx") * F.col("ry")).cast(dec)).cast("double").alias("sxy"),
+        F.sum((F.col("rx") * F.col("rx")).cast(dec)).cast("double").alias("sxx"),
+        F.sum((F.col("ry") * F.col("ry")).cast(dec)).cast("double").alias("syy"),
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("spearman_rho"),
     )

@@ -87,6 +87,8 @@ _SAMPLE_FRONT = (
     "token_budget_epoch_plan",
     "minhash_jaccard_estimate_audit",
     "dedup_rate_preview",
+    "cdc_chunk_dedup",
+    "spearman_entropy_fluency",
     "temperature_mixture_weights",
     "tokenizer_fertility_stats",
     # --- prior-round keys below (r7 order), re-sampled as the cut allows ---

@@ -217,3 +217,25 @@ def test_el2n_deciles_partition_and_order(spark, sf_dir):
     assert sum(r.n for r in rows) == n_orders
     means = [r.mean_el2n for r in rows]
     assert all(a <= b for a, b in zip(means, means[1:])), means
+
+
+def test_cdc_chunks_survive_insertion_aligned_blocks_do_not(spark):
+    """The CDC op's reason to exist: after a single word is INSERTED near
+    the front of a long document, content-defined boundaries re-sync and
+    the pair still shares >= CDC_MATCH_MIN chunk hashes, while the
+    fixed-position quarters all shift and stop matching."""
+    from cocktails_data_engineering_spark.operators.dedup import (
+        CDC_MATCH_MIN,
+        cdc_chunk_pairs_from,
+    )
+
+    base = " ".join(f"tok{i}xq" for i in range(400))
+    inserted = " ".join(["tok0xq", "INSERTEDWORD"] + base.split(" ")[1:])
+    docs = spark.createDataFrame(
+        [(1, base), (2, inserted), (3, " ".join(f"other{i}zz" for i in range(400)))],
+        "doc_id long, text string",
+    )
+    pairs = {(r.doc_a, r.doc_b): r.n_shared for r in cdc_chunk_pairs_from(docs).collect()}
+    assert (1, 2) in pairs, f"insertion broke CDC matching: {pairs}"
+    assert pairs[(1, 2)] >= CDC_MATCH_MIN
+    assert all(k == (1, 2) for k in pairs), f"unrelated doc paired: {pairs}"

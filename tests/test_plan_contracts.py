@@ -706,3 +706,32 @@ def test_dedup_preview_reuses_one_pair_computation(spark, sf_dir):
     # per-quarter slice/array_join projection) appears at consumption
     assert "ExistingRDD" in plan, "pairs not consumed from the checkpoint"
     assert "array_join" not in plan, "block hashing re-runs at consumption"
+
+
+def test_cdc_chunk_join_is_hash_keyed_and_df_capped(spark, sf_dir):
+    """The CDC pair join must be an equi-join on the chunk hash over the
+    CHECKPOINTED df-capped signature table — per-doc windows partition on
+    doc_id (no global sort), nothing nested-loops."""
+    plan = _plan(spark, sf_dir, "cdc_chunk_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ExistingRDD" in plan  # capped signature table consumed from checkpoint
+
+
+def test_spearman_rank_windows_run_on_value_rollups(spark, sf_dir):
+    """Both rank tables must be windows over DISTINCT-VALUE rollups
+    broadcast back onto the joined signal table (the el2n device) — never
+    a global row_number over the fact — and the moments are one
+    aggregate."""
+    plan = _plan(spark, sf_dir, "spearman_entropy_fluency")
+    lines = plan.splitlines()
+    windows = [i for i, ln in enumerate(lines)
+               if "Window" in ln and "WindowGroupLimit" not in ln]
+    assert len(windows) == 2, f"expected 2 rank windows, got {len(windows)}"
+    for w in windows:
+        ctx = "\n".join(lines[w: w + 10])
+        assert "HashAggregate" in ctx, f"rank window not fed by a rollup:\n{ctx}"
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
