@@ -39,6 +39,10 @@ from ..sources.tables import load_spread
 K = 4
 DIM = 64
 N_ROUNDS = 5
+# vec_id % BATCH_MOD == 0 → today's batch; rest = corpus.  Lives in this
+# LEAF module (not curation) so ml.py can use it without creating the
+# ml ⇄ curation import cycle that made `import operators.ml` order-dependent.
+BATCH_MOD = 10
 _DEC = "decimal(18,12)"
 
 

@@ -48,6 +48,7 @@ from ..functions.numerics import dsum, oracle_dsum
 from ..registry import register
 from ..sources.tables import load
 from .clustering import (
+    BATCH_MOD,
     K as _K,
     _ORACLE_VECS,
     _assign,
@@ -610,7 +611,6 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Incremental semantic dedup (the daily-ingest shape for vectors)
 
-BATCH_MOD = 10  # vec_id % BATCH_MOD == 0 → today's batch; rest = corpus
 
 
 @register(
@@ -1219,9 +1219,6 @@ def el2n_prune_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Temperature-scaled domain mixture weights (mT5 alpha-sampling)
 # ---------------------------------------------------------------------------
-MIX_ALPHAS = (0.3, 0.7)  # sampling temperatures; alpha=1.0 is the raw share
-
-
 def _pow_alpha_sql(alpha: float) -> str:
     # c^alpha as exp(alpha * ln c) with BOTH transcendentals rounded (ln to
     # 6 before the exact-decimal multiply, exp to 6 after) — POWER() is not
@@ -1319,7 +1316,7 @@ def temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 # RHO-loss data selection (reducible holdout loss)
 # ---------------------------------------------------------------------------
 def _rho_oracle() -> str:
-    from .ml import LOGIT_ROUNDS, SPLIT_SQL, _logit_cte_parts
+    from .ml import LOGIT_ROUNDS, PRICE_SCALE, SPLIT_SQL, _logit_cte_parts
 
     parts = _logit_cte_parts(where=SPLIT_SQL["train"], prefix="t")
     parts += _logit_cte_parts(where=SPLIT_SQL["holdout"], prefix="h")
@@ -1332,7 +1329,7 @@ s AS (
   SELECT o_orderpriority,
          CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y,
          1.0 AS x0,
-         ROUND(o_totalprice / 100000.0, 6) AS x1,
+         ROUND(o_totalprice / {PRICE_SCALE}.0, 6) AS x1,
          CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1.0 ELSE 0.0 END AS x2
   FROM orders WHERE {SPLIT_SQL["train"]}
 ),
@@ -1423,9 +1420,13 @@ def rho_loss_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             -F.log(F.when(F.col("y") == 1.0, p).otherwise(1.0 - p)), 6
         )
 
-    r = s.select(
-        "o_orderpriority",
-        F.round(loss(prob(w_m)) - loss(prob(w_il)), 6).alias("rho"),
+    # Checkpointed: `r` feeds three plan branches (tot, vals, final join) —
+    # Catalyst would otherwise scan the orders fact table three times.
+    r = materialize(
+        s.select(
+            "o_orderpriority",
+            F.round(loss(prob(w_m)) - loss(prob(w_il)), 6).alias("rho"),
+        )
     )
     tot = r.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     vals = r.groupBy("rho").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))

@@ -230,6 +230,31 @@ _SPARK_STACK = "stack({n}, {args})".format(
 )
 
 
+
+# Spark-side band/candidate CTE fragment (assumes an upstream `mins` CTE):
+# the ONE text behind minhash_candidates_from and the estimator audit, so
+# the hot-bucket discipline can never fork between them.
+_SPARK_BAND_CANDS = f"""bands AS (SELECT doc_id, {_SPARK_STACK} AS (band_id, band_key) FROM mins),
+sized AS (
+  SELECT doc_id, band_id, band_key,
+         COUNT(*) OVER (PARTITION BY band_id, band_key) AS bucket_n,
+         MIN(doc_id) OVER (PARTITION BY band_id, band_key) AS anchor
+  FROM bands
+),
+cands AS (
+  SELECT DISTINCT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sized a JOIN sized b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    WHERE a.bucket_n <= {HOT_BUCKET_CAP}
+    UNION ALL
+    SELECT anchor AS doc_a, doc_id AS doc_b
+    FROM sized
+    WHERE bucket_n > {HOT_BUCKET_CAP} AND doc_id <> anchor
+  ) u
+)"""
+
+
 def minhash_candidates_from(shingled: DataFrame) -> DataFrame:
     """Candidate pairs from an existing (doc_id, shingle) table — lets
     callers that also need the shingles (the Jaccard verifier) compute
@@ -247,23 +272,8 @@ def minhash_candidates_from(shingled: DataFrame) -> DataFrame:
     return spark.sql(
         f"""
 WITH mins AS (SELECT doc_id, {_SPARK_MINS} FROM {view} GROUP BY doc_id),
-bands AS (SELECT doc_id, {_SPARK_STACK} AS (band_id, band_key) FROM mins),
-sized AS (
-  SELECT doc_id, band_id, band_key,
-         COUNT(*) OVER (PARTITION BY band_id, band_key) AS bucket_n,
-         MIN(doc_id) OVER (PARTITION BY band_id, band_key) AS anchor
-  FROM bands
-)
-SELECT DISTINCT doc_a, doc_b FROM (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM sized a JOIN sized b
-    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-  WHERE a.bucket_n <= {HOT_BUCKET_CAP}
-  UNION ALL
-  SELECT anchor AS doc_a, doc_id AS doc_b
-  FROM sized
-  WHERE bucket_n > {HOT_BUCKET_CAP} AND doc_id <> anchor
-) u
+{_SPARK_BAND_CANDS}
+SELECT doc_a, doc_b FROM cands
 """
     )
 
@@ -985,10 +995,10 @@ BLOCKS = 4
 BLOCK_MATCH_MIN = 2
 
 
-@register(
-    "aligned_block_dedup",
-    oracle=f"""
-WITH w AS (
+# Shared oracle CTE chain: word-quarter blocks -> (doc_a, doc_b, n_blocks)
+# pairs — the single SQL text behind aligned_block_dedup and
+# dedup_rate_preview (mirrors aligned_block_pairs_from).
+_ALIGNED_PAIR_CTES = f"""w AS (
   SELECT doc_id, string_split(text, ' ') AS ws FROM documents
 ),
 q AS (
@@ -1001,14 +1011,22 @@ blocks AS (
          md5(array_to_string(ws[g.i * q + 1 : g.i * q + q], ' ')) AS h
   FROM q CROSS JOIN (SELECT unnest(range(0, {BLOCKS})) AS i) g
   WHERE g.i * q + 1 <= len(ws)
-)
-SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
-       CAST(COUNT(*) AS BIGINT) AS n_blocks
-FROM blocks x JOIN blocks y
-  ON x.i = y.i AND x.h = y.h AND x.doc_id < y.doc_id
-GROUP BY doc_a, doc_b
-HAVING COUNT(*) >= {BLOCK_MATCH_MIN}
-""",
+),
+pairs AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS n_blocks
+  FROM blocks x JOIN blocks y
+    ON x.i = y.i AND x.h = y.h AND x.doc_id < y.doc_id
+  GROUP BY doc_a, doc_b
+  HAVING COUNT(*) >= {BLOCK_MATCH_MIN}
+)"""
+
+
+
+
+@register(
+    "aligned_block_dedup",
+    oracle="WITH " + _ALIGNED_PAIR_CTES + "\nSELECT doc_a, doc_b, n_blocks FROM pairs",
 )
 def aligned_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-chunk block-hash near-dedup over the TOKEN stream: split
@@ -1030,7 +1048,14 @@ def aligned_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from an equi-join on (block index, hash) — collisions only, never
     all-pairs; pair aggregate keyed on the (a, b) pair.  Same
     banded-candidate discipline as the MinHash-LSH family."""
-    docs = load_spread(spark, sf_dir, "documents")
+    return aligned_block_pairs_from(load_spread(spark, sf_dir, "documents"))
+
+
+def aligned_block_pairs_from(docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, n_blocks) aligned-quarter pairs from any (doc_id,
+    text) frame — the single implementation behind aligned_block_dedup
+    and dedup_rate_preview, so the preview can never drift from the
+    detector it claims to preview."""
     ws = F.split(F.col("text"), " ")
     q = F.floor((F.size(ws) + (BLOCKS - 1)) / F.lit(float(BLOCKS))).cast("int")
     base = docs.select("doc_id", ws.alias("ws"), q.alias("q"), F.size(ws).alias("nw"))
@@ -1393,25 +1418,7 @@ def minhash_jaccard_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFram
     return spark.sql(
         f"""
 WITH mins AS (SELECT * FROM {mview}),
-bands AS (SELECT doc_id, {_SPARK_STACK} AS (band_id, band_key) FROM mins),
-sized AS (
-  SELECT doc_id, band_id, band_key,
-         COUNT(*) OVER (PARTITION BY band_id, band_key) AS bucket_n,
-         MIN(doc_id) OVER (PARTITION BY band_id, band_key) AS anchor
-  FROM bands
-),
-cands AS (
-  SELECT DISTINCT doc_a, doc_b FROM (
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM sized a JOIN sized b
-      ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-    WHERE a.bucket_n <= {HOT_BUCKET_CAP}
-    UNION ALL
-    SELECT anchor AS doc_a, doc_id AS doc_b
-    FROM sized
-    WHERE bucket_n > {HOT_BUCKET_CAP} AND doc_id <> anchor
-  ) u
-),
+{_SPARK_BAND_CANDS},
 shingled AS (SELECT doc_id, shingle FROM {sview}),{_AUDIT_TAIL}
 """
     )
@@ -1438,27 +1445,7 @@ _WILSON = """ROUND((CAST(k AS DOUBLE) / n + 1.9208 / n
 @register(
     "dedup_rate_preview",
     oracle=f"""
-WITH w AS (
-  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-),
-q AS (
-  SELECT doc_id, ws,
-         CAST(floor((len(ws) + {BLOCKS - 1}) / {BLOCKS}.0) AS INT) AS q
-  FROM w
-),
-blocks AS (
-  SELECT doc_id, g.i,
-         md5(array_to_string(ws[g.i * q + 1 : g.i * q + q], ' ')) AS h
-  FROM q CROSS JOIN (SELECT unnest(range(0, {BLOCKS})) AS i) g
-  WHERE g.i * q + 1 <= len(ws)
-),
-pairs AS (
-  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
-  FROM blocks x JOIN blocks y
-    ON x.i = y.i AND x.h = y.h AND x.doc_id < y.doc_id
-  GROUP BY doc_a, doc_b
-  HAVING COUNT(*) >= {BLOCK_MATCH_MIN}
-),
+WITH {_ALIGNED_PAIR_CTES},
 samp AS (SELECT doc_id FROM documents WHERE {_PREV_NIB} < {PREVIEW_NIBBLE_MAX}),
 dup_full AS (SELECT DISTINCT d FROM (SELECT doc_a AS d FROM pairs UNION ALL SELECT doc_b FROM pairs) u),
 dup_samp AS (
@@ -1513,48 +1500,8 @@ def dedup_rate_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpointed; the sample leg adds two semi-joins against the
     md5-sampled id set; everything after is a 1-row aggregate."""
     docs = load_spread(spark, sf_dir, "documents")
-    ws = F.split(F.col("text"), " ")
-    qn = F.floor((F.size(ws) + (BLOCKS - 1)) / F.lit(float(BLOCKS))).cast("int")
-    base = docs.select("doc_id", ws.alias("ws"), qn.alias("q"), F.size(ws).alias("nw"))
-    blocks = (
-        base.select(
-            "doc_id",
-            "nw",
-            "q",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(i).alias("i"),
-                            F.md5(
-                                F.array_join(
-                                    F.slice(
-                                        F.col("ws"), F.lit(i) * F.col("q") + 1, F.col("q")
-                                    ),
-                                    " ",
-                                )
-                            ).alias("h"),
-                        )
-                        for i in range(BLOCKS)
-                    ]
-                )
-            ).alias("blk"),
-        )
-        .filter(F.col("blk.i") * F.col("q") + 1 <= F.col("nw"))
-        .select("doc_id", F.col("blk.i").alias("i"), F.col("blk.h").alias("h"))
-    )
-    x, y = blocks.alias("x"), blocks.alias("y")
     pairs = materialize(
-        x.join(
-            y,
-            (F.col("x.i") == F.col("y.i"))
-            & (F.col("x.h") == F.col("y.h"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .groupBy(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("nb"))
-        .filter(F.col("nb") >= BLOCK_MATCH_MIN)
-        .select("doc_a", "doc_b")
+        aligned_block_pairs_from(docs).select("doc_a", "doc_b")
     )
     nib = (
         F.instr(

@@ -24,7 +24,7 @@ from ..functions.numerics import dsum
 from ..registry import register
 from ..sources.tables import load, load_spread
 from .clustering import DIM
-from .curation import BATCH_MOD
+from .clustering import BATCH_MOD
 
 # ---------------------------------------------------------------------------
 # Multinomial Naive Bayes: train on the corpus, evaluate on the corpus,
