@@ -115,3 +115,50 @@ def test_mllib_minhash_agrees_with_hand_rolled(spark, shingled, truth_pairs):
         f"hand-rolled bands ({r_hand:.2f}) trail MLlib ({r_mllib:.2f}) "
         "beyond probabilistic slack"
     )
+
+
+# ---------------------------------------------------------------------------
+# Differential #2: exact cosine_topk vs MLlib BucketedRandomProjectionLSH
+# ---------------------------------------------------------------------------
+def test_brp_lsh_ann_recalls_exact_cosine_topk(spark, sf_dir):
+    """The engine's exact cosine_topk is the stated ground-truth baseline
+    for the ANN family.  MLlib's BucketedRandomProjectionLSH (Euclidean)
+    over L2-NORMALIZED vectors searches the same geometry (on the unit
+    sphere, ||a-b||^2 = 2 - 2*cos), so its approxSimilarityJoin at a
+    generous radius must recall most exact top-k neighbor pairs.  A recall
+    collapse implicates either our exact baseline or the normalization —
+    either is a real bug.  (Recall bar is modest: BRP-LSH with few tables
+    is a weaker structure than the banded MinHash scheme.)"""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
+    from pyspark.ml.functions import array_to_vector
+
+    from cocktails_data_engineering_spark.plans import queries as plans
+
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in plans.all_queries()["cosine_topk"](spark, sf_dir).collect()
+        if r.score >= 0.2  # BRP radius below only covers genuinely-near pairs
+    }
+    if not exact:
+        pytest.skip("no sufficiently-similar exact pairs at this fixture")
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        array_to_vector(
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+        ).alias("raw"),
+    )
+    unit = Normalizer(inputCol="raw", outputCol="v", p=2.0).transform(emb)
+    model = BucketedRandomProjectionLSH(
+        inputCol="v", outputCol="hashes", bucketLength=0.5, numHashTables=8, seed=7
+    ).fit(unit)
+    # cos >= 0.2 on the unit sphere -> ||a-b|| <= sqrt(2 - 2*0.2) ~= 1.265
+    joined = model.approxSimilarityJoin(unit, unit, 1.266, distCol="d")
+    found = {
+        (r["datasetA"]["vec_id"], r["datasetB"]["vec_id"])
+        for r in joined.collect()
+        if r["datasetA"]["vec_id"] != r["datasetB"]["vec_id"]
+    }
+    hit = sum(1 for p in exact if p in found or (p[1], p[0]) in found)
+    recall = hit / len(exact)
+    assert recall >= 0.8, f"BRP-LSH recall {recall:.2f} over {len(exact)} exact pairs"
