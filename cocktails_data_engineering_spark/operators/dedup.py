@@ -1671,3 +1671,90 @@ def cdc_chunk_pairs_from(docs: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
         .filter(F.col("n_shared") >= CDC_MATCH_MIN)
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-detector agreement audit (the dedup family as an ensemble)
+# ---------------------------------------------------------------------------
+_AGREEMENT_DETECTORS = (
+    "minhash_near_dedup",
+    "simhash_dedup",
+    "aligned_block_dedup",
+    "cdc_chunk_dedup",
+)
+
+
+def _agreement_oracle() -> str:
+    from ..registry import get_spec
+
+    ctes = ",\n".join(
+        f"d{i} AS (SELECT doc_a, doc_b FROM ({get_spec(n).oracle.strip()}) t)"
+        for i, n in enumerate(_AGREEMENT_DETECTORS)
+    )
+    legs = []
+    for i in range(len(_AGREEMENT_DETECTORS)):
+        for j in range(i + 1, len(_AGREEMENT_DETECTORS)):
+            a, b = _AGREEMENT_DETECTORS[i], _AGREEMENT_DETECTORS[j]
+            legs.append(f"""SELECT '{a}' AS det_a, '{b}' AS det_b,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM d{i}) AS n_a,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM d{j}) AS n_b,
+       (SELECT CAST(COUNT(*) AS BIGINT)
+        FROM d{i} x JOIN d{j} y ON x.doc_a = y.doc_a AND x.doc_b = y.doc_b)
+         AS n_common""")
+    union = "\nUNION ALL\n".join(legs)
+    return f"""
+WITH {ctes},
+raw AS ({union})
+SELECT det_a, det_b, n_a, n_b, n_common,
+       ROUND(CAST(n_common AS DOUBLE) / LEAST(n_a, n_b), 6) AS overlap_coeff
+FROM raw
+"""
+
+
+@register("dedup_detector_agreement", oracle=_agreement_oracle())
+def dedup_detector_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-detector agreement over the near-dup ensemble: for every pair
+    of detectors (MinHash-LSH bands, SimHash, aligned quarters,
+    content-defined chunks), the candidate-pair counts, the pairs BOTH
+    emit, and the overlap coefficient |A∩B| / min(|A|,|B|) — the audit a
+    dedup pipeline owner reads to decide whether detectors are redundant
+    (overlap ≈ 1: drop one) or complementary (≈ 0: they prune different
+    duplicate classes, keep both).  Each detector is the REGISTERED
+    operator reused via the registry, so the audit can never drift from
+    what the pipeline actually runs.
+
+    Determinism: pure integer counts; the coefficient is one IEEE
+    division rounded to 6.
+
+    Plan at 100 TB: each detector's candidate plan runs once (all four
+    are banded/blocked/capped — never all-pairs) into a checkpoint;
+    agreement is six pair-keyed equi-joins over candidate-sized tables
+    (candidates ≪ corpus), then a 6-row result."""
+    from ..registry import get_spec
+
+    frames = {
+        n: materialize(
+            get_spec(n).fn(spark, sf_dir).select("doc_a", "doc_b")
+        )
+        for n in _AGREEMENT_DETECTORS
+    }
+    rows = []
+    names = list(_AGREEMENT_DETECTORS)
+    counts = {n: frames[n].count() for n in names}
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            n_common = frames[a].join(frames[b], ["doc_a", "doc_b"]).count()
+            rows.append((a, b, counts[a], counts[b], n_common))
+    out = spark.createDataFrame(
+        rows, "det_a string, det_b string, n_a long, n_b long, n_common long"
+    )
+    return out.select(
+        "det_a",
+        "det_b",
+        "n_a",
+        "n_b",
+        "n_common",
+        F.round(
+            F.col("n_common").cast("double") / F.least("n_a", "n_b"), 6
+        ).alias("overlap_coeff"),
+    )

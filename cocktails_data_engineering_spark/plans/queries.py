@@ -89,6 +89,7 @@ _SAMPLE_FRONT = (
     "dedup_rate_preview",
     "cdc_chunk_dedup",
     "spearman_entropy_fluency",
+    "dedup_detector_agreement",
     "temperature_mixture_weights",
     "tokenizer_fertility_stats",
     # --- prior-round keys below (r7 order), re-sampled as the cut allows ---

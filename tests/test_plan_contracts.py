@@ -735,3 +735,12 @@ def test_spearman_rank_windows_run_on_value_rollups(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_detector_agreement_consumes_checkpoints(spark, sf_dir):
+    """All four detector candidate plans run at build time into
+    checkpoints; the returned 6-row table is driver-local — consuming it
+    must not re-run any detector."""
+    plan = _plan(spark, sf_dir, "dedup_detector_agreement")
+    assert "parquet" not in plan, f"a detector re-runs at consumption:\n{plan}"
+    assert "BatchEvalPython" not in plan
