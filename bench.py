@@ -215,6 +215,16 @@ def main() -> None:
     timings: dict[str, float | None] = dict(sweep_t)
     for name in HEADLINE:
         if name in headline_t:
+            if headline_t[name] is None and sweep_t.get(name) is not None:
+                # Headline pass failed but the sweep ran it fine (e.g. a
+                # transient first-pass error): report the sweep timing
+                # rather than nulling a working query (advice r8).
+                print(
+                    f"bench: headline {name} failed in phase 1; "
+                    f"using sweep timing {sweep_t[name]}",
+                    file=sys.stderr,
+                )
+                continue
             timings[name] = headline_t[name]
 
     failed = sorted(n for n, t in timings.items() if t is None)

@@ -1435,11 +1435,29 @@ _PREV_NIB = (
 
 # Wilson 95% bounds on k/n (z = 1.96) — the ab_test_wilson_bounds formula,
 # written identically in both engines: pure arithmetic + one
-# correctly-rounded sqrt, rounded to 6.
-_WILSON = """ROUND((CAST(k AS DOUBLE) / n + 1.9208 / n
+# correctly-rounded sqrt, rounded to 6.  The n = 0 case (empty sample —
+# possible on sparse custom fixtures) short-circuits to NULL explicitly:
+# integer/0 semantics differ between DuckDB and Spark, so the guard must
+# live in the shared SQL text, not in either engine's default (advice r8).
+_WILSON = """CASE WHEN n = 0 THEN NULL ELSE
+      ROUND((CAST(k AS DOUBLE) / n + 1.9208 / n
        {sign} 1.96 * sqrt((CAST(k AS DOUBLE) / n) * (1 - CAST(k AS DOUBLE) / n) / n
                      + 0.9604 / (n * CAST(n AS DOUBLE))))
-      / (1 + 3.8416 / n), 6)"""
+      / (1 + 3.8416 / n), 6) END"""
+
+# The final projection is shared VERBATIM by the oracle and the Spark SQL
+# (only the source table name differs) — one text, zero drift.
+_PREVIEW_SELECT = f"""
+SELECT n AS sample_n, k AS sample_dups,
+       ROUND(CAST(k AS DOUBLE) / NULLIF(n, 0), 6) AS sample_rate,
+       {_WILSON.format(sign="-")} AS wilson_low,
+       {_WILSON.format(sign="+")} AS wilson_high,
+       full_n, full_k AS full_dups,
+       ROUND(CAST(full_k AS DOUBLE) / NULLIF(full_n, 0), 6) AS full_rate,
+       (CAST(full_k AS DOUBLE) / NULLIF(full_n, 0) >= {_WILSON.format(sign="-")}
+        AND CAST(full_k AS DOUBLE) / NULLIF(full_n, 0) <= {_WILSON.format(sign="+")})
+         AS full_in_ci
+FROM {{src}}"""
 
 
 @register(
@@ -1463,16 +1481,7 @@ c AS (
          (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS full_n,
          (SELECT CAST(COUNT(*) AS BIGINT) FROM dup_full) AS full_k
 )
-SELECT n AS sample_n, k AS sample_dups,
-       ROUND(CAST(k AS DOUBLE) / n, 6) AS sample_rate,
-       {_WILSON.format(sign="-")} AS wilson_low,
-       {_WILSON.format(sign="+")} AS wilson_high,
-       full_n, full_k AS full_dups,
-       ROUND(CAST(full_k AS DOUBLE) / full_n, 6) AS full_rate,
-       (CAST(full_k AS DOUBLE) / full_n >= {_WILSON.format(sign="-")}
-        AND CAST(full_k AS DOUBLE) / full_n <= {_WILSON.format(sign="+")})
-         AS full_in_ci
-FROM c
+{_PREVIEW_SELECT.format(src="c")}
 """,
 )
 def dedup_rate_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1535,20 +1544,7 @@ def dedup_rate_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cview = f"dedup_preview_c_{next(_VIEW_COUNTER)}"
     c.createOrReplaceTempView(cview)
-    return spark.sql(
-        f"""
-SELECT n AS sample_n, k AS sample_dups,
-       ROUND(CAST(k AS DOUBLE) / n, 6) AS sample_rate,
-       {_WILSON.format(sign="-")} AS wilson_low,
-       {_WILSON.format(sign="+")} AS wilson_high,
-       full_n, full_k AS full_dups,
-       ROUND(CAST(full_k AS DOUBLE) / full_n, 6) AS full_rate,
-       (CAST(full_k AS DOUBLE) / full_n >= {_WILSON.format(sign="-")}
-        AND CAST(full_k AS DOUBLE) / full_n <= {_WILSON.format(sign="+")})
-         AS full_in_ci
-FROM {cview}
-"""
-    )
+    return spark.sql(_PREVIEW_SELECT.format(src=cview))
 
 
 # ---------------------------------------------------------------------------
@@ -1706,7 +1702,8 @@ def _agreement_oracle() -> str:
 WITH {ctes},
 raw AS ({union})
 SELECT det_a, det_b, n_a, n_b, n_common,
-       ROUND(CAST(n_common AS DOUBLE) / LEAST(n_a, n_b), 6) AS overlap_coeff
+       ROUND(CAST(n_common AS DOUBLE) / NULLIF(LEAST(n_a, n_b), 0), 6)
+         AS overlap_coeff
 FROM raw
 """
 
@@ -1754,7 +1751,12 @@ def dedup_detector_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_a",
         "n_b",
         "n_common",
+        # NULLIF mirrors the oracle: a detector emitting zero pairs must
+        # yield NULL identically on both engines, not an engine-specific
+        # divide-by-zero behavior (advice r8).
         F.round(
-            F.col("n_common").cast("double") / F.least("n_a", "n_b"), 6
+            F.col("n_common").cast("double")
+            / F.nullif(F.least("n_a", "n_b"), F.lit(0)),
+            6,
         ).alias("overlap_coeff"),
     )

@@ -586,6 +586,29 @@ def _split_col(side: str):
 _TRAIN_CACHE: dict[str, list[list[float]]] = {}
 
 
+def _orders_fingerprint(sf_dir: str) -> str:
+    """(size, mtime_ns) fingerprint of the orders parquet at sf_dir —
+    cache-invalidation key so a rewritten fixture (e.g. a test reusing a
+    tmp dir within one process) retrains instead of silently reusing
+    stale weights (advice r8).  Driver-side os.stat only, no data read."""
+    import os
+
+    path = os.path.join(sf_dir, "orders.parquet")
+    try:
+        if os.path.isdir(path):
+            stats = sorted(
+                (name, st.st_size, st.st_mtime_ns)
+                for name in os.listdir(path)
+                for st in (os.stat(os.path.join(path, name)),)
+            )
+        else:
+            st = os.stat(path)
+            stats = [("", st.st_size, st.st_mtime_ns)]
+    except OSError:
+        return "unstatable"
+    return repr(stats)
+
+
 def train_logistic(spark: SparkSession, sf_dir: str) -> list[list[float]]:
     """The {LOGIT_ROUNDS}-round GD loop, returning the per-round rounded
     weights (last entry = final model) — shared by logistic_regression_gd
@@ -596,11 +619,12 @@ def train_logistic(spark: SparkSession, sf_dir: str) -> list[list[float]]:
     deterministic function of the orders table at that path — four
     operators consume this model, and without the cache each paid the
     full {LOGIT_ROUNDS}-round training cost per query."""
-    cached = _TRAIN_CACHE.get(sf_dir)
+    key = f"{sf_dir}|{_orders_fingerprint(sf_dir)}"
+    cached = _TRAIN_CACHE.get(key)
     if cached is not None:
         return [list(w) for w in cached]
     history = _run_gd(spark, materialize(_logit_features(spark, sf_dir)))
-    _TRAIN_CACHE[sf_dir] = [list(w) for w in history]
+    _TRAIN_CACHE[key] = [list(w) for w in history]
     return history
 
 
@@ -613,7 +637,7 @@ def train_logistic_split(
     train_logistic; weights follow the identical round-before-reuse
     discipline, so the oracle's prefixed CTE chain reproduces them
     bit-for-bit."""
-    key = f"{sf_dir}|{side}"
+    key = f"{sf_dir}|{side}|{_orders_fingerprint(sf_dir)}"
     cached = _TRAIN_CACHE.get(key)
     if cached is not None:
         return [list(w) for w in cached]

@@ -272,6 +272,10 @@ def jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         try:
             _probe(cfg.options()["driver"])
             driver_ok = True
+            # A failed FIRST probe may have stashed its error text; the
+            # driver IS present (this probe found it), so the fallback
+            # reason must read empty or the result row lies.
+            detail = ""
             break
         except Exception as exc:  # noqa: BLE001 — probe failure IS the signal
             detail = str(exc).splitlines()[0][:200]
