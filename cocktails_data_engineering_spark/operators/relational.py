@@ -814,17 +814,45 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_distinct_users")  # approximate by design → rows-only check
+@register(
+    "approx_distinct_users",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS within_bound
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) per event type — the sketch
-    path for 100 TB cardinality estimation; exactness asserted within 5%
-    of countDistinct in tests."""
+    path for 100 TB cardinality estimation: fixed kilobytes of state per
+    group and a map-side-combinable merge, where COUNT(DISTINCT) pays a
+    full shuffle of every distinct key.
+
+    Bounded-contract oracle (the approx_percentile_prices pattern): the
+    sketch's value is engine-specific, so the emitted columns are the
+    exact count plus ``within_bound`` — TRUE iff the HLL++ estimate lies
+    within max(3·rsd, 2) of exact (rsd = 0.02; HLL++ is exact in sparse
+    mode at small cardinalities, the +2 covers integer granularity).
+    The oracle states the contract as a literal TRUE; a sketch
+    regression flips the Spark side to FALSE and fails the value hash.
+    The tighter 5% empirical bound is asserted in tests."""
     ev = load(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"))
-        .orderBy("event_type")
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_users"),
+        F.approx_count_distinct("user_id", 0.02).alias("approx"),
     )
+    slack = F.greatest(
+        F.lit(3 * 0.02) * F.col("exact_users").cast("double"), F.lit(2.0)
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("approx").cast("double") - F.col("exact_users"))
+            <= slack
+        ).alias("within_bound"),
+    ).orderBy("event_type")
 
 
 @register(

@@ -49,7 +49,34 @@ def hll_by_group(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     )
 
 
-@register("hll_distinct_by_type")  # approximate estimator → rows-only check
+# DataSketches HLL relative standard error at lg_k = 14; the bounded
+# contracts below allow 3x this (plus 2 absolute for integer granularity).
+_HLL_RSE = 1.04 / (2 ** (_LG_K / 2))
+
+
+def _hll_slack(exact_col):
+    return F.greatest(
+        F.lit(3 * _HLL_RSE) * exact_col.cast("double"), F.lit(2.0)
+    )
+
+
+@register(
+    "hll_distinct_by_type",
+    oracle="""
+WITH typed AS (
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+  FROM events GROUP BY event_type
+),
+allrow AS (
+  SELECT '__all__' AS event_type,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+  FROM events
+)
+SELECT event_type, exact_users, TRUE AS within_bound FROM typed
+UNION ALL
+SELECT event_type, exact_users, TRUE AS within_bound FROM allrow
+""",
+)
 def hll_distinct_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct users per event type, plus an ``__all__`` row
     whose estimate comes from UNIONING the per-type sketches — not from
@@ -60,8 +87,14 @@ def hll_distinct_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup by merging kilobyte summaries.  The merged estimate is
     bit-identical to a direct global sketch (DataSketches HLL union is a
     deterministic per-register max) — asserted in tests/test_sketches.py.
-    """
-    per_type = hll_by_group(load(spark, sf_dir, "events"), "event_type", "user_id")
+
+    Bounded-contract oracle: the sketch estimate is engine-specific, so
+    the emitted columns are the exact distinct count and
+    ``within_bound`` — TRUE iff the estimate (including the MERGED
+    ``__all__`` estimate, so the union path itself is under contract)
+    lies within max(3·rse, 2) of exact, rse = 1.04/√2^lg_k ≈ 0.81%."""
+    ev = load(spark, sf_dir, "events")
+    per_type = hll_by_group(ev, "event_type", "user_id")
     typed = per_type.select(
         "event_type", F.hll_sketch_estimate("sketch").alias("approx_users")
     )
@@ -69,10 +102,40 @@ def hll_distinct_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("__all__").alias("event_type"),
         F.hll_sketch_estimate("sketch").alias("approx_users"),
     )
-    return typed.unionByName(merged)
+    est = typed.unionByName(merged)
+    exact = (
+        ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("exact_users"))
+        .unionByName(
+            ev.agg(
+                F.countDistinct("user_id").cast("bigint").alias("exact_users")
+            ).select(F.lit("__all__").alias("event_type"), "exact_users")
+        )
+    )
+    return exact.join(est, "event_type").select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users").cast("double") - F.col("exact_users"))
+            <= _hll_slack(F.col("exact_users"))
+        ).alias("within_bound"),
+    )
 
 
-@register("approx_topk_words")  # frequency sketch → rows-only check
+@register(
+    "approx_topk_words",
+    oracle="""
+WITH c AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT unnest(list_filter(string_split(lower(text), ' '), w -> w <> ''))
+          AS word
+        FROM documents) t
+  GROUP BY word
+)
+SELECT word, n, TRUE AS within_bound
+FROM c ORDER BY n DESC, word LIMIT 20
+""",
+)
 def approx_topk_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 corpus words by an ``approx_top_k`` frequency sketch.
 
@@ -80,19 +143,44 @@ def approx_topk_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     full shuffle of every distinct word; the sketch tracks a bounded set of
     counters per partition and merges them — constant state per task no
     matter how large the vocabulary, the right trade at 100 TB when only
-    the head matters.  ``maxItemsTracked`` = 10⁴ bounds per-task memory;
-    heads far smaller than that are exact in practice —
-    tests/test_sketches.py asserts agreement with the exact top-k on the
-    fixture.
-    """
+    the head matters.  ``maxItemsTracked`` = 10⁴ bounds per-task memory.
+
+    Bounded-contract oracle: output rows are the EXACT top-20 under a
+    deterministic tie-break (count DESC, word ASC — a TakeOrdered top-k,
+    no global sort), and ``within_bound`` is TRUE iff the sketch also
+    surfaced that word with a count within 1% (heads ≪ maxItemsTracked
+    are exact in practice) — OR the word sits on the rank-20 count tie
+    boundary, where the sketch may legitimately surface an equal-count
+    twin instead.  A sketch regression (missed head word, drifted count)
+    flips within_bound and fails the value hash."""
+    from pyspark.sql import Window
+
     words = (
         load_spread(spark, sf_dir, "documents")  # tokenize is compute-bound
         .select(F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word"))
         .filter(F.col("word") != "")
     )
-    top = words.agg(F.expr("approx_top_k(word, 20, 10000)").alias("top"))
-    return top.select(F.explode("top").alias("e")).select(
-        F.col("e.item").alias("word"), F.col("e.count").alias("n")
+    exact_top = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "word")
+        .limit(20)
+    )
+    sk = (
+        words.agg(F.expr("approx_top_k(word, 20, 10000)").alias("top"))
+        .select(F.explode("top").alias("e"))
+        .select(F.col("e.item").alias("word"), F.col("e.count").alias("sk_n"))
+    )
+    # min over the 20-row top — metadata-sized unpartitioned window.
+    boundary_n = F.min("n").over(Window.partitionBy())
+    close = F.col("sk_n").isNotNull() & (
+        F.abs(F.col("sk_n").cast("double") - F.col("n"))
+        <= F.lit(0.01) * F.col("n").cast("double")
+    )
+    return exact_top.join(sk, "word", "left").select(
+        "word",
+        "n",
+        (close | (F.col("n") == boundary_n)).alias("within_bound"),
     )
 
 
@@ -177,7 +265,25 @@ def block_checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("hll_rolling_7d_users")  # approximate estimator → rows-only check
+@register(
+    "hll_rolling_7d_users",
+    oracle="""
+WITH du AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+  FROM events
+),
+days AS (SELECT DISTINCT day FROM du),
+t AS (
+  SELECT d.day, u.user_id
+  FROM days d JOIN du u
+    ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users_7d,
+       TRUE AS within_bound
+FROM t GROUP BY day ORDER BY day
+""",
+)
 def hll_rolling_7d_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-7-day distinct users per day, answered by UNIONING the
     stored per-day sketches in a window frame — the query exact COUNT
@@ -189,22 +295,56 @@ def hll_rolling_7d_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the raw scan aggregates once into |days| sketch rows
     (map-side combined); the window then runs over a metadata-sized
     table, so the frame's ORDER BY costs nothing at any corpus size.
-    Accuracy vs exact asserted in tests/test_sketches.py.
-    """
+
+    Bounded-contract oracle: the emitted columns are the EXACT trailing
+    count plus ``within_bound`` (estimate within max(3·rse, 2) of
+    exact).  The exact twin is itself scale-shaped: per-(day, user)
+    distinct pairs fan out to their ≤7 target days (a 7x map-side
+    explode of the already-deduped pair table — no range join, no
+    re-scan of raw events), then one count-distinct per target day,
+    filtered to observed days."""
     from pyspark.sql import Window
 
+    ev = load(spark, sf_dir, "events")
     daily = (
-        load(spark, sf_dir, "events")
-        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
         .agg(F.hll_sketch_agg("user_id", F.lit(_LG_K)).alias("sk"))
         .withColumn("epoch_day", F.unix_date(F.col("day").cast("date")))
     )
     # RANGE over epoch days, not ROWS over observed days: a day with zero
     # events must not stretch "trailing 7 calendar days" to older sketches.
     w = Window.orderBy("epoch_day").rangeBetween(-6, 0)
-    return daily.select(
-        F.date_format("day", "yyyy-MM-dd").alias("day"),
-        F.hll_sketch_estimate(F.hll_union_agg("sk").over(w)).alias("approx_users_7d"),
+    est = daily.select(
+        F.col("epoch_day"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk").over(w)).alias(
+            "approx_users_7d"
+        ),
+    )
+    du = ev.select(
+        F.unix_date(F.date_trunc("day", F.col("ts")).cast("date")).alias("d"),
+        "user_id",
+    ).distinct()
+    exact = (
+        du.select(
+            F.explode(F.sequence(F.col("d"), F.col("d") + 6)).alias("epoch_day"),
+            "user_id",
+        )
+        .join(du.select(F.col("d").alias("epoch_day")).distinct(), "epoch_day")
+        .groupBy("epoch_day")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("exact_users_7d"))
+    )
+    return exact.join(est, "epoch_day").select(
+        F.date_format(F.date_from_unix_date("epoch_day"), "yyyy-MM-dd").alias(
+            "day"
+        ),
+        "exact_users_7d",
+        (
+            F.abs(
+                F.col("approx_users_7d").cast("double")
+                - F.col("exact_users_7d")
+            )
+            <= _hll_slack(F.col("exact_users_7d"))
+        ).alias("within_bound"),
     )
 
 

@@ -58,13 +58,18 @@ for _mod in _OPERATOR_MODULES:
 # listed keep their module registration order behind these.  Rotate again
 # next round for whatever the sweep still hasn't reached.
 _SAMPLE_FRONT = (
-    # --- round-8 rotation: first the ONLY 9 keys without a green-at-latest
-    # driver sample after r7 (cumulative 267/274 sampled): the two STALE
-    # DRIVER-REDS (lang_id_heuristic red since r1, json_parse_robustness
-    # red since r2 — both long fixed and parity-green in-repo, the driver
-    # record just predates the fix), then the 7 never-sampled keys, then
-    # round-8 additions.  Everything after the ~50 cut keeps registration
-    # order; re-samples of green keys are free extra evidence.
+    # --- round-9 rotation: the four sketch keys promoted from rows-only to
+    # bounded-contract oracles this round lead (their first-ever value-hash
+    # sample), then round-9 additions as they land, then the r8 front.
+    # Everything after the ~50 cut keeps registration order; re-samples of
+    # green keys are free extra evidence.
+    "approx_distinct_users",
+    "approx_topk_words",
+    "hll_distinct_by_type",
+    "hll_rolling_7d_users",
+    # --- round-9 additions land here (newest evidence first) ---
+    "media_header_decode",
+    # --- r8 front below ---
     "lang_id_heuristic",
     "json_parse_robustness",
     "jdbc_roundtrip",

@@ -38,10 +38,13 @@ def test_hll_rolling_7d_skips_gap_days_not_calendar_days(spark, tmp_path):
             rows.append((eid, base + dt.timedelta(days=day), u, "view", 1.0, None))
             eid += 1
     sf = _write_events(spark, str(tmp_path), rows)
-    out = {r["day"]: r["approx_users_7d"] for r in sketches.hll_rolling_7d_users(spark, sf).collect()}
-    # HLL at this cardinality is exact.
-    assert out["2024-01-10"] == 1  # NOT 7: the gap must evict days 1-3
-    assert out["2024-01-03"] == 6  # days 1-3 all inside the window
+    out = {
+        r["day"]: (r["exact_users_7d"], r["within_bound"])
+        for r in sketches.hll_rolling_7d_users(spark, sf).collect()
+    }
+    # within_bound proves the HLL side saw the same eviction (exact here).
+    assert out["2024-01-10"] == (1, True)  # NOT 7: the gap must evict days 1-3
+    assert out["2024-01-03"] == (6, True)  # days 1-3 all inside the window
 
 
 def test_audio_chunk_segments_empty_payload_emits_no_rows(spark, tmp_path):

@@ -15,17 +15,19 @@ from cocktails_data_engineering_spark.sources.tables import load
 
 
 def test_hll_estimates_within_tolerance(spark, sf_dir):
-    est = {r.event_type: r.approx_users for r in hll_distinct_by_type(spark, sf_dir).collect()}
+    rows = hll_distinct_by_type(spark, sf_dir).collect()
+    got = {r.event_type: (r.exact_users, r.within_bound) for r in rows}
     events = load(spark, sf_dir, "events")
     exact_rows = events.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n")
     ).collect()
     exact = {r.event_type: r.n for r in exact_rows}
     exact["__all__"] = events.select("user_id").distinct().count()
-    assert set(est) == set(exact)
+    assert set(got) == set(exact)
     for k, n in exact.items():
-        # lgK=14 → ~0.8% RSE; 5% is >6 sigma, stable across runs
-        assert abs(est[k] - n) <= max(2, 0.05 * n), (k, est[k], n)
+        assert got[k][0] == n, (k, got[k], n)
+        # lgK=14 → ~0.8% RSE; the contract bound (3·rse) is >3 sigma
+        assert got[k][1], (k, got[k], n)
 
 
 def test_hll_union_equals_direct_sketch(spark, sf_dir):
@@ -53,8 +55,9 @@ def test_hll_union_equals_direct_sketch(spark, sf_dir):
 
 def test_approx_topk_matches_exact_head(spark, sf_dir):
     """With maxItemsTracked far above the true vocabulary head, the sketch's
-    counts are exact and its membership is a valid top-20 under ties."""
-    approx = {r.word: r.n for r in approx_topk_words(spark, sf_dir).collect()}
+    counts are exact and its membership is a valid top-20 under ties —
+    so every emitted row must carry n == exact count and within_bound."""
+    rows = approx_topk_words(spark, sf_dir).collect()
     exact_rows = (
         load(spark, sf_dir, "documents")
         .select(F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word"))
@@ -65,10 +68,11 @@ def test_approx_topk_matches_exact_head(spark, sf_dir):
     )
     exact = {r.word: r["count"] for r in exact_rows}
     kth = sorted(exact.values(), reverse=True)[min(19, len(exact) - 1)]
-    assert len(approx) == min(20, len(exact))
-    for word, n in approx.items():
-        assert exact[word] == n, (word, n, exact.get(word))
-        assert n >= kth  # every reported member belongs to a valid top-20
+    assert len(rows) == min(20, len(exact))
+    for r in rows:
+        assert exact[r.word] == r.n, (r.word, r.n, exact.get(r.word))
+        assert r.n >= kth  # every reported member belongs to a valid top-20
+        assert r.within_bound, (r.word, r.n)
 
 
 def test_block_checksum_invariant_under_repartition(spark, sf_dir):
@@ -99,7 +103,10 @@ def test_block_checksum_invariant_under_repartition(spark, sf_dir):
 def test_hll_rolling_7d_within_tolerance(spark, sf_dir, duck):
     from cocktails_data_engineering_spark.operators.sketches import hll_rolling_7d_users
 
-    est = {r.day: r.approx_users_7d for r in hll_rolling_7d_users(spark, sf_dir).collect()}
+    got = {
+        r.day: (r.exact_users_7d, r.within_bound)
+        for r in hll_rolling_7d_users(spark, sf_dir).collect()
+    }
     exact = dict(
         duck.execute(
             """
@@ -111,9 +118,10 @@ def test_hll_rolling_7d_within_tolerance(spark, sf_dir, duck):
             """
         ).fetchall()
     )
-    assert set(est) == set(exact)
+    assert set(got) == set(exact)
     for day, n in exact.items():
-        assert abs(est[day] - n) <= max(2, 0.05 * n), (day, est[day], n)
+        assert got[day][0] == n, (day, got[day], n)
+        assert got[day][1], (day, got[day], n)
 
 
 def test_countmin_overcount_one_sided(spark, sf_dir):
