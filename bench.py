@@ -196,9 +196,12 @@ def main() -> None:
             # "fresh session" means fresh model training too, or the
             # spot-check under-reports queries whose sweep time included
             # training (the misattribution this phase exists to catch).
-            from cocktails_data_engineering_spark.operators import ml
+            from cocktails_data_engineering_spark.operators import dedup, ml
 
             ml._TRAIN_CACHE.clear()
+            # session-keyed, but clear anyway: dead-session checkpoints
+            # must never be reachable in the fresh-session phase
+            dedup._CANDS_CACHE.clear()
             spark = get_spark("cocktails_spark_bench_spotcheck")
             _warm(spark, sf_dir)
             for name in slowest:

@@ -1716,3 +1716,189 @@ def token_budget_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         eff.alias("effective_tokens"),
         F.round(eff.cast("double") / F.col("n_tokens"), 6).alias("epochs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark contamination audit (n-gram level)
+# ---------------------------------------------------------------------------
+CONTAM_N = 5  # n-gram order: long enough that shared grams mean real overlap
+CONTAM_TOP = 50
+
+# Deterministic ~1/16 "benchmark" slice, keyed independently of every other
+# md5 split in the engine ('bench|' prefix).
+_BENCH_SQL = "substr(md5('bench|' || CAST(doc_id AS VARCHAR)), 1, 1) = '0'"
+
+
+@register(
+    "contamination_ngram_audit",
+    oracle=f"""
+WITH toked AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(t[i:i+{CONTAM_N - 1}], ' ') AS gram
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) - {CONTAM_N - 2})) AS i
+        FROM toked WHERE len(t) >= {CONTAM_N})
+),
+bench AS (SELECT DISTINCT gram FROM grams WHERE {_BENCH_SQL.replace("doc_id", "grams.doc_id")}),
+train AS (SELECT * FROM grams WHERE NOT ({_BENCH_SQL.replace("doc_id", "grams.doc_id")})),
+per_doc AS (
+  SELECT t.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hits
+  FROM train t LEFT JOIN bench b ON b.gram = t.gram
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_grams, n_hits,
+       ROUND(CAST(n_hits AS DOUBLE) / n_grams, 6) AS contamination_rate
+FROM per_doc
+ORDER BY contamination_rate DESC, doc_id
+LIMIT {CONTAM_TOP}
+""",
+)
+def contamination_ngram_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination audit at the n-gram level: hold out a
+    deterministic md5 slice of documents as the "benchmark", then for
+    every training document count how many of its {CONTAM_N}-gram
+    positions also appear anywhere in the benchmark — the standard
+    train/test contamination check (GPT-3 appendix C shape) run INSIDE
+    the engine; top-{CONTAM_TOP} most contaminated docs surface for
+    removal.  Complements split_leakage_audit (MinHash, whole-doc
+    near-dup) with exact sub-document overlap.
+
+    Determinism: integer counts, one IEEE division rounded to 6,
+    TakeOrdered tie-break by doc_id.
+
+    Plan at 100 TB: grams are map-side explodes; the only shuffle is the
+    gram-keyed LEFT JOIN of training positions against the DISTINCT
+    benchmark gram set (benchmark ≪ corpus, typically broadcastable;
+    here left as a hash join so skewed grams split under AQE).  Nothing
+    is pairwise-by-document."""
+    from ..sources.tables import load_spread
+
+    docs = load_spread(spark, sf_dir, "documents")
+    t = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    toked = docs.select("doc_id", t.alias("t")).filter(
+        F.size("t") >= CONTAM_N
+    )
+    grams = materialize(
+        toked.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - (CONTAM_N - 1)),
+                    lambda i: F.concat_ws(" ", F.slice("t", i, CONTAM_N)),
+                )
+            ).alias("gram"),
+        )
+    )
+    is_bench = (
+        F.substring(
+            F.md5(F.concat(F.lit("bench|"), F.col("doc_id").cast("string"))), 1, 1
+        )
+        == "0"
+    )
+    bench = grams.filter(is_bench).select("gram").distinct()
+    train = grams.filter(~is_bench)
+    per_doc = (
+        train.join(
+            bench.withColumn("_hit", F.lit(1)), "gram", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("bigint").alias("n_hits"),
+        )
+    )
+    return (
+        per_doc.select(
+            "doc_id",
+            "n_grams",
+            "n_hits",
+            F.round(F.col("n_hits").cast("double") / F.col("n_grams"), 6).alias(
+                "contamination_rate"
+            ),
+        )
+        .orderBy(F.col("contamination_rate").desc(), "doc_id")
+        .limit(CONTAM_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction accounting
+# ---------------------------------------------------------------------------
+# Patterns written in the regex subset Java (Spark) and RE2 (DuckDB) share:
+# char classes, bounded repeats, \d, word alternatives — no lookaround.
+PII_PATTERNS = {
+    "email": r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+",
+    "ipv4": r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}",
+    "phone": r"\d{3}[- ]\d{3}[- ]\d{4}",
+}
+
+
+@register(
+    "pii_redaction_stats",
+    oracle=f"""
+WITH per AS (
+  SELECT doc_id, lang,
+         {", ".join(
+             f"len(regexp_extract_all(text, '{p}')) AS n_{k}"
+             for k, p in PII_PATTERNS.items()
+         )}
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       {", ".join(f"CAST(SUM(n_{k}) AS BIGINT) AS total_{k}" for k in PII_PATTERNS)},
+       CAST(SUM(CASE WHEN {" + ".join(f"n_{k}" for k in PII_PATTERNS)} > 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii
+FROM per GROUP BY lang ORDER BY lang
+""",
+)
+def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub accounting per language: counts of email / IPv4 / phone
+    pattern hits and the number of documents carrying any — the report a
+    redaction pass emits before rewriting text (the rewrite itself is
+    ``regexp_replace`` with the same patterns; the audit is what needs
+    cross-engine exactness).  Patterns stay inside the Java∩RE2 regex
+    subset so both engines tokenize identically; the synthetic fixture
+    contains no PII (all-zero counts is the CORRECT answer here — the
+    planted-document pytest proves detection).
+
+    Plan at 100 TB: pure map-side regexp_extract_all counts + one
+    lang-keyed aggregate; no UDF, no shuffle of text."""
+    docs = load(spark, sf_dir, "documents")
+    per = docs.select(
+        "lang",
+        *[
+            # Spark SQL string literals consume backslash escapes ('\d'
+            # parses as 'd'), silently defanging the pattern — double
+            # them; DuckDB's standard SQL strings pass '\d' through, so
+            # the oracle embeds the pattern verbatim.  The planted-PII
+            # pytest is what catches this class of bug (both engines
+            # agree on zero hits over the clean fixture).
+            F.size(
+                F.expr(
+                    f"regexp_extract_all(text, '{p.replace(chr(92), chr(92) * 2)}', 0)"
+                )
+            ).alias(f"n_{k}")
+            for k, p in PII_PATTERNS.items()
+        ],
+    )
+    any_pii = sum(F.col(f"n_{k}") for k in PII_PATTERNS) > 0
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            *[
+                F.sum(f"n_{k}").cast("bigint").alias(f"total_{k}")
+                for k in PII_PATTERNS
+            ],
+            F.sum(F.when(any_pii, 1).otherwise(0))
+            .cast("bigint")
+            .alias("docs_with_pii"),
+        )
+        .orderBy("lang")
+    )

@@ -278,9 +278,26 @@ SELECT doc_a, doc_b FROM cands
     )
 
 
+def build_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UNCACHED candidate plan (shingle → 128-min → band → bucket
+    join) — what plan-contract tests inspect; every runtime consumer goes
+    through :func:`minhash_candidates` below."""
+    return minhash_candidates_from(_shingles(load_spread(spark, sf_dir, "documents")))
+
+
+# Five queries consume the same candidate table (minhash_near_dedup, the
+# Jaccard estimator's base, split_leakage_audit, dedup_canonical_docs,
+# dedup_detector_agreement's minhash leg).  Checkpoint it ONCE per
+# (session, fixture) — the model-registry pattern ml._TRAIN_CACHE set
+# (VERDICT r8 #4).  Keyed by applicationId because checkpoint blocks die
+# with their session, and by the documents fingerprint so a rewritten
+# fixture recomputes.
+_CANDS_CACHE: dict[tuple, DataFrame] = {}
+
+
 def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_a, doc_b) near-duplicate candidate pairs via 128-perm MinHash
-    banded 32×4.
+    banded 32×4 — checkpointed once per session per fixture.
 
     Plan: one md5 + 128 arithmetic hashes per shingle row → 128-way
     column-wise MIN aggregate (map-side combine; shuffle = one 128-int
@@ -289,7 +306,19 @@ def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate is authored as ONE SQL string (the DataFrame form costs
     ~650 py4j round trips in plan construction alone).
     """
-    return minhash_candidates_from(_shingles(load_spread(spark, sf_dir, "documents")))
+    from ..sources.tables import table_fingerprint
+
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        table_fingerprint(sf_dir, "documents"),
+    )
+    got = _CANDS_CACHE.get(key)
+    if got is not None:
+        return got
+    out = materialize(build_minhash_candidates(spark, sf_dir))
+    _CANDS_CACHE[key] = out
+    return out
 
 
 @register("minhash_near_dedup", oracle=f"WITH {_ORACLE_CANDIDATES} SELECT * FROM cands")
@@ -1724,24 +1753,46 @@ def dedup_detector_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     division rounded to 6.
 
     Plan at 100 TB: each detector's candidate plan runs once (all four
-    are banded/blocked/capped — never all-pairs) into a checkpoint;
-    agreement is six pair-keyed equi-joins over candidate-sized tables
-    (candidates ≪ corpus), then a 6-row result."""
+    are banded/blocked/capped — never all-pairs, and each emits grouped
+    per-pair rows) into ONE job: the four tagged candidate streams union,
+    a pair-keyed aggregate folds them to per-pair membership flags, and a
+    single global aggregate produces all 4 set sizes + 6 intersection
+    sizes at once — one action instead of r8's 4 checkpoint + 10 count
+    round-trips (VERDICT r8 #5), and the pairwise intersections cost one
+    shuffle of the candidate union rather than six joins."""
     from ..registry import get_spec
 
-    frames = {
-        n: materialize(
-            get_spec(n).fn(spark, sf_dir).select("doc_a", "doc_b")
-        )
-        for n in _AGREEMENT_DETECTORS
-    }
-    rows = []
     names = list(_AGREEMENT_DETECTORS)
-    counts = {n: frames[n].count() for n in names}
-    for i, a in enumerate(names):
-        for b in names[i + 1:]:
-            n_common = frames[a].join(frames[b], ["doc_a", "doc_b"]).count()
-            rows.append((a, b, counts[a], counts[b], n_common))
+    tagged = None
+    for i, n in enumerate(names):
+        leg = get_spec(n).fn(spark, sf_dir).select(
+            F.lit(i).alias("det"), "doc_a", "doc_b"
+        )
+        tagged = leg if tagged is None else tagged.unionByName(leg)
+    flags = tagged.groupBy("doc_a", "doc_b").agg(
+        *[
+            F.max(F.when(F.col("det") == i, 1).otherwise(0)).alias(f"f{i}")
+            for i in range(len(names))
+        ]
+    )
+    aggs = [F.sum(f"f{i}").alias(f"n{i}") for i in range(len(names))]
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            aggs.append(
+                F.sum(F.col(f"f{i}") * F.col(f"f{j}")).alias(f"c{i}_{j}")
+            )
+    r = flags.agg(*aggs).collect()[0]  # the ONE action (O(1) driver row)
+    rows = [
+        (
+            names[i],
+            names[j],
+            int(r[f"n{i}"] or 0),
+            int(r[f"n{j}"] or 0),
+            int(r[f"c{i}_{j}"] or 0),
+        )
+        for i in range(len(names))
+        for j in range(i + 1, len(names))
+    ]
     out = spark.createDataFrame(
         rows, "det_a string, det_b string, n_a long, n_b long, n_common long"
     )
@@ -1759,4 +1810,72 @@ def dedup_detector_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif(F.least("n_a", "n_b"), F.lit(0)),
             6,
         ).alias("overlap_coeff"),
+    )
+
+
+@register(
+    "dedup_keep_longest",
+    oracle=f"""
+WITH RECURSIVE {_ORACLE_CANDIDATES},
+edges AS (SELECT doc_a AS u, doc_b AS v FROM cands
+          UNION SELECT doc_b, doc_a FROM cands),
+reach(node, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r
+),
+clusters AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node),
+toks AS (
+  SELECT doc_id, len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tok
+  FROM documents
+),
+ranked AS (
+  SELECT c.cluster_id, c.doc_id, t.n_tok,
+         ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                            ORDER BY t.n_tok DESC, c.doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members
+  FROM clusters c JOIN toks t USING (doc_id)
+)
+SELECT cluster_id, doc_id AS keeper_doc_id,
+       CAST(n_tok AS BIGINT) AS keeper_n_tok,
+       CAST(n_members AS BIGINT) AS n_members
+FROM ranked WHERE rk = 1
+""",
+)
+def dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical selection by CONTENT QUALITY instead of min-id: per
+    near-dup cluster (connected components over the session-cached LSH
+    candidates), keep the member with the most tokens (tie: smallest id)
+    — what production dedup actually ships, since the longest variant is
+    usually the full page and the near-dups are truncations/boilerplate
+    wrappers.  dedup_clusters' min-id canonical stays as the
+    arbitrary-but-stable alternative.
+
+    Plan at 100 TB: CC on candidate pairs (bounded label-prop rounds over
+    candidate-sized edges), one token-count projection joined cluster-
+    keyed, and a per-cluster window (clusters ≪ corpus).  Never touches
+    non-candidate docs."""
+    pairs = minhash_candidates(spark, sf_dir)
+    cc = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+    toks = load_spread(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda w: w != "")).alias("n_tok"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id").orderBy(F.col("n_tok").desc(), "doc_id")
+    wc = Window.partitionBy("cluster_id")
+    return (
+        cc.join(toks, "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rk") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keeper_doc_id"),
+            F.col("n_tok").cast("bigint").alias("keeper_n_tok"),
+            F.col("n_members").cast("bigint").alias("n_members"),
+        )
     )

@@ -201,7 +201,14 @@ def pagerank_crawl_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical result the unrolled-CTE oracle computes.  The driver loop
     checkpoints per round (lineage truncation, same as bfs_min_depth).
     """
-    e = derived_edges(spark, sf_dir).transform(materialize)
+    return pagerank_over(spark, derived_edges(spark, sf_dir))
+
+
+def pagerank_over(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """The PageRank loop over an arbitrary (src, dst) edge DataFrame —
+    shared by the registered fixture query and the large-graph scale
+    stress (tools/graph_scale_stress.py)."""
+    e = edges.transform(materialize)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -424,16 +431,30 @@ def kcore_crawl_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderkey") % 30).alias("a"), (F.col("o_custkey") % 30).alias("b")
     )
     edges = fwd.unionAll(bwd).filter(F.col("a") != F.col("b")).distinct()
+    return kcore_over(spark, edges)
+
+
+def kcore_over(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """The peeling loop over an arbitrary undirected (a, b) edge
+    DataFrame (both directions present, a ≠ b, distinct) — shared by the
+    registered fixture query and the large-graph scale stress."""
     for _ in range(KCORE_ROUNDS):
         alive = (
             edges.groupBy("a")
             .agg(F.count(F.lit(1)).alias("deg"))
             .filter(F.col("deg") >= KCORE_K)
             .select(F.col("a").alias("node"))
-        )
+        ).transform(materialize)
+        # No broadcast hint: AQE broadcasts the alive set while it is
+        # small (every fixture) and falls back to a shuffled semi-join
+        # when the surviving-node set is itself large — forcing broadcast
+        # was measured 2.7x at 10x edges on the 500k-node PA stress graph
+        # (driver collect + rebroadcast per round); unhinted it's ≤2x.
+        # Materializing alive keeps the degree aggregate from running
+        # twice (once per semi-join side).
         edges = (
-            edges.join(F.broadcast(alive.select(F.col("node").alias("a"))), "a", "left_semi")
-            .join(F.broadcast(alive.select(F.col("node").alias("b"))), "b", "left_semi")
+            edges.join(alive.select(F.col("node").alias("a")), "a", "left_semi")
+            .join(alive.select(F.col("node").alias("b")), "b", "left_semi")
             .transform(materialize)
         )
     return edges.groupBy(F.col("a").alias("node")).agg(
@@ -611,6 +632,13 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
+    return lpa_over(spark, edges)
+
+
+def lpa_over(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """The synchronous-LPA loop over an arbitrary undirected (a, b) edge
+    DataFrame — shared by the registered fixture query and the
+    large-graph scale stress."""
     labels = edges.select(F.col("a").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
@@ -798,7 +826,14 @@ def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the pagerank discipline), so any partitioning yields the identical
     result the unrolled-CTE oracle computes.  The driver loop
     checkpoints per round (lineage truncation)."""
-    e = derived_edges(spark, sf_dir).transform(materialize)
+    return hits_over(spark, derived_edges(spark, sf_dir))
+
+
+def hits_over(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """The HITS loop over an arbitrary (src, dst) edge DataFrame —
+    shared by the registered fixture query and the large-graph scale
+    stress."""
+    e = edges.transform(materialize)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -814,25 +849,26 @@ def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(e[out_key].alias("node"))
             .agg(F.sum(F.col(col).cast(_H_DEC)).alias("v"))
         )
-        # L1 normalizer as an unpartitioned window over the NODE-SIZED
-        # score table (missing nodes contribute exactly 0, so the sum
-        # equals the raw total) — a separate aggregate + cross join would
-        # evaluate the `raw` subtree twice per step, which compounds
-        # across the unmaterialized half-rounds.
-        joined = nodes.join(raw, "node", "left")
         v = F.coalesce(F.col("v"), F.lit(0).cast(_H_DEC))
-        s = F.sum(v).over(Window.partitionBy())
-        return joined.select(
-            "node", F.round(v.cast("double") / s.cast("double"), 9).alias(out)
+        # Checkpoint the raw update, then normalize via a 1-row aggregate
+        # broadcast back.  r8 used an unpartitioned window here to avoid
+        # evaluating the `raw` subtree twice — correct on the 30-node
+        # fixture, but a single-partition window is exactly the wrong
+        # shape for a 500k-node graph (measured: WindowExec collapses the
+        # score table to one task).  The half-step checkpoint makes the
+        # double-reference free AND truncates lineage, so the old outer
+        # per-round materialize is retired with it.
+        joined = materialize(nodes.join(raw, "node", "left").select("node", v.alias("v")))
+        tot = joined.agg(F.sum("v").alias("s"))
+        return joined.crossJoin(F.broadcast(tot)).select(
+            "node",
+            F.round(F.col("v").cast("double") / F.col("s").cast("double"), 9).alias(out),
         )
 
-    # One checkpoint per ROUND (on h): a's lineage is then a single step
-    # off the previous materialized h, so the final join recomputes at
-    # most one update — half the checkpoint cost of materializing both.
     a = None
     for _ in range(HITS_ITERS):
         a = _step(h, "h", "src", "dst", "a")
-        h = materialize(_step(a, "a", "dst", "src", "h"))
+        h = _step(a, "a", "dst", "src", "h")
     return h.join(a, "node").select(
         "node", F.col("h").alias("hub"), F.col("a").alias("authority")
     )

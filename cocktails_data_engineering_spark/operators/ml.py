@@ -587,26 +587,12 @@ _TRAIN_CACHE: dict[str, list[list[float]]] = {}
 
 
 def _orders_fingerprint(sf_dir: str) -> str:
-    """(size, mtime_ns) fingerprint of the orders parquet at sf_dir —
-    cache-invalidation key so a rewritten fixture (e.g. a test reusing a
-    tmp dir within one process) retrains instead of silently reusing
-    stale weights (advice r8).  Driver-side os.stat only, no data read."""
-    import os
+    """Cache-invalidation key so a rewritten fixture (e.g. a test reusing
+    a tmp dir within one process) retrains instead of silently reusing
+    stale weights (advice r8)."""
+    from ..sources.tables import table_fingerprint
 
-    path = os.path.join(sf_dir, "orders.parquet")
-    try:
-        if os.path.isdir(path):
-            stats = sorted(
-                (name, st.st_size, st.st_mtime_ns)
-                for name in os.listdir(path)
-                for st in (os.stat(os.path.join(path, name)),)
-            )
-        else:
-            st = os.stat(path)
-            stats = [("", st.st_size, st.st_mtime_ns)]
-    except OSError:
-        return "unstatable"
-    return repr(stats)
+    return table_fingerprint(sf_dir, "orders")
 
 
 def train_logistic(spark: SparkSession, sf_dir: str) -> list[list[float]]:

@@ -510,3 +510,75 @@ def audio_chunk_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(start + SEG_LEN_S, F.col("duration_s")).alias("seg_end_s"),
     )
 
+
+
+# ---------------------------------------------------------------------------
+# Export sharding (WebDataset-style manifest)
+# ---------------------------------------------------------------------------
+SHARD_CAP_BYTES = 65536  # target shard size; boundaries at absolute offsets
+
+
+@register(
+    "webdataset_shard_manifest",
+    oracle=f"""
+WITH media AS (
+  SELECT doc_id, {_SQL_MODALITY} AS modality,
+         octet_length(encode(text)) AS n_bytes
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, modality, n_bytes,
+         SUM(n_bytes) OVER (ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_bytes AS cum_before
+  FROM media
+)
+SELECT CAST(cum_before // {SHARD_CAP_BYTES} AS BIGINT) AS shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_objects,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(SUM(CASE WHEN modality = 'image' THEN 1 ELSE 0 END) AS BIGINT) AS n_image,
+       CAST(SUM(CASE WHEN modality = 'audio' THEN 1 ELSE 0 END) AS BIGINT) AS n_audio,
+       CAST(SUM(CASE WHEN modality = 'video' THEN 1 ELSE 0 END) AS BIGINT) AS n_video,
+       CAST(SUM(CASE WHEN modality = 'text' THEN 1 ELSE 0 END) AS BIGINT) AS n_text
+FROM pos GROUP BY 1 ORDER BY shard_id
+""",
+)
+def webdataset_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style export manifest: objects stream in doc_id order
+    into ~{SHARD_CAP_BYTES}-byte shards (shard id = byte offset ÷ cap —
+    absolute-offset boundaries, so the assignment is a pure function of
+    the cumulative byte position and reproducible on any cluster), with
+    per-shard object counts, byte totals, and the modality mix a loader
+    balances on.
+
+    Engine-exact: the byte cumsum runs through
+    ``evaluation.ordered_running_sums`` (range-repartition two-phase, NO
+    global window); shard ids are integer floor-division.
+
+    Scale: one cumsum shuffle over object-count rows + one shard-keyed
+    aggregate — the manifest for a 100 TB export is a few million rows
+    regardless of corpus bytes."""
+    from .evaluation import ordered_running_sums
+
+    media = media_table(spark, sf_dir, spread=True).select(
+        "doc_id", "modality", "n_bytes"
+    )
+    pos = ordered_running_sums(media, "doc_id", ["n_bytes"])
+    shard = ((F.col("cum_n_bytes") - F.col("n_bytes")) / SHARD_CAP_BYTES).cast(
+        "long"
+    )
+    return (
+        pos.select(shard.alias("shard_id"), "modality", "n_bytes")
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_objects"),
+            F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+            *[
+                F.sum(F.when(F.col("modality") == m, 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"n_{m}")
+                for m in ("image", "audio", "video", "text")
+            ],
+        )
+        .orderBy("shard_id")
+    )

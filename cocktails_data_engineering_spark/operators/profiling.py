@@ -1509,3 +1509,121 @@ def spearman_entropy_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("spearman_rho"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset card (datasheet) summary
+# ---------------------------------------------------------------------------
+CARD_SHORT_TOKENS = 32
+
+
+@register(
+    "dataset_card_summary",
+    oracle=f"""
+WITH per AS (
+  SELECT doc_id, lang, source, md5(text) AS fp,
+         len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tok
+  FROM documents
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       ROUND(CAST(SUM(n_tok) AS DOUBLE) / COUNT(*), 6) AS mean_doc_tokens,
+       ROUND(quantile_cont(n_tok, 0.5), 6) AS p50_doc_tokens,
+       CAST(SUM(CASE WHEN n_tok < {CARD_SHORT_TOKENS} THEN 1 ELSE 0 END) AS BIGINT)
+         AS short_docs,
+       CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS exact_dup_docs,
+       ROUND(CAST(COUNT(*) - COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*), 6)
+         AS exact_dup_rate
+FROM per
+""",
+)
+def dataset_card_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-card header block (Datasheets for Datasets shape)
+    computed in one pass: corpus size, language/source diversity, token
+    totals and central tendency, short-doc and exact-duplicate rates —
+    the numbers every dataset release publishes, as ONE engine query.
+
+    Exactness: counts are integers; mean and dup-rate are single IEEE
+    divisions; the median follows the percentile ≡ quantile_cont parity
+    discipline — interpolation operands are INTEGER token counts, so the
+    (l+u)/2 midpoint is rounding-order-proof.
+
+    Plan at 100 TB: one documents scan into a doc-level projection, one
+    global aggregate (map-side combined; the COUNT DISTINCTs expand per
+    key but fingerprint/lang/source are each far below doc count).  The
+    exact median deliberately does NOT use ``F.percentile`` — that
+    aggregate collects every value into ONE reducer (measured 3.5x wall
+    at 10x data); instead the quantile_cont interpolation is computed
+    over the (token-count value → count) ROLLUP, which is bounded by the
+    max document length regardless of corpus size (the el2n device)."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    per = materialize(
+        docs.select(
+            "lang",
+            "source",
+            F.md5("text").alias("fp"),
+            F.size(F.filter(F.split("text", " "), lambda w: w != "")).alias(
+                "n_tok"
+            ),
+        )
+    )
+    base = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.round(
+            F.sum("n_tok").cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_doc_tokens"),
+        F.sum(F.when(F.col("n_tok") < CARD_SHORT_TOKENS, 1).otherwise(0))
+        .cast("bigint")
+        .alias("short_docs"),
+        (F.count(F.lit(1)) - F.countDistinct("fp"))
+        .cast("bigint")
+        .alias("exact_dup_docs"),
+        F.round(
+            (F.count(F.lit(1)) - F.countDistinct("fp")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("exact_dup_rate"),
+    )
+    # quantile_cont(0.5) off the value rollup: pos = (n-1)/2; lower/upper
+    # are the values whose cumulative count brackets pos; midpoint exact
+    # (integer operands).  The rollup is max-doc-length-sized.
+    rollup = per.groupBy("n_tok").agg(F.count(F.lit(1)).alias("c"))
+    wcum = Window.orderBy("n_tok").rowsBetween(Window.unboundedPreceding, 0)
+    cum = rollup.select(
+        "n_tok", (F.sum("c").over(wcum) - F.col("c")).alias("before"), "c"
+    )
+    n_total = per.count()  # O(1) driver scalar sizes the rank literals
+    lo_rank = (n_total - 1) // 2
+    hi_rank = n_total // 2
+    med = (
+        cum.filter(
+            (F.col("before") <= hi_rank) & (F.col("before") + F.col("c") > lo_rank)
+        )
+        .agg(
+            F.min(F.when(F.col("before") + F.col("c") > lo_rank, F.col("n_tok"))).alias("lo"),
+            F.max(F.when(F.col("before") <= hi_rank, F.col("n_tok"))).alias("hi"),
+        )
+        .select(
+            F.round(
+                (F.col("lo").cast("double") + F.col("hi").cast("double")) / 2, 6
+            ).alias("p50_doc_tokens")
+        )
+    )
+    return base.crossJoin(F.broadcast(med)).select(
+        "n_docs",
+        "n_langs",
+        "n_sources",
+        "total_tokens",
+        "mean_doc_tokens",
+        "p50_doc_tokens",
+        "short_docs",
+        "exact_dup_docs",
+        "exact_dup_rate",
+    )

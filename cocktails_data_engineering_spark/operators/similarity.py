@@ -935,3 +935,125 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         correct.cast("bigint").alias("n_correct"),
         F.round(correct.cast("double") / F.count(F.lit(1)), 6).alias("accuracy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka (MRL) prefix-dimension retrieval audit
+# ---------------------------------------------------------------------------
+MRL_DIM = 8  # prefix dimensions scored in the cheap first pass
+
+
+@register(
+    "matryoshka_prefix_recall",
+    oracle=f"""
+WITH vecs AS ({{vecs}}),
+q AS (SELECT vec_id AS query_id, emb AS q_emb, norm AS q_norm
+      FROM vecs WHERE vec_id % {{mod}} = 0),
+flat AS (
+  SELECT q.query_id, v.vec_id, q.q_norm, v.norm, q.q_emb, v.emb,
+         unnest(q.q_emb) AS qx, unnest(v.emb) AS vx
+  FROM q JOIN vecs v ON v.vec_id <> q.query_id
+),
+full_scored AS (
+  SELECT query_id, vec_id,
+         ROUND(SUM(qx * vx) / (ANY_VALUE(q_norm) * ANY_VALUE(norm)), 6) AS score
+  FROM flat GROUP BY query_id, vec_id
+),
+full_top AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rk
+    FROM full_scored) t WHERE rk <= {{k}}
+),
+pflat AS (
+  SELECT q.query_id, v.vec_id,
+         unnest(q.q_emb[1:{MRL_DIM}]) AS qx, unnest(v.emb[1:{MRL_DIM}]) AS vx
+  FROM q JOIN vecs v ON v.vec_id <> q.query_id
+),
+pre_scored AS (
+  SELECT query_id, vec_id,
+         ROUND(SUM(qx * vx)
+               / (sqrt(SUM(qx * qx)) * sqrt(SUM(vx * vx))), 6) AS score
+  FROM pflat GROUP BY query_id, vec_id
+),
+pre_top AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rk
+    FROM pre_scored) t WHERE rk <= {{k}}
+)
+SELECT f.query_id,
+       CAST(COUNT(p.vec_id) AS BIGINT) AS n_overlap,
+       ROUND(CAST(COUNT(p.vec_id) AS DOUBLE) / {{k}}, 6) AS recall_at_k
+FROM full_top f LEFT JOIN pre_top p
+  ON p.query_id = f.query_id AND p.vec_id = f.vec_id
+GROUP BY f.query_id
+""".format(vecs=_ORACLE_VECS, mod=QUERY_MOD, k=TOP_K),
+)
+def matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-representation retrieval audit: top-{TOP_K} by cosine
+    over only the FIRST {MRL_DIM} embedding dimensions (the MRL coarse
+    pass — {MRL_DIM}/{{d}} of the dot-product FLOPs and bytes) versus the
+    full-dimension exact top-{TOP_K}, reported as per-query recall.  This
+    is the measurement that decides whether prefix-dim pre-ranking can
+    front a rerank stage, exactly like ann_recall_audit decides for
+    sign-LSH.
+
+    Determinism: both rankings use ROW_NUMBER with (score DESC, vec_id)
+    tie-break on 6-rounded scores; recall is one division by the literal
+    K.  Prefix norms are recomputed over the slice (a prefix of a
+    unit-norm vector is NOT unit-norm — normalizing by the full norm
+    would silently deflate scores).
+
+    Plan at 100 TB: same broadcast-query + per-query window shape as
+    cosine_topk, twice; the prefix pass moves {MRL_DIM}-element arrays
+    only.  The production composition (prefix pass as the filter, full
+    pass on survivors) is ivfadc_rerank_topk's refine shape."""
+    vecs = materialize(_vectors(spark, sf_dir))
+    q = vecs.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    pairs = vecs.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "vec_id")
+
+    full_scored = pairs.select(
+        "query_id",
+        "vec_id",
+        F.round(
+            _dot(F.col("q_emb"), F.col("emb")) / (F.col("q_norm") * F.col("norm")), 6
+        ).alias("score"),
+    )
+    full_top = (
+        full_scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "vec_id")
+    )
+    p_q = F.slice(F.col("q_emb"), 1, MRL_DIM)
+    p_v = F.slice(F.col("emb"), 1, MRL_DIM)
+    pre_scored = pairs.select(
+        "query_id",
+        "vec_id",
+        F.round(_dot(p_q, p_v) / (_norm(p_q) * _norm(p_v)), 6).alias("score"),
+    )
+    pre_top = (
+        pre_scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", F.col("vec_id").alias("p_vec_id"))
+    )
+    return (
+        full_top.join(
+            pre_top,
+            (full_top.query_id == pre_top.query_id)
+            & (full_top.vec_id == pre_top.p_vec_id),
+            "left",
+        )
+        .groupBy(full_top.query_id)
+        .agg(
+            F.count("p_vec_id").cast("bigint").alias("n_overlap"),
+            F.round(F.count("p_vec_id").cast("double") / TOP_K, 6).alias(
+                "recall_at_k"
+            ),
+        )
+    )

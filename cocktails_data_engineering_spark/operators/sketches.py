@@ -93,8 +93,14 @@ def hll_distinct_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``within_bound`` — TRUE iff the estimate (including the MERGED
     ``__all__`` estimate, so the union path itself is under contract)
     lies within max(3·rse, 2) of exact, rse = 1.04/√2^lg_k ≈ 0.81%."""
+    from ..checkpointing import materialize
+
     ev = load(spark, sf_dir, "events")
-    per_type = hll_by_group(ev, "event_type", "user_id")
+    # checkpoint: the sketch table feeds BOTH the typed estimates and the
+    # merged __all__ union — unmaterialized, Catalyst would run the
+    # sketch-building aggregate twice (and the bounded contract adds the
+    # exact legs on top)
+    per_type = materialize(hll_by_group(ev, "event_type", "user_id"))
     typed = per_type.select(
         "event_type", F.hll_sketch_estimate("sketch").alias("approx_users")
     )

@@ -753,3 +753,317 @@ def tokenizer_fertility_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("double") / F.sum("n_toks"), 6
         ).alias("chars_per_token"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Context-window preparation (the tokenize→chunk→pack tail of an LLM
+# training-data pipeline; everything integer-exact across engines)
+# ---------------------------------------------------------------------------
+CTX_CHUNK = 128  # tokens per training window
+CTX_STRIDE = 96  # window start step (CTX_CHUNK - 32 overlap)
+
+
+@register(
+    "context_window_chunks",
+    oracle=f"""
+WITH toked AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tok
+  FROM documents
+),
+sized AS (
+  SELECT doc_id, n_tok,
+         (GREATEST(n_tok - {CTX_CHUNK}, 0) + {CTX_STRIDE} - 1) // {CTX_STRIDE} + 1
+           AS n_chunks
+  FROM toked WHERE n_tok >= 1
+)
+SELECT doc_id,
+       CAST(unnest(range(0, n_chunks)) AS INT) AS chunk_idx,
+       CAST(unnest(range(0, n_chunks)) * {CTX_STRIDE} AS INT) AS start_tok,
+       CAST(LEAST(unnest(range(0, n_chunks)) * {CTX_STRIDE} + {CTX_CHUNK}, n_tok)
+            - unnest(range(0, n_chunks)) * {CTX_STRIDE} AS INT) AS n_toks
+FROM sized
+""",
+)
+def context_window_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking of every document into {CTX_CHUNK}-token
+    training windows at stride {CTX_STRIDE} (32-token overlap) — the
+    doc→sample expansion step before packing/batching.  The chunk COUNT
+    formula is pure integer arithmetic (GREATEST + ceil-div + 1), so both
+    engines enumerate identical windows; the last window is the short
+    tail, never dropped (a doc shorter than one window still yields one).
+
+    Scale: output rows ≈ tokens/stride; the expansion is a map-side
+    sequence+explode off the token count — no shuffle at all until a
+    downstream consumer groups."""
+    docs = load_spread(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    sized = docs.select(
+        "doc_id", F.size(toks).alias("n_tok")
+    ).filter(F.col("n_tok") >= 1)
+    n_chunks = (
+        (F.greatest(F.col("n_tok") - CTX_CHUNK, F.lit(0)) + CTX_STRIDE - 1)
+        .cast("long")
+        / F.lit(CTX_STRIDE)
+    ).cast("long") + 1  # exact: operands non-negative, result floors
+    sized = sized.withColumn(
+        "chunk_idx",
+        F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))),
+    )
+    start = F.col("chunk_idx") * CTX_STRIDE
+    return sized.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        start.cast("int").alias("start_tok"),
+        (F.least(start + CTX_CHUNK, F.col("n_tok")) - start)
+        .cast("int")
+        .alias("n_toks"),
+    )
+
+
+PACK_C = 512  # packed context length (tokens per concatenated chunk)
+
+
+@register(
+    "packing_boundary_stats",
+    oracle=f"""
+WITH toked AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tok
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, n_tok,
+         SUM(n_tok) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM toked WHERE n_tok >= 1
+),
+ends AS (
+  SELECT (cum - 1) // {PACK_C} AS chunk_id, COUNT(*) AS n_ends
+  FROM pos GROUP BY 1
+),
+tot AS (
+  SELECT (SUM(n_tok) + {PACK_C} - 1) // {PACK_C} AS n_chunks_total
+  FROM toked WHERE n_tok >= 1
+)
+SELECT CAST(docs_ending_in_chunk AS INT) AS docs_ending_in_chunk,
+       CAST(n_chunks AS BIGINT) AS n_chunks
+FROM (
+  SELECT n_ends AS docs_ending_in_chunk, COUNT(*) AS n_chunks FROM ends GROUP BY 1
+  UNION ALL
+  SELECT 0, (SELECT n_chunks_total FROM tot) - (SELECT COUNT(*) FROM ends)
+) h
+WHERE n_chunks > 0
+ORDER BY docs_ending_in_chunk
+""",
+)
+def packing_boundary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk packing audit: documents are
+    concatenated in doc_id order and cut every {PACK_C} tokens; for each
+    packed chunk, how many document boundaries (doc ENDS) fall inside it —
+    the histogram a pipeline owner reads to judge cross-document
+    attention contamination (chunks with 0 ends are pure continuations;
+    high-end chunks are confetti of short docs).
+
+    Engine-exact: the global token cumsum runs through
+    ``evaluation.ordered_running_sums`` (range-repartition + per-partition
+    offsets — NO global window), chunk ids are integer floor-division,
+    and the zero-ends row is derived from the exact total chunk count.
+
+    Scale: one cumsum shuffle over doc-count rows + a chunk-keyed count;
+    nothing is per-token."""
+    from .evaluation import ordered_running_sums
+
+    docs = load_spread(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    toked = docs.select("doc_id", F.size(toks).alias("n_tok")).filter(
+        F.col("n_tok") >= 1
+    )
+    pos = ordered_running_sums(toked, "doc_id", ["n_tok"])
+    ends = (
+        pos.select(
+            ((F.col("cum_n_tok") - 1) / PACK_C).cast("long").alias("chunk_id")
+        )
+        .groupBy("chunk_id")
+        .agg(F.count(F.lit(1)).alias("n_ends"))
+    ).transform(materialize)
+    tot = toked.agg(
+        ((dsum(F.col("n_tok")).cast("long") + PACK_C - 1) / PACK_C)
+        .cast("long")
+        .alias("n_chunks_total")
+    )
+    hist = ends.groupBy(F.col("n_ends").alias("docs_ending_in_chunk")).agg(
+        F.count(F.lit(1)).alias("n_chunks")
+    )
+    zero = (
+        tot.crossJoin(F.broadcast(ends.agg(F.count(F.lit(1)).alias("n_with"))))
+        .select(
+            F.lit(0).alias("docs_ending_in_chunk"),
+            (F.col("n_chunks_total") - F.col("n_with")).alias("n_chunks"),
+        )
+    )
+    return (
+        hist.unionByName(zero)
+        .filter(F.col("n_chunks") > 0)
+        .select(
+            F.col("docs_ending_in_chunk").cast("int").alias("docs_ending_in_chunk"),
+            F.col("n_chunks").cast("bigint").alias("n_chunks"),
+        )
+        .orderBy("docs_ending_in_chunk")
+    )
+
+
+_COVERAGE_KS = (1, 2, 4, 8, 16, 32)
+
+
+def _coverage_oracle() -> str:
+    legs = "\nUNION ALL\n".join(
+        f"""SELECT {k} AS k,
+       (SELECT CAST(SUM(n) AS BIGINT) FROM
+         (SELECT n FROM c ORDER BY n DESC, word LIMIT {k}) t) AS covered_tokens
+"""
+        for k in _COVERAGE_KS
+    )
+    return f"""
+WITH w AS (
+  SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS word
+  FROM documents
+),
+c AS (SELECT word, COUNT(*) AS n FROM w GROUP BY word),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total_tokens FROM c),
+legs AS ({legs})
+SELECT k, LEAST(covered_tokens, (SELECT total_tokens FROM tot)) AS covered_tokens,
+       (SELECT total_tokens FROM tot) AS total_tokens,
+       ROUND(CAST(LEAST(covered_tokens, (SELECT total_tokens FROM tot)) AS DOUBLE)
+             / (SELECT total_tokens FROM tot), 6) AS coverage
+FROM legs ORDER BY k
+"""
+
+
+@register("vocab_coverage_curve", oracle=_coverage_oracle())
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: the fraction of all corpus tokens
+    covered by the top-k most frequent words, at k = 1,2,4,…,32 — the
+    first chart a tokenizer/vocab design reads (how head-heavy is this
+    corpus?).
+
+    Plan shape: word counts aggregate once (map-side combined) into a
+    materialized vocab table; each k-leg is a TakeOrdered top-k (count
+    DESC, word ASC tie-break) + a scalar sum — NO global sort and NO
+    unpartitioned window over the vocabulary, which can be 10⁸ rows on a
+    web corpus.  The LEAST guard makes k > |vocab| legs exact."""
+    docs = load_spread(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+    c = materialize(
+        words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = c.agg(F.sum("n").cast("bigint").alias("total_tokens"))
+    legs = None
+    for k in _COVERAGE_KS:
+        leg = (
+            c.orderBy(F.col("n").desc(), "word")
+            .limit(k)
+            .agg(F.sum("n").cast("bigint").alias("covered_tokens"))
+            .select(F.lit(k).alias("k"), "covered_tokens")
+        )
+        legs = leg if legs is None else legs.unionByName(leg)
+    return (
+        legs.crossJoin(F.broadcast(total))
+        .select(
+            "k",
+            F.least("covered_tokens", "total_tokens").alias("covered_tokens"),
+            "total_tokens",
+            F.round(
+                F.least("covered_tokens", "total_tokens").cast("double")
+                / F.col("total_tokens"),
+                6,
+            ).alias("coverage"),
+        )
+        .orderBy("k")
+    )
+
+
+REPEAT_N = 3  # n-gram order for intra-doc repetition
+REPEAT_TOP = 50
+
+
+@register(
+    "intra_doc_repetition",
+    oracle=f"""
+WITH toked AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(t[i:i+{REPEAT_N - 1}], ' ') AS gram
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) - {REPEAT_N - 2})) AS i
+        FROM toked WHERE len(t) >= {REPEAT_N})
+),
+per_gram AS (
+  SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY doc_id, gram
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_grams,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         CAST(MAX(c) AS BIGINT) AS max_gram_count
+  FROM per_gram GROUP BY doc_id
+)
+SELECT doc_id, n_grams, n_distinct, max_gram_count,
+       ROUND(CAST(n_grams - n_distinct AS DOUBLE) / n_grams, 6) AS repeated_frac
+FROM per_doc
+ORDER BY repeated_frac DESC, doc_id
+LIMIT {REPEAT_TOP}
+""",
+)
+def intra_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition screen: per doc, the fraction of
+    {REPEAT_N}-gram positions that repeat an earlier gram of the SAME doc
+    (1 − distinct/total) and the single most-repeated gram's count — the
+    degenerate-text signal (template loops, decoding repetition) the
+    Gopher repetition rules family reads; top-{REPEAT_TOP} most
+    repetitive docs surface for removal.
+
+    Determinism: integer counts, one IEEE division rounded to 6,
+    TakeOrdered tie-break by doc_id.
+
+    Plan at 100 TB: grams explode map-side and aggregate BY (doc, gram) —
+    partitioned on doc-local keys, so the shuffle is gram-count-sized and
+    per-doc state never concentrates; the final TakeOrdered is top-k, no
+    global sort."""
+    docs = load_spread(spark, sf_dir, "documents")
+    t = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    toked = docs.select("doc_id", t.alias("t")).filter(F.size("t") >= REPEAT_N)
+    grams = toked.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - (REPEAT_N - 1)),
+                lambda i: F.concat_ws(" ", F.slice("t", i, REPEAT_N)),
+            )
+        ).alias("gram"),
+    )
+    per_gram = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = per_gram.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_grams"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.max("c").cast("bigint").alias("max_gram_count"),
+    )
+    return (
+        per_doc.select(
+            "doc_id",
+            "n_grams",
+            "n_distinct",
+            "max_gram_count",
+            F.round(
+                (F.col("n_grams") - F.col("n_distinct")).cast("double")
+                / F.col("n_grams"),
+                6,
+            ).alias("repeated_frac"),
+        )
+        .orderBy(F.col("repeated_frac").desc(), "doc_id")
+        .limit(REPEAT_TOP)
+    )

@@ -69,6 +69,16 @@ _SAMPLE_FRONT = (
     "hll_rolling_7d_users",
     # --- round-9 additions land here (newest evidence first) ---
     "media_header_decode",
+    "context_window_chunks",
+    "packing_boundary_stats",
+    "vocab_coverage_curve",
+    "contamination_ngram_audit",
+    "pii_redaction_stats",
+    "intra_doc_repetition",
+    "dataset_card_summary",
+    "matryoshka_prefix_recall",
+    "webdataset_shard_manifest",
+    "dedup_keep_longest",
     # --- r8 front below ---
     "lang_id_heuristic",
     "json_parse_robustness",

@@ -43,7 +43,10 @@ def get_spark(app_name: str = "cocktails_spark_engine") -> SparkSession:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        .config("spark.ui.enabled", "false")
+        # UI off by default (port + heap overhead on a shared host); the
+        # shuffle-bytes audit (tools/shuffle_bytes.py) flips it on to read
+        # per-stage metrics from the status REST API.
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
     )
     spark = builder.getOrCreate()

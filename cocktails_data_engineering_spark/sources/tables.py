@@ -101,3 +101,27 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view for the SQL API."""
     for name in TABLES:
         load(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def table_fingerprint(sf_dir: str, name: str) -> str:
+    """(size, mtime_ns) fingerprint of one fixture table — the
+    cache-invalidation key for session-level memoization (trained
+    models, checkpointed candidate tables): a rewritten fixture at the
+    same path must recompute instead of silently reusing stale results.
+    Driver-side os.stat only, no data read."""
+    import os
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        if os.path.isdir(path):
+            stats = sorted(
+                (entry, st.st_size, st.st_mtime_ns)
+                for entry in os.listdir(path)
+                for st in (os.stat(os.path.join(path, entry)),)
+            )
+        else:
+            st = os.stat(path)
+            stats = [("", st.st_size, st.st_mtime_ns)]
+    except OSError:
+        return "unstatable"
+    return repr(stats)
