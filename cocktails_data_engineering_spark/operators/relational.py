@@ -838,8 +838,15 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     regression flips the Spark side to FALSE and fails the value hash.
     The tighter 5% empirical bound is asserted in tests."""
     ev = load(spark, sf_dir, "events")
-    agg = ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").cast("bigint").alias("exact_users"),
+    # Pre-dedup (event_type, user_id) once, then ONE simple aggregate:
+    # mixing COUNT(DISTINCT) with the sketch in a single agg plans an
+    # Expand (per-row duplication per aggregate path); HLL is
+    # duplicate-insensitive, so sketching the deduped stream yields the
+    # identical estimate with a plain two-stage plan (bench r9: 1.14s →
+    # the partial-aggregated distinct shape).
+    du = ev.select("event_type", "user_id").distinct()
+    agg = du.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_users"),
         F.approx_count_distinct("user_id", 0.02).alias("approx"),
     )
     slack = F.greatest(

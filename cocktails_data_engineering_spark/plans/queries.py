@@ -79,6 +79,7 @@ _SAMPLE_FRONT = (
     "matryoshka_prefix_recall",
     "webdataset_shard_manifest",
     "dedup_keep_longest",
+    "stream_contamination_gate",
     # --- r8 front below ---
     "lang_id_heuristic",
     "json_parse_robustness",

@@ -1264,3 +1264,71 @@ def stream_model_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(plan, "complete")
+
+
+def _stream_contamination_oracle() -> str:
+    from ..operators.curation import _BENCH_SQL, CONTAM_N
+
+    return f"""
+WITH toked AS (
+  SELECT doc_id, lang, list_filter(string_split(text, ' '), w -> w <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, lang, array_to_string(t[i:i+{CONTAM_N - 1}], ' ') AS gram
+  FROM (SELECT doc_id, lang, t, unnest(range(1, len(t) - {CONTAM_N - 2})) AS i
+        FROM toked WHERE len(t) >= {CONTAM_N})
+),
+bench AS (SELECT DISTINCT gram FROM grams
+          WHERE {_BENCH_SQL.replace("doc_id", "grams.doc_id")}),
+train AS (SELECT * FROM grams WHERE NOT ({_BENCH_SQL.replace("doc_id", "grams.doc_id")}))
+SELECT DISTINCT t.doc_id, t.lang
+FROM train t JOIN bench b ON b.gram = t.gram
+"""
+
+
+@register("stream_contamination_gate", oracle=_stream_contamination_oracle())
+def stream_contamination_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination gate ON INGEST: incoming (streamed) training
+    documents are checked against the STATIC benchmark {CONTAM_N}-gram
+    set via a stream-static broadcast join; any doc sharing ≥1 benchmark
+    gram surfaces exactly once (stateful dropDuplicates on doc_id — the
+    quarantine list a curate-on-ingest pipeline feeds back to the
+    crawler).  The batch twin is contamination_ngram_audit; run to
+    completion the quarantined id set equals the batch DISTINCT join —
+    the oracle.
+
+    Plan: gram explode is stateless map-side work per micro-batch; the
+    benchmark gram set is the static broadcast side (reference data);
+    the only state is one key per already-quarantined doc."""
+    from ..operators.curation import CONTAM_N
+    from ..sources.tables import load_spread
+
+    is_bench = (
+        F.substring(
+            F.md5(F.concat(F.lit("bench|"), F.col("doc_id").cast("string"))), 1, 1
+        )
+        == "0"
+    )
+    gram_arr = F.transform(
+        F.sequence(F.lit(1), F.size("t") - (CONTAM_N - 1)),
+        lambda i: F.concat_ws(" ", F.slice("t", i, CONTAM_N)),
+    )
+    # static side: benchmark grams from the batch reader (reference data)
+    bench = (
+        load_spread(spark, sf_dir, "documents")
+        .filter(is_bench)
+        .select(F.filter(F.split("text", " "), lambda w: w != "").alias("t"))
+        .filter(F.size("t") >= CONTAM_N)
+        .select(F.explode(gram_arr).alias("gram"))
+        .distinct()
+    )
+    stream = (
+        read_documents_stream(spark, sf_dir)
+        .filter(~is_bench)
+        .select("doc_id", "lang", F.filter(F.split("text", " "), lambda w: w != "").alias("t"))
+        .filter(F.size("t") >= CONTAM_N)
+        .select("doc_id", "lang", F.explode(gram_arr).alias("gram"))
+    )
+    hits = stream.join(F.broadcast(bench), "gram").select("doc_id", "lang")
+    return _run_to_memory(hits.dropDuplicates(["doc_id"]), "append")
