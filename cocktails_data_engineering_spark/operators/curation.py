@@ -1783,16 +1783,20 @@ def contamination_ngram_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     toked = docs.select("doc_id", t.alias("t")).filter(
         F.size("t") >= CONTAM_N
     )
-    grams = materialize(
-        toked.select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("t") - (CONTAM_N - 1)),
-                    lambda i: F.concat_ws(" ", F.slice("t", i, CONTAM_N)),
-                )
-            ).alias("gram"),
-        )
+    # NOT materialized: checkpointing the exploded gram table would force
+    # ~5x corpus tokens into executor storage — the multi-corpus-size
+    # materialization this operator's plan claim forbids (r9 self-review).
+    # Only the DISTINCT benchmark gram set (bench ≪ corpus, the join's
+    # build side) is materialized; the train branch streams map-side, and
+    # the only duplicated work is the cheap per-task tokenize+explode.
+    grams = toked.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - (CONTAM_N - 1)),
+                lambda i: F.concat_ws(" ", F.slice("t", i, CONTAM_N)),
+            )
+        ).alias("gram"),
     )
     is_bench = (
         F.substring(
@@ -1800,7 +1804,7 @@ def contamination_ngram_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         == "0"
     )
-    bench = grams.filter(is_bench).select("gram").distinct()
+    bench = materialize(grams.filter(is_bench).select("gram").distinct())
     train = grams.filter(~is_bench)
     per_doc = (
         train.join(

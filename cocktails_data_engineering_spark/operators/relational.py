@@ -835,8 +835,7 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     within max(3·rsd, 2) of exact (rsd = 0.02; HLL++ is exact in sparse
     mode at small cardinalities, the +2 covers integer granularity).
     The oracle states the contract as a literal TRUE; a sketch
-    regression flips the Spark side to FALSE and fails the value hash.
-    The tighter 5% empirical bound is asserted in tests."""
+    regression flips the Spark side to FALSE and fails the value hash."""
     ev = load(spark, sf_dir, "events")
     # Pre-dedup (event_type, user_id) once, then ONE simple aggregate:
     # mixing COUNT(DISTINCT) with the sketch in a single agg plans an
@@ -849,15 +848,14 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("exact_users"),
         F.approx_count_distinct("user_id", 0.02).alias("approx"),
     )
-    slack = F.greatest(
-        F.lit(3 * 0.02) * F.col("exact_users").cast("double"), F.lit(2.0)
-    )
+    from .sketches import hll_contract_slack
+
     return agg.select(
         "event_type",
         "exact_users",
         (
             F.abs(F.col("approx").cast("double") - F.col("exact_users"))
-            <= slack
+            <= hll_contract_slack(F.col("exact_users"), rse=0.02)
         ).alias("within_bound"),
     ).orderBy("event_type")
 

@@ -50,14 +50,19 @@ def hll_by_group(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
 
 
 # DataSketches HLL relative standard error at lg_k = 14; the bounded
-# contracts below allow 3x this (plus 2 absolute for integer granularity).
+# contracts allow 3x the estimator's rse (plus 2 absolute for integer
+# granularity).  ONE slack policy shared by every sketch contract
+# (approx_distinct_users passes HLL++'s rsd) so the bound can't fork.
 _HLL_RSE = 1.04 / (2 ** (_LG_K / 2))
 
 
-def _hll_slack(exact_col):
+def hll_contract_slack(exact_col, rse: float = _HLL_RSE):
     return F.greatest(
-        F.lit(3 * _HLL_RSE) * exact_col.cast("double"), F.lit(2.0)
+        F.lit(3 * rse) * exact_col.cast("double"), F.lit(2.0)
     )
+
+
+_hll_slack = hll_contract_slack  # internal alias
 
 
 @register(
@@ -118,11 +123,16 @@ def hll_distinct_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).select(F.lit("__all__").alias("event_type"), "exact_users")
         )
     )
+    # COALESCE: on an empty events table the merged __all__ sketch is a
+    # union over zero rows → NULL estimate; the contract must read that as
+    # "estimates 0" (TRUE iff exact is 0 too), not propagate NULL where
+    # the oracle emits TRUE (r9 self-review).
+    est_val = F.coalesce(F.col("approx_users").cast("double"), F.lit(0.0))
     return exact.join(est, "event_type").select(
         "event_type",
         "exact_users",
         (
-            F.abs(F.col("approx_users").cast("double") - F.col("exact_users"))
+            F.abs(est_val - F.col("exact_users"))
             <= _hll_slack(F.col("exact_users"))
         ).alias("within_bound"),
     )
@@ -163,7 +173,10 @@ def approx_topk_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     words = (
         load_spread(spark, sf_dir, "documents")  # tokenize is compute-bound
-        .select(F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word"))
+        # split on the literal separator the oracle uses (string_split ' '),
+        # not \s+ — regex-vs-literal tokenizer drift diverges the engines on
+        # any non-space whitespace (r9 self-review)
+        .select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("word"))
         .filter(F.col("word") != "")
     )
     exact_top = (
@@ -326,10 +339,14 @@ def hll_rolling_7d_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "approx_users_7d"
         ),
     )
-    du = ev.select(
-        F.unix_date(F.date_trunc("day", F.col("ts")).cast("date")).alias("d"),
-        "user_id",
-    ).distinct()
+    # materialized: du feeds BOTH the 7-day explode and the observed-day
+    # list — unmaterialized, the events scan + distinct shuffle run twice
+    du = materialize(
+        ev.select(
+            F.unix_date(F.date_trunc("day", F.col("ts")).cast("date")).alias("d"),
+            "user_id",
+        ).distinct()
+    )
     exact = (
         du.select(
             F.explode(F.sequence(F.col("d"), F.col("d") + 6)).alias("epoch_day"),

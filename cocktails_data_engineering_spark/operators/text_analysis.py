@@ -955,7 +955,8 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     web corpus.  The LEAST guard makes k > |vocab| legs exact."""
     docs = load_spread(spark, sf_dir, "documents")
     words = docs.select(
-        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word")
+        # literal-space split to match the oracle tokenizer exactly
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
     ).filter(F.col("word") != "")
     c = materialize(
         words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))

@@ -60,7 +60,7 @@ def test_approx_topk_matches_exact_head(spark, sf_dir):
     rows = approx_topk_words(spark, sf_dir).collect()
     exact_rows = (
         load(spark, sf_dir, "documents")
-        .select(F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word"))
+        .select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word")
         .count()

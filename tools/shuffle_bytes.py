@@ -23,6 +23,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def _stages(spark) -> dict[int, dict]:
     base = spark.sparkContext.uiWebUrl
+    if base is None:
+        raise SystemExit(
+            "Spark UI is disabled in this session (spark.ui.enabled=false); "
+            "the status REST API needs it — run this tool in a fresh process"
+        )
     app = spark.sparkContext.applicationId
     url = f"{base}/api/v1/applications/{app}/stages?status=complete"
     with urllib.request.urlopen(url) as r:
@@ -36,7 +41,10 @@ def main() -> None:
         raise SystemExit("usage: shuffle_bytes.py query [query ...]")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-    os.environ.setdefault("SPARK_GRAFT_UI", "true")  # REST API needs the UI store
+    # FORCE (not setdefault): the tool is useless without the UI store,
+    # and an inherited SPARK_GRAFT_UI=false would surface as an opaque
+    # "unknown url type: 'None/api/...'" deep in urllib (r9 self-review).
+    os.environ["SPARK_GRAFT_UI"] = "true"
 
     from cocktails_data_engineering_spark.plans import queries as plans
     from cocktails_data_engineering_spark.session import get_spark
