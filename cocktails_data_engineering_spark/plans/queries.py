@@ -80,6 +80,7 @@ _SAMPLE_FRONT = (
     "webdataset_shard_manifest",
     "dedup_keep_longest",
     "stream_contamination_gate",
+    "stream_python_datasource_agg",
     # --- r8 front below ---
     "lang_id_heuristic",
     "json_parse_robustness",

@@ -25,7 +25,12 @@ import hashlib
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from ..registry import register
 
@@ -144,3 +149,115 @@ def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("id").alias("min_id"),
         F.max("id").alias("max_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming Python DataSource (Spark 4 SimpleDataSourceStreamReader)
+# ---------------------------------------------------------------------------
+STREAM_ROWS = 5_000
+STREAM_CHUNK = 1_500  # rows per micro-batch => 4 batches to drain
+
+
+class _SynthStreamReader(SimpleDataSourceStreamReader):
+    """Offset-tracked reader over the same deterministic row generator:
+    each micro-batch advances ``pos`` by STREAM_CHUNK until STREAM_ROWS,
+    then reports no progress (a drained feed).  ``readBetweenOffsets``
+    regenerates any committed range exactly — the replay contract that
+    makes the source exactly-once under checkpoint recovery."""
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def read(self, start: dict):
+        pos = int(start["pos"])
+        end = min(pos + STREAM_CHUNK, STREAM_ROWS)
+        return iter([_row(i) for i in range(pos, end)]), {"pos": end}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([_row(i) for i in range(int(start["pos"]), int(end["pos"]))])
+
+
+class SynthStreamDataSource(DataSource):
+    """``spark.readStream.format("cocktails_synth_stream")`` — the
+    crawler-frontier-as-stream shape: a bespoke feed surfaced as a
+    first-class streaming source with offsets, replay, and checkpoint
+    recovery, not a driver-side loop pushing rows."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "cocktails_synth_stream"
+
+    def schema(self) -> str:
+        return "id BIGINT, kind STRING, val BIGINT"
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return _SynthStreamReader()
+
+
+@register(
+    "stream_python_datasource_agg",
+    oracle=f"""
+WITH rows AS (
+  SELECT i,
+         ['alpha', 'beta', 'gamma', 'delta']
+           [1 + CAST(('0x' || substr({_ORACLE_H}, 1, 1)) AS BIGINT) % 4] AS kind,
+         CAST(('0x' || substr({_ORACLE_H}, 2, 8)) AS BIGINT) % 1000 AS val
+  FROM (SELECT unnest(range(0, {STREAM_ROWS})) AS i)
+)
+SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(val) AS BIGINT) AS sum_val,
+       CAST(MAX(i) AS BIGINT) AS max_id
+FROM rows GROUP BY kind
+""",
+)
+def stream_python_datasource_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end CUSTOM STREAMING connector: the Python DataSource's
+    SimpleDataSourceStreamReader feeds Structured Streaming in
+    {STREAM_ROWS // STREAM_CHUNK + 1} offset-committed micro-batches
+    (complete-mode per-kind aggregate in a memory sink), drained by
+    polling the sink until the offset saturates.  Proves the full
+    streaming-connector path — initialOffset → read → commit → replay
+    contract — with the same arithmetic oracle as the batch scan.
+
+    Scale: a real deployment points this at a crawl frontier / queue; the
+    simple-reader API batches on the driver, the PARTITIONED stream
+    reader API is the fan-out upgrade — the aggregation plan on top is
+    identical either way."""
+    import time
+
+    key = ("stream", id(spark))
+    if key not in _REGISTERED:
+        spark.dataSource.register(SynthStreamDataSource)
+        _REGISTERED.add(key)
+    feed = spark.readStream.format("cocktails_synth_stream").load()
+    agg = feed.groupBy("kind").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("val").cast("bigint").alias("sum_val"),
+        F.max("id").cast("bigint").alias("max_id"),
+    )
+    name = f"stream_pyds_{abs(id(spark)) % 10**8}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 120
+        while time.monotonic() < deadline:
+            if q.exception() is not None:
+                raise q.exception()
+            got = spark.sql(
+                f"SELECT COALESCE(SUM(n_rows), 0) AS n FROM {name}"
+            ).collect()[0].n
+            if got >= STREAM_ROWS:
+                break
+            time.sleep(0.2)
+        else:
+            raise TimeoutError(f"stream drained only {got}/{STREAM_ROWS} rows")
+    finally:
+        q.stop()
+    from ..checkpointing import materialize
+
+    return materialize(spark.table(name))

@@ -228,3 +228,28 @@ def test_dataset_card_cross_checks(spark, sf_dir):
     distinct_texts = docs.select(F.md5("text")).distinct().count()
     assert card.exact_dup_docs == card.n_docs - distinct_texts
     assert 0 <= card.exact_dup_rate <= 1
+
+
+def test_stream_datasource_replay_contract():
+    """readBetweenOffsets must regenerate exactly what read() emitted for
+    any committed offset range — the exactly-once recovery contract."""
+    from cocktails_data_engineering_spark.sources.python_source import (
+        STREAM_CHUNK,
+        STREAM_ROWS,
+        _SynthStreamReader,
+    )
+
+    r = _SynthStreamReader()
+    off = r.initialOffset()
+    seen = []
+    for _ in range(STREAM_ROWS // STREAM_CHUNK + 2):
+        rows, nxt = r.read(off)
+        rows = list(rows)
+        assert list(r.readBetweenOffsets(off, nxt)) == rows
+        seen.extend(rows)
+        if nxt == off:  # drained: no progress, no rows
+            assert rows == []
+            break
+        off = nxt
+    assert len(seen) == STREAM_ROWS
+    assert [x[0] for x in seen] == list(range(STREAM_ROWS))
