@@ -329,3 +329,153 @@ def cdc_replay_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     s1 = apply_cdc(base, u1, d1)
     return apply_cdc(s1, u2, d2)
+
+
+# Local copies of the downstream stages' constants: pipeline registers
+# 6th, before curation/profiling/multimodal — importing them at decoration
+# time would run their registrations out of order (profiling's spearman
+# oracle resolves text_analysis specs at import).  Lockstep is enforced by
+# tests/test_round9_ops.py::test_release_pipeline_constants_lockstep; the
+# Spark function body imports the REAL constants at call time.
+_REL_CONTAM_N = 5
+_REL_BENCH_SQL = "substr(md5('bench|' || CAST(doc_id AS VARCHAR)), 1, 1) = '0'"
+_REL_SHORT_TOKENS = 32
+_REL_SHARD_CAP = 65536
+
+
+def _release_oracle() -> str:
+    CONTAM_N = _REL_CONTAM_N
+    _BENCH_SQL = _REL_BENCH_SQL
+    CARD_SHORT_TOKENS = _REL_SHORT_TOKENS
+    SHARD_CAP_BYTES = _REL_SHARD_CAP
+
+    return f"""
+WITH RECURSIVE {_ORACLE_CANDIDATES},
+edges AS (SELECT doc_a AS u, doc_b AS v FROM cands
+          UNION SELECT doc_b, doc_a FROM cands),
+reach(node, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r
+),
+drop_set AS (SELECT node FROM reach GROUP BY node HAVING node <> MIN(r)),
+toked AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(t[i:i+{CONTAM_N - 1}], ' ') AS gram
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) - {CONTAM_N - 2})) AS i
+        FROM toked WHERE len(t) >= {CONTAM_N})
+),
+bench AS (SELECT DISTINCT gram FROM grams
+          WHERE {_BENCH_SQL.replace("doc_id", "grams.doc_id")}),
+quarantine AS (
+  SELECT DISTINCT g.doc_id FROM grams g JOIN bench b ON b.gram = g.gram
+  WHERE NOT ({_BENCH_SQL.replace("doc_id", "g.doc_id")})
+),
+survivors AS (
+  SELECT d.doc_id, octet_length(encode(d.text)) AS n_bytes
+  FROM documents d JOIN toked tk ON tk.doc_id = d.doc_id
+  WHERE len(tk.t) >= {CARD_SHORT_TOKENS}
+    AND NOT ({_BENCH_SQL.replace("doc_id", "d.doc_id")})
+    AND d.doc_id NOT IN (SELECT node FROM drop_set)
+    AND d.doc_id NOT IN (SELECT doc_id FROM quarantine)
+),
+pos AS (
+  SELECT doc_id, n_bytes,
+         SUM(n_bytes) OVER (ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_bytes AS cum_before
+  FROM survivors
+)
+SELECT CAST(cum_before // {SHARD_CAP_BYTES} AS BIGINT) AS shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_objects,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+FROM pos GROUP BY 1 ORDER BY shard_id
+"""
+
+
+@register("dataset_release_pipeline", oracle=_release_oracle())
+def dataset_release_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship #8 — the EXPORT half of the corpus lifecycle, one plan:
+
+    1. drop near-duplicate cluster members (MinHash-LSH candidates from
+       the session cache → connected components → non-canonical drops),
+    2. quarantine benchmark contamination (any shared 5-gram with the
+       held-out benchmark slice; the benchmark docs themselves are
+       excluded from the release — they are eval data),
+    3. gate out short docs (< CARD_SHORT_TOKENS tokens),
+    4. emit the WebDataset-style shard manifest of the surviving corpus
+       (byte-cumsum absolute-offset shards).
+
+    Every stage is the REGISTERED operator's logic (training_corpus_
+    pipeline's dedup composition, contamination_ngram_audit's gram join,
+    dataset_card_summary's short-doc rule, webdataset_shard_manifest's
+    sharding) — the pipeline can't drift from the parts, and the oracle
+    recomputes the whole lifecycle in one recursive CTE.
+
+    Plan at 100 TB: candidate CC over capped LSH pairs, one gram-keyed
+    join against the distinct benchmark gram set, map-side token/byte
+    projections, one two-phase cumsum over survivors — no stage is
+    quadratic and nothing materializes per-gram state."""
+    from .curation import CONTAM_N
+    from .evaluation import ordered_running_sums
+    from .multimodal import SHARD_CAP_BYTES
+    from .profiling import CARD_SHORT_TOKENS
+
+    docs = load(spark, sf_dir, "documents")
+    is_bench = (
+        F.substring(
+            F.md5(F.concat(F.lit("bench|"), F.col("doc_id").cast("string"))), 1, 1
+        )
+        == "0"
+    )
+    toked = docs.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda w: w != "").alias("t"),
+        F.octet_length(F.encode("text", "utf-8")).alias("n_bytes"),
+    )
+    grams = toked.filter(F.size("t") >= CONTAM_N).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - (CONTAM_N - 1)),
+                lambda i: F.concat_ws(" ", F.slice("t", i, CONTAM_N)),
+            )
+        ).alias("gram"),
+    )
+    bench = grams.filter(is_bench).select("gram").distinct()
+    quarantine = (
+        grams.filter(~is_bench)
+        .join(F.broadcast(bench), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    drop_set = (
+        connected_components(minhash_candidates(spark, sf_dir))
+        .filter(F.col("node") != F.col("cluster_id"))
+        .select(F.col("node").alias("doc_id"))
+    )
+    survivors = (
+        toked.filter(F.size("t") >= CARD_SHORT_TOKENS)
+        .filter(~is_bench)
+        .join(drop_set, "doc_id", "left_anti")
+        .join(quarantine, "doc_id", "left_anti")
+        .select("doc_id", "n_bytes")
+    )
+    pos = ordered_running_sums(survivors, "doc_id", ["n_bytes"])
+    shard = ((F.col("cum_n_bytes") - F.col("n_bytes")) / SHARD_CAP_BYTES).cast("long")
+    return (
+        pos.select(shard.alias("shard_id"), "doc_id", "n_bytes")
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_objects"),
+            F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+            F.min("doc_id").cast("bigint").alias("min_doc_id"),
+            F.max("doc_id").cast("bigint").alias("max_doc_id"),
+        )
+        .orderBy("shard_id")
+    )

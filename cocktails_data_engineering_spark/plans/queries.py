@@ -81,6 +81,7 @@ _SAMPLE_FRONT = (
     "dedup_keep_longest",
     "stream_contamination_gate",
     "stream_python_datasource_agg",
+    "dataset_release_pipeline",
     # --- r8 front below ---
     "lang_id_heuristic",
     "json_parse_robustness",

@@ -253,3 +253,25 @@ def test_stream_datasource_replay_contract():
         off = nxt
     assert len(seen) == STREAM_ROWS
     assert [x[0] for x in seen] == list(range(STREAM_ROWS))
+
+
+def test_release_pipeline_constants_lockstep():
+    """pipeline.py carries local copies of downstream-stage constants
+    (import-order: pipeline registers before curation/profiling/
+    multimodal); they must never drift from the owning modules."""
+    from cocktails_data_engineering_spark.operators import pipeline
+    from cocktails_data_engineering_spark.operators.curation import (
+        _BENCH_SQL,
+        CONTAM_N,
+    )
+    from cocktails_data_engineering_spark.operators.multimodal import (
+        SHARD_CAP_BYTES,
+    )
+    from cocktails_data_engineering_spark.operators.profiling import (
+        CARD_SHORT_TOKENS,
+    )
+
+    assert pipeline._REL_CONTAM_N == CONTAM_N
+    assert pipeline._REL_BENCH_SQL == _BENCH_SQL
+    assert pipeline._REL_SHORT_TOKENS == CARD_SHORT_TOKENS
+    assert pipeline._REL_SHARD_CAP == SHARD_CAP_BYTES
