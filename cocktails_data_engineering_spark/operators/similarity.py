@@ -1057,3 +1057,110 @@ def matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar int8 quantization audit (embedding storage compression)
+# ---------------------------------------------------------------------------
+INT8_MAX = 127
+
+
+@register(
+    "int8_quant_audit",
+    oracle=f"""
+WITH vecs AS ({{vecs}}),
+flat AS (
+  SELECT vec_id, emb[i] AS x, i AS pos
+  FROM (SELECT vec_id, emb, unnest(range(1, len(emb) + 1)) AS i FROM vecs) t
+),
+scales AS (
+  SELECT pos, MAX(ABS(x)) / {INT8_MAX} AS s FROM flat GROUP BY pos
+),
+quant AS (
+  SELECT f.vec_id, f.pos, f.x,
+         CASE WHEN s.s = 0 THEN 0
+              ELSE GREATEST(-{INT8_MAX}, LEAST({INT8_MAX}, ROUND(f.x / s.s, 0)))
+         END AS q,
+         s.s
+  FROM flat f JOIN scales s ON s.pos = f.pos
+),
+per_vec AS (
+  SELECT vec_id,
+         ROUND(SUM(x * q * s)
+               / (sqrt(SUM(x * x)) * sqrt(SUM(q * s * q * s))), 6) AS cos_sim,
+         ROUND(SUM((x - q * s) * (x - q * s)) / COUNT(*), 6) AS mse,
+         SUM(CASE WHEN ABS(q) = {INT8_MAX} THEN 1 ELSE 0 END) AS n_sat
+  FROM quant GROUP BY vec_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       ROUND(CAST(SUM(CAST(cos_sim AS DECIMAL(18,6))) / COUNT(*) AS DOUBLE), 6)
+         AS mean_cos_sim,
+       ROUND(MIN(cos_sim), 6) AS worst_cos_sim,
+       ROUND(CAST(SUM(CAST(mse AS DECIMAL(18,6))) / COUNT(*) AS DOUBLE), 6)
+         AS mean_mse,
+       CAST(SUM(n_sat) AS BIGINT) AS n_saturated_components
+FROM per_vec
+""".format(vecs=_ORACLE_VECS),
+)
+def int8_quant_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization audit — the storage-compression decision
+    for an embedding lake (4x smaller than fp32, 8x than fp64): per-dim
+    symmetric scales s_j = max|x_j|/{INT8_MAX}, q = clamp(round(x/s)),
+    then the numbers that decide shippability — mean/worst cosine
+    similarity between original and dequantized vectors, mean MSE, and
+    how many components saturate at ±{INT8_MAX}.  The codebook-based
+    alternative is the PQ family (operators/pq.py); scalar quant is the
+    zero-training baseline every deployment evaluates first.
+
+    Determinism: scales are exact (max over column / literal); q is
+    ROUND-half-away (same rule both engines) on identical doubles; per-
+    vector stats round to 6 BEFORE the DECIMAL mean (the dsum
+    discipline), so the final row is bit-stable under any partitioning.
+
+    Plan at 100 TB: one posexplode → per-dim max (D-row rollup, map-side
+    combined) broadcast back; quantization + per-vector folds are pure
+    map-side codegen; the audit row is one aggregate.  Nothing is
+    pairwise."""
+    vecs = _vectors(spark, sf_dir)
+    flat = vecs.select(
+        "vec_id", F.posexplode("emb").alias("pos", "x")
+    )
+    scales = flat.groupBy("pos").agg(
+        (F.max(F.abs("x")) / INT8_MAX).alias("s")
+    )
+    q = F.when(F.col("s") == 0, F.lit(0.0)).otherwise(
+        F.greatest(
+            F.lit(float(-INT8_MAX)),
+            F.least(F.lit(float(INT8_MAX)), F.round(F.col("x") / F.col("s"), 0)),
+        )
+    )
+    quant = flat.join(F.broadcast(scales), "pos").select(
+        "vec_id", "x", "s", q.alias("q")
+    )
+    dq = F.col("q") * F.col("s")
+    per_vec = quant.groupBy("vec_id").agg(
+        F.round(
+            F.sum(F.col("x") * dq)
+            / (F.sqrt(F.sum(F.col("x") * F.col("x"))) * F.sqrt(F.sum(dq * dq))),
+            6,
+        ).alias("cos_sim"),
+        F.round(
+            F.sum((F.col("x") - dq) * (F.col("x") - dq)) / F.count(F.lit(1)), 6
+        ).alias("mse"),
+        F.sum(F.when(F.abs("q") == INT8_MAX, 1).otherwise(0)).alias("n_sat"),
+    )
+    return per_vec.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.round(
+            (F.sum(F.col("cos_sim").cast("decimal(18,6)")) / F.count(F.lit(1)))
+            .cast("double"),
+            6,
+        ).alias("mean_cos_sim"),
+        F.round(F.min("cos_sim"), 6).alias("worst_cos_sim"),
+        F.round(
+            (F.sum(F.col("mse").cast("decimal(18,6)")) / F.count(F.lit(1)))
+            .cast("double"),
+            6,
+        ).alias("mean_mse"),
+        F.sum("n_sat").cast("bigint").alias("n_saturated_components"),
+    )

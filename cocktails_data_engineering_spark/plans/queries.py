@@ -82,6 +82,7 @@ _SAMPLE_FRONT = (
     "stream_contamination_gate",
     "stream_python_datasource_agg",
     "dataset_release_pipeline",
+    "int8_quant_audit",
     # --- r8 front below ---
     "lang_id_heuristic",
     "json_parse_robustness",
