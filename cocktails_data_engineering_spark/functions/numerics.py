@@ -32,6 +32,23 @@ def davg(col: Column) -> Column:
     return dsum(col) / F.count(col)
 
 
+def int_div(col: Column, divisor: int | Column) -> Column:
+    """Exact integral floor division for non-negative longs.
+
+    ``(col / divisor).cast("long")`` routes through IEEE double division,
+    which is exact only while the divisor's bit pattern cooperates (powers
+    of two) and operands stay below 2^53 — a silent parity trap against
+    integer-division oracles (``//`` in DuckDB).  This computes
+    ``(col - col % divisor) / divisor``: the numerator is an exact multiple
+    of the divisor, so the correctly-rounded double quotient IS the integer
+    quotient for any divisor, matching SQL ``DIV`` / ``//`` semantics on
+    non-negative inputs.
+    """
+    c = col.cast("long")
+    d = (F.lit(divisor) if isinstance(divisor, int) else divisor).cast("long")
+    return ((c - (c % d)) / d).cast("long")
+
+
 def oracle_dsum(expr: str) -> str:
     """DuckDB-side twin of :func:`dsum`."""
     return f"CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"

@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.numerics import int_div
 from ..registry import register
 from ..sources.tables import load, load_spread
 
@@ -292,11 +293,13 @@ def pack_sequences_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    # Explicit floor division: DuckDB CAST(double AS INT) rounds-to-nearest
-    # while Spark's cast truncates, so a bare `/` + cast would disagree.
+    # Explicit integral floor division: DuckDB CAST(double AS INT)
+    # rounds-to-nearest while Spark's cast truncates, and double division
+    # is only boundary-exact for cooperative divisors — int_div sidesteps
+    # both.
     binned = sized.withColumn(
         "bin_id",
-        F.floor((F.sum("n_tokens").over(w) - 1) / PACK_CAPACITY).cast("int"),
+        int_div(F.sum("n_tokens").over(w) - 1, PACK_CAPACITY).cast("int"),
     )
     return binned.groupBy("source", "bin_id").agg(
         F.count(F.lit(1)).cast("int").alias("n_docs"),

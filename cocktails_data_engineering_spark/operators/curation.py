@@ -1906,3 +1906,143 @@ def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# UniMax epoch-capped uniform mixture (Chung et al. 2023)
+# ---------------------------------------------------------------------------
+UNIMAX_EPOCH_CAP = 3  # no domain repeats more than this many epochs
+UNIMAX_BUDGET_X = 2  # training budget = this multiple of the corpus tokens
+
+
+@register(
+    "unimax_epoch_weights",
+    oracle=f"""
+WITH dom AS (
+  SELECT source, lang,
+         CAST(SUM(len(list_filter(string_split(text, ' '), w -> w <> '')))
+              AS BIGINT) AS n_tok,
+         CAST({UNIMAX_EPOCH_CAP} * SUM(len(list_filter(string_split(text, ' '),
+              w -> w <> ''))) AS BIGINT) AS cap
+  FROM documents GROUP BY source, lang
+),
+tot AS (
+  SELECT CAST({UNIMAX_BUDGET_X} * SUM(n_tok) AS BIGINT) AS budget,
+         CAST(COUNT(*) AS BIGINT) AS n_dom
+  FROM dom
+),
+ordered AS (
+  SELECT d.*, t.budget, t.n_dom,
+         ROW_NUMBER() OVER (ORDER BY cap, source, lang) AS i,
+         CAST(COALESCE(SUM(cap) OVER (ORDER BY cap, source, lang
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS prefix_cap
+  FROM dom d CROSS JOIN tot t
+),
+flagged AS (
+  SELECT *, CASE WHEN cap * (n_dom - i + 1) + prefix_cap <= budget
+                 THEN 1 ELSE 0 END AS is_capped
+  FROM ordered
+),
+pooled AS (
+  SELECT *,
+         CAST(SUM(CASE WHEN is_capped = 1 THEN cap ELSE 0 END) OVER ()
+              AS BIGINT) AS capped_total,
+         CAST(SUM(is_capped) OVER () AS BIGINT) AS n_capped
+  FROM flagged
+),
+alloc AS (
+  SELECT *, CASE WHEN is_capped = 1 THEN CAST(cap AS DOUBLE)
+                 ELSE ROUND(CAST(budget - capped_total AS DOUBLE)
+                            / (n_dom - n_capped), 6) END AS alloc_tokens
+  FROM pooled
+)
+SELECT source, lang, n_tok, cap AS cap_tokens, CAST(is_capped AS INT) AS is_capped,
+       alloc_tokens,
+       ROUND(alloc_tokens / n_tok, 6) AS epochs,
+       ROUND(alloc_tokens / budget, 6) AS weight
+FROM alloc
+ORDER BY source, lang
+""",
+)
+def unimax_epoch_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax mixture weights (Chung et al. 2023): spread a token budget
+    of {UNIMAX_BUDGET_X}× the corpus as UNIFORMLY as possible across
+    (source, lang) domains, subject to no domain repeating more than
+    {UNIMAX_EPOCH_CAP} epochs — the fairness-first alternative to
+    temperature sampling that never over-boils a tail domain.  The
+    waterfill is closed-form over the capacity-sorted domain rollup:
+    domain i (capacities ascending) is capped iff even granting every
+    remaining domain its own capacity-sized share would still fit the
+    leftover budget — i.e. cap_i·(N-i+1) + Σ_{{j<i}} cap_j ≤ B — and the
+    uncapped rest split the remainder evenly.
+
+    Determinism: the fill condition and every operand up to the final
+    share are exact bigint arithmetic; the uniform share and the derived
+    epochs/weight columns are single IEEE divisions rounded to 6.
+
+    Plan at 100 TB: ONE partial-aggregated scan rolls the corpus up to
+    |sources|×|langs| rows; the waterfill's windows run unpartitioned
+    over that metadata-sized rollup (tens of rows regardless of corpus
+    bytes), so the whole planner costs a scan + one tiny shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    ntok = F.size(F.filter(F.split("text", " "), lambda w: w != ""))
+    dom = docs.groupBy("source", "lang").agg(
+        F.sum(ntok).cast("bigint").alias("n_tok")
+    )
+    dom = dom.withColumn(
+        "cap", (F.lit(UNIMAX_EPOCH_CAP) * F.col("n_tok")).cast("bigint")
+    )
+    tot = dom.agg(
+        (F.lit(UNIMAX_BUDGET_X) * F.sum("n_tok")).cast("bigint").alias("budget"),
+        F.count(F.lit(1)).cast("bigint").alias("n_dom"),
+    )
+    fill_order = [F.col("cap"), F.col("source"), F.col("lang")]
+    w_prefix = (
+        Window.orderBy(*fill_order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ordered = dom.crossJoin(F.broadcast(tot)).select(
+        "*",
+        F.row_number().over(Window.orderBy(*fill_order)).alias("i"),
+        F.coalesce(F.sum("cap").over(w_prefix), F.lit(0))
+        .cast("bigint")
+        .alias("prefix_cap"),
+    )
+    flagged = ordered.withColumn(
+        "is_capped",
+        F.when(
+            F.col("cap") * (F.col("n_dom") - F.col("i") + 1) + F.col("prefix_cap")
+            <= F.col("budget"),
+            1,
+        ).otherwise(0),
+    )
+    everything = Window.partitionBy()
+    pooled = flagged.select(
+        "*",
+        F.sum(F.when(F.col("is_capped") == 1, F.col("cap")).otherwise(0))
+        .over(everything)
+        .cast("bigint")
+        .alias("capped_total"),
+        F.sum("is_capped").over(everything).cast("bigint").alias("n_capped"),
+    )
+    alloc = pooled.withColumn(
+        "alloc_tokens",
+        F.when(F.col("is_capped") == 1, F.col("cap").cast("double")).otherwise(
+            F.round(
+                (F.col("budget") - F.col("capped_total")).cast("double")
+                / (F.col("n_dom") - F.col("n_capped")),
+                6,
+            )
+        ),
+    )
+    return alloc.select(
+        "source",
+        "lang",
+        "n_tok",
+        F.col("cap").alias("cap_tokens"),
+        F.col("is_capped").cast("int").alias("is_capped"),
+        "alloc_tokens",
+        F.round(F.col("alloc_tokens") / F.col("n_tok"), 6).alias("epochs"),
+        F.round(F.col("alloc_tokens") / F.col("budget"), 6).alias("weight"),
+    ).orderBy("source", "lang")

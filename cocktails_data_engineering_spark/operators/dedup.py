@@ -29,6 +29,7 @@ skew-join handles moderate residual skew automatically.
 from __future__ import annotations
 
 import itertools
+import threading
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -293,6 +294,11 @@ def build_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 # with their session, and by the documents fingerprint so a rewritten
 # fixture recomputes.
 _CANDS_CACHE: dict[tuple, DataFrame] = {}
+# dedup_detector_agreement builds the four detectors on concurrent driver
+# threads; without a lock two first-touch consumers could both run the full
+# candidate build and checkpoint it twice (duplicate work, not wrong
+# results).  Double-checked locking keeps the cached fast path lock-cheap.
+_CANDS_LOCK = threading.Lock()
 
 
 def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -316,9 +322,13 @@ def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     got = _CANDS_CACHE.get(key)
     if got is not None:
         return got
-    out = materialize(build_minhash_candidates(spark, sf_dir))
-    _CANDS_CACHE[key] = out
-    return out
+    with _CANDS_LOCK:
+        got = _CANDS_CACHE.get(key)
+        if got is not None:
+            return got
+        out = materialize(build_minhash_candidates(spark, sf_dir))
+        _CANDS_CACHE[key] = out
+        return out
 
 
 @register("minhash_near_dedup", oracle=f"WITH {_ORACLE_CANDIDATES} SELECT * FROM cands")
@@ -1891,4 +1901,316 @@ def dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_tok").cast("bigint").alias("keeper_n_tok"),
             F.col("n_members").cast("bigint").alias("n_members"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH band-parameter planner: reband ONE signature under every (b, r)
+# ---------------------------------------------------------------------------
+# The decision a 100 TB dedup owner makes BEFORE the expensive candidate
+# join: how to band the 128-perm signature.  More bands (smaller r) catch
+# lower-similarity pairs but explode bucket collisions (join fan-out);
+# fewer bands are cheap but miss borderline duplicates.  Both sides of
+# the trade-off are measurable from the SIGNATURE ALONE — bucket
+# populations give the exact pair-generation workload per config without
+# materializing a single candidate pair.
+_PLAN_CONFIGS = ((64, 2), (32, 4), (16, 8), (8, 16))  # (n_bands, rows) · b*r = 128
+
+
+def _catch_prob(s: float, b: int, r: int) -> float:
+    """Analytic S-curve P(candidate | Jaccard=s) = 1 - (1 - s^r)^b."""
+    return round(1.0 - (1.0 - s**r) ** b, 6)
+
+
+def _plan_band_rows(select_tpl: str) -> list[str]:
+    """The 120 per-(config, band) key projections, one template for both
+    engines: ``select_tpl`` formats (cfg, band_id, cols)."""
+    parts = []
+    for b, r in _PLAN_CONFIGS:
+        for band in range(b):
+            cols = ", ".join(f"h{band * r + i}" for i in range(r))
+            parts.append(select_tpl.format(cfg=f"b{b}r{r}", band=band, cols=cols))
+    return parts
+
+
+_PLAN_CFG_VALUES = ", ".join(
+    f"('b{b}r{r}', {b}, {r}, CAST({_catch_prob(0.5, b, r)!r} AS DOUBLE), "
+    f"CAST({_catch_prob(0.8, b, r)!r} AS DOUBLE))"
+    for b, r in _PLAN_CONFIGS
+)
+
+_PLAN_FINAL = f"""
+buckets AS (
+  SELECT cfg, band_id, band_key, CAST(COUNT(*) AS BIGINT) AS n
+  FROM bands_all GROUP BY cfg, band_id, band_key
+),
+percfg AS (
+  SELECT cfg,
+         CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi_buckets,
+         CAST(SUM(CASE WHEN n > {HOT_BUCKET_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hot_buckets,
+         CAST(MAX(n) AS BIGINT) AS max_bucket,
+         CAST(SUM(n * (n - 1) / 2) AS BIGINT) AS pair_workload,
+         CAST(SUM(CASE WHEN n > {HOT_BUCKET_CAP} THEN n - 1
+                       ELSE n * (n - 1) / 2 END) AS BIGINT) AS capped_workload
+  FROM buckets GROUP BY cfg
+)
+SELECT p.cfg, c.n_bands, c.band_rows,
+       p.n_buckets, p.n_multi_buckets, p.n_hot_buckets, p.max_bucket,
+       p.pair_workload, p.capped_workload, c.p_catch_50, c.p_catch_80
+FROM percfg p
+JOIN (VALUES {_PLAN_CFG_VALUES})
+  AS c(cfg, n_bands, band_rows, p_catch_50, p_catch_80)
+  ON p.cfg = c.cfg
+ORDER BY c.n_bands DESC
+"""
+
+_PLAN_ORACLE_BANDS = "\n    UNION ALL\n".join(
+    _plan_band_rows(
+        "SELECT doc_id, '{cfg}' AS cfg, {band} AS band_id, "
+        "concat_ws('|', {cols}) AS band_key FROM mins"
+    )
+)
+
+
+@register(
+    "lsh_band_plan_curve",
+    oracle=f"""
+WITH shingled AS ({_ORACLE_SHINGLES}),
+hashed AS (SELECT doc_id, {_ORACLE_X} AS x FROM shingled),
+mins AS (SELECT doc_id, {_ORACLE_MINS} FROM hashed GROUP BY doc_id),
+bands_all AS (
+    {_PLAN_ORACLE_BANDS}
+),
+{_PLAN_FINAL}
+""",
+)
+def lsh_band_plan_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding planner: reband the ONE 128-perm MinHash signature
+    table under every (bands × rows) factorization — 64×2, 32×4, 16×8,
+    8×16 — and report, per config, the exact bucket census (buckets,
+    multi-buckets, hot buckets over the {HOT_BUCKET_CAP}-doc star cap,
+    max population), the pair-generation workload Σ C(n,2) the candidate
+    self-join WOULD perform, the workload after the hot-bucket star cap,
+    and the analytic S-curve catch probability at Jaccard 0.5 / 0.8.
+    This is the dry-run a pipeline owner reads to pick banding before
+    committing a 100 TB candidate join: recall from the analytic curve,
+    cost from the measured census.
+
+    Plan: signature build (one md5 + 128 arithmetic mins per shingle,
+    map-side combined), then ONE ``stack`` projection emits all 120
+    (config, band) keys per doc and ONE hash aggregation counts buckets
+    — no candidate pair is ever materialized, so the planner costs a
+    scan + two shuffles regardless of how pathological the corpus is.
+
+    Analytic constants are emitted as Python-formatted literals in both
+    engines, so parity cannot hinge on libm pow rounding."""
+    shingled = _shingles(load_spread(spark, sf_dir, "documents"))
+    hashed = shingled.select("doc_id", _x_col().alias("x"))
+    view = f"minhash_hashed_{next(_VIEW_COUNTER)}"
+    hashed.createOrReplaceTempView(view)
+    stack_args = ", ".join(
+        "'{cfg}', {band}, concat_ws('|', {cols})".format(
+            cfg=f"b{b}r{r}",
+            band=band,
+            cols=", ".join(f"h{band * r + i}" for i in range(r)),
+        )
+        for b, r in _PLAN_CONFIGS
+        for band in range(b)
+    )
+    n_rows = sum(b for b, _ in _PLAN_CONFIGS)
+    return spark.sql(
+        f"""
+WITH mins AS (SELECT doc_id, {_SPARK_MINS} FROM {view} GROUP BY doc_id),
+bands_all AS (
+  SELECT doc_id, stack({n_rows}, {stack_args}) AS (cfg, band_id, band_key)
+  FROM mins
+),
+{_PLAN_FINAL}
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# Adaptive banding: plan -> choose -> execute, in one registered operator
+# ---------------------------------------------------------------------------
+ADAPT_RECALL_FLOOR = 0.95  # required analytic catch probability at Jaccard 0.8
+
+
+def _band_cands_sql(b: int, r: int) -> str:
+    """The band/sized/cands CTE chain for an arbitrary (bands, rows)
+    factorization — the SAME hot-bucket star discipline as the fixed
+    32×4 production chain (``_SPARK_BAND_CANDS``), parameterized."""
+    stack = "stack({n}, {args})".format(
+        n=b,
+        args=", ".join(
+            "{i}, concat_ws('|', {cols})".format(
+                i=i, cols=", ".join(f"h{i * r + j}" for j in range(r))
+            )
+            for i in range(b)
+        ),
+    )
+    return f"""bands AS (SELECT doc_id, {stack} AS (band_id, band_key) FROM mins),
+sized AS (
+  SELECT doc_id, band_id, band_key,
+         COUNT(*) OVER (PARTITION BY band_id, band_key) AS bucket_n,
+         MIN(doc_id) OVER (PARTITION BY band_id, band_key) AS anchor
+  FROM bands
+),
+cands AS (
+  SELECT DISTINCT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sized a JOIN sized b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    WHERE a.bucket_n <= {HOT_BUCKET_CAP}
+    UNION ALL
+    SELECT anchor AS doc_a, doc_id AS doc_b
+    FROM sized
+    WHERE bucket_n > {HOT_BUCKET_CAP} AND doc_id <> anchor
+  ) u
+)"""
+
+
+def _oracle_band_cands(b: int, r: int) -> str:
+    """DuckDB twin of :func:`_band_cands_sql` (no stack(): UNION ALL)."""
+    bands = "\nUNION ALL\n".join(
+        "SELECT doc_id, {i} AS band_id, concat_ws('|', {cols}) AS band_key FROM mins".format(
+            i=i, cols=", ".join(f"h{i * r + j}" for j in range(r))
+        )
+        for i in range(b)
+    )
+    return f"""bands_{b}_{r} AS ({bands}),
+sized_{b}_{r} AS (
+  SELECT doc_id, band_id, band_key,
+         COUNT(*) OVER (PARTITION BY band_id, band_key) AS bucket_n,
+         MIN(doc_id) OVER (PARTITION BY band_id, band_key) AS anchor
+  FROM bands_{b}_{r}
+),
+cands_{b}_{r} AS (
+  SELECT DISTINCT 'b{b}r{r}' AS cfg, doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sized_{b}_{r} a JOIN sized_{b}_{r} b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    WHERE a.bucket_n <= {HOT_BUCKET_CAP}
+    UNION ALL
+    SELECT anchor AS doc_a, doc_id AS doc_b
+    FROM sized_{b}_{r}
+    WHERE bucket_n > {HOT_BUCKET_CAP} AND doc_id <> anchor
+  ) u
+)"""
+
+
+_ADAPT_ORACLE_CHOICE = f"""
+buckets AS (
+  SELECT cfg, band_id, band_key, CAST(COUNT(*) AS BIGINT) AS n
+  FROM bands_all GROUP BY cfg, band_id, band_key
+),
+percfg AS (
+  SELECT cfg,
+         CAST(SUM(CASE WHEN n > {HOT_BUCKET_CAP} THEN n - 1
+                       ELSE n * (n - 1) / 2 END) AS BIGINT) AS capped_workload
+  FROM buckets GROUP BY cfg
+),
+chosen AS (
+  SELECT p.cfg
+  FROM percfg p
+  JOIN (VALUES {_PLAN_CFG_VALUES})
+    AS c(cfg, n_bands, band_rows, p_catch_50, p_catch_80)
+    ON p.cfg = c.cfg
+  WHERE c.p_catch_80 >= {ADAPT_RECALL_FLOOR}
+  ORDER BY p.capped_workload, c.n_bands
+  LIMIT 1
+)
+"""
+
+
+@register(
+    "adaptive_banding_dedup",
+    oracle=f"""
+WITH shingled AS ({_ORACLE_SHINGLES}),
+hashed AS (SELECT doc_id, {_ORACLE_X} AS x FROM shingled),
+mins AS (SELECT doc_id, {_ORACLE_MINS} FROM hashed GROUP BY doc_id),
+bands_all AS (
+    {_PLAN_ORACLE_BANDS}
+),
+{_ADAPT_ORACLE_CHOICE},
+{",".join(_oracle_band_cands(b, r) for b, r in _PLAN_CONFIGS)}
+SELECT u.cfg, u.doc_a, u.doc_b
+FROM (
+  {" UNION ALL ".join(f"SELECT * FROM cands_{b}_{r}" for b, r in _PLAN_CONFIGS)}
+) u
+JOIN chosen ON u.cfg = chosen.cfg
+ORDER BY doc_a, doc_b
+""",
+)
+def adaptive_banding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive LSH dedup — plan, choose, execute: run the
+    ``lsh_band_plan_curve`` census over the signature table, pick the
+    cheapest (bands × rows) config whose analytic catch probability at
+    Jaccard 0.8 clears {ADAPT_RECALL_FLOOR} (tie → fewer bands), then
+    build candidate pairs with THAT banding only — the closed loop a
+    100 TB dedup run should execute instead of hard-coding 32×4: the
+    planner prices every banding from bucket counts alone (no pairs
+    materialized), and only the winner pays the candidate join.
+
+    The choice is data-dependent (capped workload is a corpus property),
+    so the oracle re-derives it from the same census and checks the
+    candidate set of whichever config wins — the full adaptive path is
+    under the value hash, not just the final join.
+
+    Plan at 100 TB: signature build once; census = one stack + one
+    aggregate (linear); the driver reads FOUR summary rows (O(1)) to
+    choose; the chosen banding reuses the checkpointed signature view —
+    total cost ≈ plan + the one cheapest-acceptable candidate join."""
+    shingled = _shingles(load_spread(spark, sf_dir, "documents"))
+    hashed = shingled.select("doc_id", _x_col().alias("x"))
+    view = f"minhash_hashed_{next(_VIEW_COUNTER)}"
+    hashed.createOrReplaceTempView(view)
+    mins_view = f"minhash_mins_{next(_VIEW_COUNTER)}"
+    spark.sql(
+        f"SELECT doc_id, {_SPARK_MINS} FROM {view} GROUP BY doc_id"
+    ).createOrReplaceTempView(mins_view)
+    # Census over the SAME materialized-signature view the execution leg
+    # uses (Catalyst reuses the exchange): bucket counts per config.
+    stack_args = ", ".join(
+        "'{cfg}', {band}, concat_ws('|', {cols})".format(
+            cfg=f"b{b}r{r}",
+            band=band,
+            cols=", ".join(f"h{band * r + i}" for i in range(r)),
+        )
+        for b, r in _PLAN_CONFIGS
+        for band in range(b)
+    )
+    n_rows = sum(b for b, _ in _PLAN_CONFIGS)
+    census = spark.sql(
+        f"""
+WITH mins AS (SELECT * FROM {mins_view}),
+bands_all AS (
+  SELECT doc_id, stack({n_rows}, {stack_args}) AS (cfg, band_id, band_key)
+  FROM mins
+),
+buckets AS (
+  SELECT cfg, band_id, band_key, COUNT(*) AS n
+  FROM bands_all GROUP BY cfg, band_id, band_key
+)
+SELECT cfg, CAST(SUM(CASE WHEN n > {HOT_BUCKET_CAP} THEN n - 1
+                          ELSE n * (n - 1) / 2 END) AS BIGINT) AS capped_workload
+FROM buckets GROUP BY cfg
+"""
+    ).collect()  # 4 summary rows -- the O(1) driver-side planning read
+    workload = {row["cfg"]: row["capped_workload"] for row in census}
+    eligible = [
+        (b, r)
+        for b, r in _PLAN_CONFIGS
+        if _catch_prob(0.8, b, r) >= ADAPT_RECALL_FLOOR
+    ]
+    b, r = min(eligible, key=lambda br: (workload[f"b{br[0]}r{br[1]}"], br[0]))
+    return spark.sql(
+        f"""
+WITH mins AS (SELECT * FROM {mins_view}),
+{_band_cands_sql(b, r)}
+SELECT 'b{b}r{r}' AS cfg, doc_a, doc_b FROM cands
+ORDER BY doc_a, doc_b
+"""
     )

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.numerics import int_div
 from ..registry import register
 from ..sources.tables import load, load_spread
 
@@ -564,9 +565,7 @@ def webdataset_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "modality", "n_bytes"
     )
     pos = ordered_running_sums(media, "doc_id", ["n_bytes"])
-    shard = ((F.col("cum_n_bytes") - F.col("n_bytes")) / SHARD_CAP_BYTES).cast(
-        "long"
-    )
+    shard = int_div(F.col("cum_n_bytes") - F.col("n_bytes"), SHARD_CAP_BYTES)
     return (
         pos.select(shard.alias("shard_id"), "modality", "n_bytes")
         .groupBy("shard_id")

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.numerics import int_div
 from ..registry import register
 from ..sources.tables import load
 from .dedup import _ORACLE_CANDIDATES, connected_components, minhash_candidates
@@ -232,7 +233,9 @@ def multimodal_shard_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "modality",
         "n_bytes",
-        F.floor(F.coalesce(F.sum("n_bytes").over(w), F.lit(0)) / SHARD_CAP_BYTES)
+        int_div(
+            F.coalesce(F.sum("n_bytes").over(w), F.lit(0)), SHARD_CAP_BYTES
+        )
         .cast("int")
         .alias("shard_id"),
     )
@@ -467,7 +470,7 @@ def dataset_release_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_bytes")
     )
     pos = ordered_running_sums(survivors, "doc_id", ["n_bytes"])
-    shard = ((F.col("cum_n_bytes") - F.col("n_bytes")) / SHARD_CAP_BYTES).cast("long")
+    shard = int_div(F.col("cum_n_bytes") - F.col("n_bytes"), SHARD_CAP_BYTES)
     return (
         pos.select(shard.alias("shard_id"), "doc_id", "n_bytes")
         .groupBy("shard_id")

@@ -1627,3 +1627,81 @@ def dataset_card_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_dup_docs",
         "exact_dup_rate",
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew diagnosis: WHICH keys are hot, and how much salt each needs
+# ---------------------------------------------------------------------------
+SKEW_TOPN = 10
+
+
+@register(
+    "skew_key_diagnosis",
+    oracle=f"""
+WITH per_key AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM events GROUP BY user_id
+),
+tot AS (
+  SELECT CAST(SUM(n_rows) AS BIGINT) AS total,
+         CAST(COUNT(*) AS BIGINT) AS n_keys
+  FROM per_key
+)
+SELECT user_id, n_rows,
+       ROUND(CAST(n_rows AS DOUBLE) / total, 6) AS share,
+       ROUND(CAST(n_rows * n_keys AS DOUBLE) / total, 6) AS skew_ratio,
+       CAST((n_rows * n_keys + total - 1) // total AS BIGINT) AS rec_salts
+FROM per_key CROSS JOIN tot
+ORDER BY n_rows DESC, user_id
+LIMIT {SKEW_TOPN}
+""",
+)
+def skew_key_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-level join-skew diagnosis: the top-{SKEW_TOPN} heaviest join
+    keys on the fact side (events.user_id), each with its row share,
+    skew ratio vs the mean key, and the recommended salting fan-out —
+    ceil(n_rows / mean_per_key), the number of salt buckets that brings
+    the key's largest salted partition back to an average-key workload.
+    ``partition_skew_stats`` answers "is this shuffle skewed?"; this
+    answers "which keys, and what salt factor fixes each?" — the input
+    to ``extensions.salted_join_event_enrich``'s fan-out constant.
+
+    Determinism: counts and the ceiling division are exact bigint
+    arithmetic; the two ratios are single IEEE divisions rounded to 6;
+    ties in the top-{SKEW_TOPN} order break on the key.
+
+    Plan at 100 TB: one map-side-combined count per key (the only
+    fact-sized shuffle), a 1-row broadcast of the totals, then a
+    TakeOrderedAndProject over the key rollup — no sort of the full
+    rollup, no second pass over the facts."""
+    from ..functions.numerics import int_div
+
+    ev = load(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    tot = per_key.agg(
+        F.sum("n_rows").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+    )
+    return (
+        per_key.crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            "n_rows",
+            F.round(F.col("n_rows").cast("double") / F.col("total"), 6).alias(
+                "share"
+            ),
+            F.round(
+                (F.col("n_rows") * F.col("n_keys")).cast("double")
+                / F.col("total"),
+                6,
+            ).alias("skew_ratio"),
+            int_div(
+                F.col("n_rows") * F.col("n_keys") + F.col("total") - 1,
+                F.col("total"),
+            ).alias("rec_salts"),
+        )
+        .orderBy(F.col("n_rows").desc(), "user_id")
+        .limit(SKEW_TOPN)
+    )

@@ -582,3 +582,134 @@ def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((passes & is_true).cast("long")).alias("n_true_match"),
         F.sum((passes & ~is_true).cast("long")).alias("n_false_pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HLL audience overlap: intersection by inclusion-exclusion over sketches
+# ---------------------------------------------------------------------------
+@register(
+    "hll_intersection_estimate",
+    oracle="""
+WITH tu AS (
+  SELECT DISTINCT event_type, user_id FROM events
+),
+per_type AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM tu GROUP BY event_type
+),
+inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS exact_inter
+  FROM tu a JOIN tu b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT i.type_a, i.type_b,
+       pa.n AS exact_a, pb.n AS exact_b,
+       pa.n + pb.n - i.exact_inter AS exact_union,
+       i.exact_inter,
+       TRUE AS within_bound
+FROM inter i
+JOIN per_type pa ON pa.event_type = i.type_a
+JOIN per_type pb ON pb.event_type = i.type_b
+ORDER BY type_a, type_b
+""",
+)
+def hll_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap from SKETCHES: for every unordered pair of event
+    types, estimate the user intersection by inclusion–exclusion over
+    HLL sketches — est(A) + est(B) − est(A ∪ B), the union computed by
+    MERGING the two stored kilobyte sketches, never rescanning events.
+    This is the sketch workflow behind every "how many users did both X
+    and Y" dashboard at 100 TB: per-segment sketches are built once;
+    any pairwise (or k-way) overlap is answered from sketch algebra.
+
+    Bounded contract (the r5 pattern): sketch estimates are
+    engine-specific, so the emitted columns are the EXACT set sizes and
+    ``within_bound`` — TRUE iff the inclusion–exclusion estimate lands
+    within the compounded slack of the three sketches it differences
+    (shared ``hll_contract_slack`` policy applied to |A|+|B|+|A∪B|; the
+    intersection inherits the absolute error of all three terms, the
+    published caveat of sketch differencing — unlike union, HLL
+    intersection is NOT relatively accurate when the overlap is small).
+
+    Plan at 100 TB: one distinct (type, user) projection feeds both
+    legs; sketches group to |alphabet| rows and pair-merge |alphabet|²/2
+    kilobyte objects; the exact legs are a user-keyed self-join whose
+    per-user fan-out is bounded by the type alphabet.  Everything after
+    the two shuffles is metadata-sized."""
+    from ..checkpointing import materialize
+
+    ev = load(spark, sf_dir, "events")
+    tu = materialize(ev.select("event_type", "user_id").distinct())
+    sk = materialize(hll_by_group(tu, "event_type", "user_id"))
+    pairs = (
+        sk.alias("a")
+        .join(sk.alias("b"), F.col("a.event_type") < F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            F.hll_sketch_estimate(F.col("a.sketch")).alias("est_a"),
+            F.hll_sketch_estimate(F.col("b.sketch")).alias("est_b"),
+            F.hll_sketch_estimate(
+                F.hll_union(F.col("a.sketch"), F.col("b.sketch"))
+            ).alias("est_union"),
+        )
+    )
+    per_type = tu.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    inter = (
+        tu.alias("x")
+        .join(
+            tu.alias("y"),
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("type_a"),
+            F.col("y.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_inter"))
+    )
+    exact = (
+        inter.join(
+            per_type.select(
+                F.col("event_type").alias("type_a"), F.col("n").alias("exact_a")
+            ),
+            "type_a",
+        )
+        .join(
+            per_type.select(
+                F.col("event_type").alias("type_b"), F.col("n").alias("exact_b")
+            ),
+            "type_b",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "exact_a",
+            "exact_b",
+            (F.col("exact_a") + F.col("exact_b") - F.col("exact_inter"))
+            .cast("bigint")
+            .alias("exact_union"),
+            "exact_inter",
+        )
+    )
+    est_inter = F.col("est_a") + F.col("est_b") - F.col("est_union")
+    return (
+        exact.join(pairs, ["type_a", "type_b"])
+        .select(
+            "type_a",
+            "type_b",
+            "exact_a",
+            "exact_b",
+            "exact_union",
+            "exact_inter",
+            (
+                F.abs(est_inter - F.col("exact_inter"))
+                <= _hll_slack(
+                    F.col("exact_a") + F.col("exact_b") + F.col("exact_union")
+                )
+            ).alias("within_bound"),
+        )
+        .orderBy("type_a", "type_b")
+    )

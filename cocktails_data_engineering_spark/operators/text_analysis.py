@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..checkpointing import materialize
-from ..functions.numerics import dsum, oracle_dsum
+from ..functions.numerics import dsum, int_div, oracle_dsum
 from ..registry import register
 from ..sources.tables import load, load_spread
 
@@ -882,16 +882,14 @@ def packing_boundary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pos = ordered_running_sums(toked, "doc_id", ["n_tok"])
     ends = (
-        pos.select(
-            ((F.col("cum_n_tok") - 1) / PACK_C).cast("long").alias("chunk_id")
-        )
+        pos.select(int_div(F.col("cum_n_tok") - 1, PACK_C).alias("chunk_id"))
         .groupBy("chunk_id")
         .agg(F.count(F.lit(1)).alias("n_ends"))
     ).transform(materialize)
     tot = toked.agg(
-        ((dsum(F.col("n_tok")).cast("long") + PACK_C - 1) / PACK_C)
-        .cast("long")
-        .alias("n_chunks_total")
+        int_div(
+            dsum(F.col("n_tok")).cast("long") + PACK_C - 1, PACK_C
+        ).alias("n_chunks_total")
     )
     hist = ends.groupBy(F.col("n_ends").alias("docs_ending_in_chunk")).agg(
         F.count(F.lit(1)).alias("n_chunks")

@@ -58,6 +58,13 @@ for _mod in _OPERATOR_MODULES:
 # listed keep their module registration order behind these.  Rotate again
 # next round for whatever the sweep still hasn't reached.
 _SAMPLE_FRONT = (
+    # --- round-10 additions lead (first-ever samples) ---
+    "lsh_band_plan_curve",
+    "unimax_epoch_weights",
+    "skew_key_diagnosis",
+    "stream_watermark_drop_audit",
+    "hll_intersection_estimate",
+    "adaptive_banding_dedup",
     # --- round-9 rotation: the four sketch keys promoted from rows-only to
     # bounded-contract oracles this round lead (their first-ever value-hash
     # sample), then round-9 additions as they land, then the r8 front.

@@ -22,6 +22,7 @@ JVM/Catalyst, which is the right boundary for a connector.
 from __future__ import annotations
 
 import hashlib
+import itertools
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -100,6 +101,7 @@ class _SynthReader(DataSourceReader):
 
 
 _REGISTERED = set()
+_SINK_COUNTER = itertools.count()
 
 
 def synth_feed(spark: SparkSession, rows: int = SYNTH_ROWS) -> DataFrame:
@@ -212,18 +214,28 @@ FROM rows GROUP BY kind
 )
 def stream_python_datasource_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end CUSTOM STREAMING connector: the Python DataSource's
-    SimpleDataSourceStreamReader feeds Structured Streaming in
-    {STREAM_ROWS // STREAM_CHUNK + 1} offset-committed micro-batches
+    SimpleDataSourceStreamReader feeds Structured Streaming
     (complete-mode per-kind aggregate in a memory sink), drained by
-    polling the sink until the offset saturates.  Proves the full
-    streaming-connector path — initialOffset → read → commit → replay
-    contract — with the same arithmetic oracle as the batch scan.
+    repeated ``availableNow`` runs over ONE persistent checkpoint.
+    Proves the full streaming-connector path — initialOffset → read →
+    commit → replay contract — with the same arithmetic oracle as the
+    batch scan, plus checkpoint RECOVERY: each run is a fresh query that
+    resumes from the committed offset of the last.
+
+    Drain mechanics: Spark's availableNow wrapper for Python simple
+    stream readers falls back to single-batch execution (one prefetched
+    ``read`` call = one {STREAM_CHUNK}-row chunk per run), so one run
+    does NOT drain the feed — the loop below runs until the aggregate
+    saturates at {STREAM_ROWS} rows, each run terminating
+    deterministically via awaitTermination (no processing-time polling,
+    no empty micro-batches rewriting the sink after drain).
 
     Scale: a real deployment points this at a crawl frontier / queue; the
     simple-reader API batches on the driver, the PARTITIONED stream
     reader API is the fan-out upgrade — the aggregation plan on top is
     identical either way."""
-    import time
+    import shutil
+    import tempfile
 
     key = ("stream", id(spark))
     if key not in _REGISTERED:
@@ -235,17 +247,28 @@ def stream_python_datasource_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("val").cast("bigint").alias("sum_val"),
         F.max("id").cast("bigint").alias("max_id"),
     )
-    name = f"stream_pyds_{abs(id(spark)) % 10**8}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(processingTime="0 seconds")
-        .start()
-    )
+    # Monotonic counter, not id(spark): a sink name derived from the session
+    # object outlives q.stop() in the memory catalog and would collide on a
+    # later call in the same session.
+    name = f"stream_pyds_{next(_SINK_COUNTER)}"
+    ckpt = tempfile.mkdtemp(prefix="cde_stream_pyds_ckpt_")
+    n_chunks = (STREAM_ROWS + STREAM_CHUNK - 1) // STREAM_CHUNK
+    got = 0
     try:
-        deadline = time.monotonic() + 120
-        while time.monotonic() < deadline:
+        for _ in range(n_chunks + 2):  # +2 slack for an uncommitted tail
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .trigger(availableNow=True)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            try:
+                if not q.awaitTermination(120):
+                    raise TimeoutError("availableNow run did not terminate")
+            finally:
+                q.stop()
             if q.exception() is not None:
                 raise q.exception()
             got = spark.sql(
@@ -253,11 +276,10 @@ def stream_python_datasource_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).collect()[0].n
             if got >= STREAM_ROWS:
                 break
-            time.sleep(0.2)
         else:
             raise TimeoutError(f"stream drained only {got}/{STREAM_ROWS} rows")
-    finally:
-        q.stop()
-    from ..checkpointing import materialize
+        from ..checkpointing import materialize
 
-    return materialize(spark.table(name))
+        return materialize(spark.table(name))
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)

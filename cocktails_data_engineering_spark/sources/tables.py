@@ -114,10 +114,19 @@ def table_fingerprint(sf_dir: str, name: str) -> str:
     path = os.path.join(sf_dir, f"{name}.parquet")
     try:
         if os.path.isdir(path):
+            # Walk the FULL tree: a partitioned dataset nests files under
+            # key=value subdirs, and overwriting a file in place changes
+            # neither the subdir entry's size nor (on some filesystems)
+            # its mtime — a shallow listdir would serve stale caches.
             stats = sorted(
-                (entry, st.st_size, st.st_mtime_ns)
-                for entry in os.listdir(path)
-                for st in (os.stat(os.path.join(path, entry)),)
+                (
+                    os.path.relpath(os.path.join(root, fname), path),
+                    st.st_size,
+                    st.st_mtime_ns,
+                )
+                for root, _dirs, files in os.walk(path)
+                for fname in files
+                for st in (os.stat(os.path.join(root, fname)),)
             )
         else:
             st = os.stat(path)

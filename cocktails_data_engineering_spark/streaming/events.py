@@ -1332,3 +1332,139 @@ def stream_contamination_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hits = stream.join(F.broadcast(bench), "gram").select("doc_id", "lang")
     return _run_to_memory(hits.dropDuplicates(["doc_id"]), "append")
+
+
+# ---------------------------------------------------------------------------
+# Watermark late-drop audit: measure what the watermark ACTUALLY discards
+# ---------------------------------------------------------------------------
+WM_FRESH_DAYS = 7  # batch 0: the newest band (contains max(ts))
+WM_MID_DAYS = 14  # batch 1: the [mx-14d, mx-7d) band — late but still admitted
+WM_DELAY = "1 hour"
+
+
+@register(
+    "stream_watermark_drop_audit",
+    oracle=f"""
+WITH b AS (SELECT MAX(ts) AS mx FROM events),
+admitted AS (
+  SELECT ts FROM events, b WHERE ts >= mx - INTERVAL {WM_MID_DAYS} DAY
+),
+emitted AS (
+  SELECT date_trunc('hour', a.ts) AS w0, COUNT(*) AS n
+  FROM admitted a, b
+  WHERE date_trunc('hour', a.ts) + INTERVAL 1 HOUR <= b.mx - INTERVAL {WM_DELAY}
+  GROUP BY 1
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM events) AS n_input,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM admitted) AS n_admitted,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM events, b
+         WHERE ts < mx - INTERVAL {WM_MID_DAYS} DAY) AS n_late_dropped,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM emitted) AS n_windows_emitted,
+       (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) FROM emitted) AS n_rows_emitted,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM admitted) -
+         (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) FROM emitted) AS n_pending
+""",
+)
+def stream_watermark_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark semantics, MEASURED instead of assumed: stage the events
+    backlog as three stream files in reverse-recency order — the newest
+    {WM_FRESH_DAYS} days (contains max(ts)), then the
+    [max−{WM_MID_DAYS}d, max−{WM_FRESH_DAYS}d) band, then everything
+    older — and run the append-mode hourly count over them with a
+    {WM_DELAY} watermark.  This Spark version applies the late-row
+    filter with the PREVIOUS batch's watermark while evicting with the
+    current one, so the three batches pin down the real contract:
+
+    - batch 0 (fresh) advances the watermark to max(ts) − {WM_DELAY};
+    - batch 1 (mid band, ~week late) is still ADMITTED — its filter ran
+      with batch 0's 1970 watermark — then immediately evicted/emitted,
+      the one-batch lag production pipelines are usually surprised by;
+    - batch 2 (older than {WM_MID_DAYS}d) is genuinely DROPPED: its
+      filter finally sees the advanced watermark.
+
+    The oracle recomputes all the counts from the batch table and this
+    model, so a value match certifies the engine's actual drop/emit
+    behavior — the audit that tells a pipeline owner what a given delay
+    setting will (and, counter-intuitively, will not) discard.
+
+    Determinism: split boundaries and the watermark derive from MAX(ts)
+    in exact µs arithmetic; every dropped row sits days below the
+    threshold and window ends are hour-aligned against a non-aligned
+    watermark, so no count rides an exact-boundary tie.
+
+    Plan at 100 TB: the audit streams the backlog once (three bounded
+    availableNow batches), keeps only an hour-window count as state, and
+    the summary is a handful of O(1) aggregates — the staging write is
+    the only data-sized cost."""
+    import datetime
+    import shutil
+    import tempfile
+
+    ev = load(spark, sf_dir, "events").select("ts")
+    mx = ev.agg(F.max("ts").alias("mx")).collect()[0]["mx"]  # O(1) driver scalar
+    fresh_cut = mx - datetime.timedelta(days=WM_FRESH_DAYS)
+    mid_cut = mx - datetime.timedelta(days=WM_MID_DAYS)
+
+    stage = tempfile.mkdtemp(prefix="cde_wm_stage_")
+    ckpt = tempfile.mkdtemp(prefix="cde_wm_ckpt_")
+    try:
+        bands = (
+            F.col("ts") >= F.lit(fresh_cut),
+            (F.col("ts") >= F.lit(mid_cut)) & (F.col("ts") < F.lit(fresh_cut)),
+            F.col("ts") < F.lit(mid_cut),
+        )
+        # One file per band; mtimes pinned in band order so the file
+        # source's discovery order never depends on write speed.
+        seen: set[str] = set()
+        base = 1_700_000_000
+        for i, cond in enumerate(bands):
+            ev.filter(cond).coalesce(1).write.mode(
+                "overwrite" if i == 0 else "append"
+            ).parquet(stage)
+            now = {f for f in os.listdir(stage) if f.endswith(".parquet")}
+            for f in now - seen:
+                os.utime(os.path.join(stage, f), (base + 100 * i,) * 2)
+            seen = now
+
+        stream = (
+            spark.readStream.schema(spark.read.parquet(stage).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        counted = (
+            stream.withWatermark("ts", WM_DELAY)
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        name = f"stream_result_{next(_COUNTER)}"
+        with _stream_state_partitions(spark):
+            q = (
+                counted.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        emitted = materialize(spark.table(name))
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    n_input = ev.count()
+    n_admitted = ev.filter(F.col("ts") >= F.lit(mid_cut)).count()
+    em = emitted.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_windows_emitted"),
+        F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n_rows_emitted"),
+    )
+    return em.select(
+        F.lit(n_input).cast("bigint").alias("n_input"),
+        F.lit(n_admitted).cast("bigint").alias("n_admitted"),
+        F.lit(n_input - n_admitted).cast("bigint").alias("n_late_dropped"),
+        "n_windows_emitted",
+        "n_rows_emitted",
+        (F.lit(n_admitted) - F.col("n_rows_emitted"))
+        .cast("bigint")
+        .alias("n_pending"),
+    )

@@ -158,3 +158,89 @@ def test_compaction_bin_packing_floor_semantics_above_target(spark, tmp_path):
     # bins: before/target = 0, .5, 1, 1.5, 2, 2.5, 3, 3.5, 4, 4.5 →
     # floor → bins 0,0,1,1,2,2,3,3,4,4 (two files per bin).
     assert by_bin == {0: 2, 1: 2, 2: 2, 3: 2, 4: 2}
+
+
+def test_table_fingerprint_sees_nested_partition_files(tmp_path):
+    """An in-place overwrite of a file inside a partition SUBDIR changes
+    neither the subdir entry's size nor (reliably) its mtime, so a shallow
+    listdir fingerprint would serve stale cached results (advice r9).  The
+    recursive walk must change when any nested file changes."""
+    from cocktails_data_engineering_spark.sources.tables import table_fingerprint
+
+    root = tmp_path / "documents.parquet" / "lang=en"
+    root.mkdir(parents=True)
+    inner = root / "part-00000.parquet"
+    inner.write_bytes(b"A" * 64)
+    before = table_fingerprint(str(tmp_path), "documents")
+    assert "part-00000.parquet" in before  # nested files ARE in the key
+    # In-place same-size rewrite: only the nested file's mtime_ns moves.
+    inner.write_bytes(b"B" * 64)
+    after = table_fingerprint(str(tmp_path), "documents")
+    assert before != after
+
+
+def test_minhash_candidates_cache_builds_once_under_concurrency(spark, tmp_path, monkeypatch):
+    """dedup_detector_agreement submits the four detector builds from
+    concurrent driver threads; the _CANDS_CACHE double-checked lock must
+    collapse simultaneous first-touch consumers to ONE candidate build
+    (advice r9: unsynchronized check-then-set ran it twice)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from cocktails_data_engineering_spark.operators import dedup
+
+    sf = _write_docs(
+        spark,
+        str(tmp_path),
+        [(i, f"alpha beta gamma delta w{i} x y z q r", "en", "web", 30) for i in range(6)],
+    )
+    calls = []
+    real_build = dedup.build_minhash_candidates
+
+    def counting_build(sp, sd):
+        calls.append(sd)
+        return real_build(sp, sd)
+
+    monkeypatch.setattr(dedup, "build_minhash_candidates", counting_build)
+    with ThreadPoolExecutor(4) as ex:
+        frames = list(ex.map(lambda _: dedup.minhash_candidates(spark, sf), range(4)))
+    assert len(calls) == 1
+    counts = {f.count() for f in frames}
+    assert len(counts) == 1  # all four callers share the one checkpoint
+
+
+def test_int_div_matches_integer_floor_for_awkward_divisors(spark):
+    """Shard/pack ids must be integer floor division for ANY cap, not just
+    powers of two (advice r9: double-division parity held only because
+    SHARD_CAP_BYTES had a cooperative bit pattern).  Check exact-boundary
+    offsets against Python // for divisors 1000 and 3."""
+    import pyspark.sql.functions as F
+
+    from cocktails_data_engineering_spark.functions.numerics import int_div
+
+    vals = [0, 1, 999, 1000, 1001, 2999, 3000, 3 * 10**12, 3 * 10**12 + 1]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    out = df.select(
+        "v",
+        int_div(F.col("v"), 1000).alias("d1000"),
+        int_div(F.col("v"), 3).alias("d3"),
+    ).collect()
+    for r in out:
+        assert r["d1000"] == r["v"] // 1000, r
+        assert r["d3"] == r["v"] // 3, r
+
+
+def test_stream_python_datasource_agg_reruns_in_same_session(spark):
+    """The memory-sink name must not collide across calls in one session
+    (advice r9: id(spark)-derived name persisted after q.stop()).  Two
+    back-to-back runs must BOTH drain the feed and agree."""
+    from cocktails_data_engineering_spark.sources.python_source import (
+        STREAM_ROWS,
+        stream_python_datasource_agg,
+    )
+
+    first = {r["kind"]: (r["n_rows"], r["sum_val"], r["max_id"])
+             for r in stream_python_datasource_agg(spark, "unused").collect()}
+    second = {r["kind"]: (r["n_rows"], r["sum_val"], r["max_id"])
+              for r in stream_python_datasource_agg(spark, "unused").collect()}
+    assert first == second
+    assert sum(v[0] for v in first.values()) == STREAM_ROWS
