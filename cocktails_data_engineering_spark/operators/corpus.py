@@ -710,3 +710,112 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Epoch shuffle plan: deterministic per-epoch shard orders, independence audit
+# ---------------------------------------------------------------------------
+SHUFFLE_SHARDS_MOD = 64
+SHUFFLE_EPOCHS = 3
+
+
+@register(
+    "shard_shuffle_epoch_plan",
+    oracle=f"""
+WITH shards AS (
+  SELECT DISTINCT doc_id % {SHUFFLE_SHARDS_MOD} AS shard_id FROM documents
+),
+epochs AS (SELECT unnest(range(0, {SHUFFLE_EPOCHS})) AS epoch),
+ranked AS (
+  SELECT e.epoch, s.shard_id,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY e.epoch
+           ORDER BY md5(CAST(e.epoch AS VARCHAR) || ':' ||
+                        CAST(s.shard_id AS VARCHAR)), s.shard_id
+         ) AS BIGINT) AS rk
+  FROM shards s CROSS JOIN epochs e
+),
+pairs AS (
+  SELECT a.epoch AS epoch_a, b.epoch AS epoch_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shards,
+         CAST(SUM((a.rk - b.rk) * (a.rk - b.rk)) AS BIGINT) AS d2
+  FROM ranked a JOIN ranked b
+    ON a.shard_id = b.shard_id AND a.epoch < b.epoch
+  GROUP BY a.epoch, b.epoch
+)
+SELECT epoch_a, epoch_b, n_shards,
+       ROUND(1 - CAST(6 * d2 AS DOUBLE)
+                 / (n_shards * (n_shards * n_shards - 1)), 6) AS spearman_rho
+FROM pairs ORDER BY epoch_a, epoch_b
+""",
+)
+def shard_shuffle_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataloader epoch-shuffle plan + independence audit: each training
+    epoch orders the corpus shards by a DETERMINISTIC seeded hash
+    (md5(epoch:shard) — reproducible on any cluster, no RNG state to
+    ship), and the audit reports the Spearman rank correlation between
+    every epoch pair.  Near-zero rho certifies the epochs traverse the
+    shards in effectively independent orders — the property that keeps
+    gradient noise decorrelated across epochs; a dataloader whose
+    "shuffle" correlates across epochs quietly re-feeds batches in the
+    same neighborhoods.
+
+    Determinism end-to-end: ranks are integers from an md5 total order
+    (shard-id tiebreak), d² sums are exact bigints, and rho is one IEEE
+    division rounded to 6 — both engines agree bit-for-bit.
+
+    Plan at 100 TB: the shard list is a distinct projection (shards ≪
+    corpus); ranking and the pairwise join run over |shards|×|epochs|
+    rows — metadata-sized regardless of corpus bytes."""
+    shards = (
+        load(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % SHUFFLE_SHARDS_MOD).alias("shard_id"))
+        .distinct()
+    )
+    epochs = spark.range(SHUFFLE_EPOCHS).select(F.col("id").alias("epoch"))
+    w = Window.partitionBy("epoch").orderBy(
+        F.md5(
+            F.concat(
+                F.col("epoch").cast("string"),
+                F.lit(":"),
+                F.col("shard_id").cast("string"),
+            )
+        ),
+        "shard_id",
+    )
+    ranked = shards.crossJoin(F.broadcast(epochs)).select(
+        "epoch", "shard_id", F.row_number().over(w).cast("bigint").alias("rk")
+    )
+    a = ranked.select(
+        F.col("epoch").alias("epoch_a"), "shard_id", F.col("rk").alias("rk_a")
+    )
+    b = ranked.select(
+        F.col("epoch").alias("epoch_b"), "shard_id", F.col("rk").alias("rk_b")
+    )
+    pairs = (
+        a.join(b, "shard_id")
+        .filter(F.col("epoch_a") < F.col("epoch_b"))
+        .groupBy("epoch_a", "epoch_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shards"),
+            F.sum(
+                (F.col("rk_a") - F.col("rk_b")) * (F.col("rk_a") - F.col("rk_b"))
+            )
+            .cast("bigint")
+            .alias("d2"),
+        )
+    )
+    return pairs.select(
+        "epoch_a",
+        "epoch_b",
+        "n_shards",
+        F.round(
+            F.lit(1)
+            - (F.lit(6) * F.col("d2")).cast("double")
+            / (
+                F.col("n_shards")
+                * (F.col("n_shards") * F.col("n_shards") - 1)
+            ),
+            6,
+        ).alias("spearman_rho"),
+    ).orderBy("epoch_a", "epoch_b")

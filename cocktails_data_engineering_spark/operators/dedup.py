@@ -2214,3 +2214,92 @@ SELECT 'b{b}r{r}' AS cfg, doc_a, doc_b FROM cands
 ORDER BY doc_a, doc_b
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# Transitive-closure quality: how much does clustering inflate candidates?
+# ---------------------------------------------------------------------------
+@register(
+    "near_dup_transitivity_audit",
+    oracle=f"""
+WITH RECURSIVE {_ORACLE_CANDIDATES},
+edges AS (SELECT doc_a AS u, doc_b AS v FROM cands
+          UNION SELECT doc_b, doc_a FROM cands),
+reach(node, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r
+),
+clusters AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node),
+sizes AS (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS s
+  FROM clusters GROUP BY cluster_id
+),
+cluster_edges AS (
+  SELECT c.cluster_id, CAST(COUNT(*) AS BIGINT) AS e
+  FROM cands p JOIN clusters c ON c.node = p.doc_a
+  GROUP BY c.cluster_id
+),
+percluster AS (
+  SELECT s.cluster_id, s.s, COALESCE(ce.e, 0) AS e,
+         s.s * (s.s - 1) / 2 AS implied
+  FROM sizes s LEFT JOIN cluster_edges ce ON ce.cluster_id = s.cluster_id
+)
+SELECT s AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(e) AS BIGINT) AS total_edges,
+       CAST(SUM(implied) AS BIGINT) AS total_implied_pairs,
+       ROUND(CAST(SUM(e) AS DOUBLE) / SUM(implied), 6) AS edge_density,
+       CAST(SUM(CASE WHEN e < implied THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_chained_clusters
+FROM percluster GROUP BY s ORDER BY s
+""",
+)
+def near_dup_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive-closure inflation audit over the near-dup clusters: per
+    cluster size, how many candidate EDGES the detector actually emitted
+    vs the C(s,2) pairs the cluster IMPLIES once connected components
+    merge them.  Density 1.0 = every member pair was independently
+    flagged (safe merge); density < 1 = the cluster is held together by
+    CHAINS (a–b and b–c flagged, a–c never was) — the failure mode where
+    transitive dedup deletes documents that never matched each other.
+    ``n_chained_clusters`` is the number a pipeline owner must review
+    before trusting cluster-level canonicalization at 100 TB.
+
+    Plan: candidate pairs come from the session-cached checkpoint, CC is
+    the bounded label-propagation finalizer, and everything after is
+    cluster-keyed aggregation over candidate-sized data — the audit adds
+    no corpus-sized work."""
+    pairs = minhash_candidates(spark, sf_dir)
+    cc = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+    sizes = cc.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("s")
+    )
+    cluster_edges = (
+        pairs.join(cc.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("e"))
+    )
+    percluster = sizes.join(cluster_edges, "cluster_id", "left").select(
+        "cluster_id",
+        "s",
+        F.coalesce(F.col("e"), F.lit(0)).cast("bigint").alias("e"),
+        (F.col("s") * (F.col("s") - 1) / 2).cast("bigint").alias("implied"),
+    )
+    return (
+        percluster.groupBy(F.col("s").alias("cluster_size"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+            F.sum("e").cast("bigint").alias("total_edges"),
+            F.sum("implied").cast("bigint").alias("total_implied_pairs"),
+            F.round(
+                F.sum("e").cast("double") / F.sum("implied"), 6
+            ).alias("edge_density"),
+            F.sum(F.when(F.col("e") < F.col("implied"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_chained_clusters"),
+        )
+        .orderBy("cluster_size")
+    )

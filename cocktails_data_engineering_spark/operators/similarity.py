@@ -1164,3 +1164,181 @@ def int8_quant_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_mse"),
         F.sum("n_sat").cast("bigint").alias("n_saturated_components"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Late-interaction rerank (ColBERT MaxSim shape): coarse cosine -> MaxSim
+# ---------------------------------------------------------------------------
+SUBVECS = 4  # sub-vectors per embedding (64 dims -> 4 x 16)
+SUB_DIM = 16
+RERANK_POOL = 20  # coarse top-N per query that pays the MaxSim stage
+
+
+@register(
+    "maxsim_late_interaction",
+    oracle=f"""
+WITH vecs AS ({_ORACLE_VECS}),
+q AS (SELECT vec_id AS query_id, emb AS q_emb, norm AS q_norm
+      FROM vecs WHERE vec_id % {QUERY_MOD} = 0),
+flat AS (
+  SELECT q.query_id, v.vec_id, q.q_norm, v.norm,
+         unnest(q.q_emb) AS qx, unnest(v.emb) AS vx
+  FROM q JOIN vecs v ON v.vec_id <> q.query_id
+),
+coarse AS (
+  SELECT query_id, vec_id,
+         ROUND(SUM(qx * vx) / (ANY_VALUE(q_norm) * ANY_VALUE(norm)), 6) AS coarse_score
+  FROM flat GROUP BY query_id, vec_id
+),
+pool AS (
+  SELECT query_id, vec_id, coarse_score FROM (
+    SELECT query_id, vec_id, coarse_score,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY coarse_score DESC, vec_id) AS rn
+    FROM coarse
+  ) WHERE rn <= {RERANK_POOL}
+),
+subvecs AS (
+  SELECT vec_id, g.i AS sub_id,
+         list_slice(emb, g.i * {SUB_DIM} + 1, (g.i + 1) * {SUB_DIM}) AS semb,
+         sqrt(list_sum(list_transform(
+           list_slice(emb, g.i * {SUB_DIM} + 1, (g.i + 1) * {SUB_DIM}),
+           x -> x * x))) AS snorm
+  FROM vecs CROSS JOIN (SELECT unnest(range(0, {SUBVECS})) AS i) g
+),
+subflat AS (
+  SELECT p.query_id, p.vec_id, qs.sub_id AS q_sub, ds.sub_id AS d_sub,
+         qs.snorm AS q_snorm, ds.snorm AS d_snorm,
+         unnest(qs.semb) AS qx, unnest(ds.semb) AS vx
+  FROM pool p
+  JOIN subvecs qs ON qs.vec_id = p.query_id
+  JOIN subvecs ds ON ds.vec_id = p.vec_id
+),
+subcos AS (
+  SELECT query_id, vec_id, q_sub, d_sub,
+         CASE WHEN ANY_VALUE(q_snorm) * ANY_VALUE(d_snorm) = 0 THEN 0.0
+              ELSE SUM(qx * vx) / (ANY_VALUE(q_snorm) * ANY_VALUE(d_snorm))
+         END AS c
+  FROM subflat GROUP BY query_id, vec_id, q_sub, d_sub
+),
+best AS (
+  SELECT query_id, vec_id, q_sub, MAX(c) AS best_c
+  FROM subcos GROUP BY query_id, vec_id, q_sub
+),
+maxsim AS (
+  SELECT query_id, vec_id, ROUND(SUM(best_c) / {SUBVECS}, 6) AS maxsim_score
+  FROM best GROUP BY query_id, vec_id
+)
+SELECT p.query_id, p.vec_id, p.coarse_score, m.maxsim_score,
+       CAST(ROW_NUMBER() OVER (PARTITION BY p.query_id
+                               ORDER BY m.maxsim_score DESC, p.vec_id) AS INT)
+         AS rank
+FROM pool p JOIN maxsim m
+  ON m.query_id = p.query_id AND m.vec_id = p.vec_id
+QUALIFY rank <= {TOP_K}
+ORDER BY p.query_id, rank
+""",
+)
+def maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction rerank (the ColBERT MaxSim shape on stored
+    embeddings): stage 1 scores the pool with whole-vector cosine and
+    keeps the top {RERANK_POOL} per query; stage 2 re-scores ONLY that
+    pool with MaxSim over {SUBVECS}×{SUB_DIM}-dim sub-vectors — for each
+    query sub-vector take its best-matching doc sub-vector's cosine,
+    average the {SUBVECS} maxima — and re-ranks to the final top
+    {TOP_K}.  This two-stage coarse→late-interaction funnel is the
+    standard retrieval deployment: the expensive fine-grained
+    interaction touches Q·{RERANK_POOL} pairs, never Q·N.
+
+    Sub-vector scoring is fully relational in BOTH engines: sub-vectors
+    are exploded to (vec_id, sub_id) rows, the {SUBVECS}² cross of a
+    pair's sub-vectors comes from two equi-joins against the pool, and
+    max/avg are plain aggregates — no UDF, no new primitives.
+
+    Determinism: each sub-cosine is a fold + one division (zero-norm
+    guarded to 0), maxima/averages are exact over 6-dp-rounded terms;
+    final ties break on vec_id.
+
+    Plan at 100 TB: stage 1 is the documented cosine_topk plan (or any
+    registered ANN op — the pool contract is the same); stage 2 joins
+    sub-vector rows on vec_id (broadcastable query side), so its cost is
+    pool-sized × {SUBVECS}², independent of corpus size."""
+    vecs = materialize(_vectors(spark, sf_dir))
+    q = vecs.filter((F.col("vec_id") % QUERY_MOD) == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    coarse = (
+        F.broadcast(q)
+        .join(vecs, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                _dot(F.col("q_emb"), F.col("emb"))
+                / (F.col("q_norm") * F.col("norm")),
+                6,
+            ).alias("coarse_score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("coarse_score").desc(), "vec_id"
+    )
+    pool = materialize(
+        coarse.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= RERANK_POOL)
+        .drop("rn")
+    )
+    sub_stack = ", ".join(
+        f"{i}, slice(emb, {i * SUB_DIM + 1}, {SUB_DIM})" for i in range(SUBVECS)
+    )
+    subvecs = vecs.selectExpr(
+        "vec_id", f"stack({SUBVECS}, {sub_stack}) AS (sub_id, semb)"
+    ).select(
+        "vec_id", "sub_id", "semb", _norm(F.col("semb")).alias("snorm")
+    )
+    qs = subvecs.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("sub_id").alias("q_sub"),
+        F.col("semb").alias("q_semb"),
+        F.col("snorm").alias("q_snorm"),
+    )
+    ds = subvecs.select(
+        F.col("vec_id").alias("vec_id"),
+        F.col("sub_id").alias("d_sub"),
+        F.col("semb").alias("d_semb"),
+        F.col("snorm").alias("d_snorm"),
+    )
+    subcos = (
+        pool.join(F.broadcast(qs), "query_id")
+        .join(ds, "vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            "coarse_score",
+            "q_sub",
+            "d_sub",
+            F.when(F.col("q_snorm") * F.col("d_snorm") == 0, F.lit(0.0))
+            .otherwise(
+                _dot(F.col("q_semb"), F.col("d_semb"))
+                / (F.col("q_snorm") * F.col("d_snorm"))
+            )
+            .alias("c"),
+        )
+    )
+    best = subcos.groupBy("query_id", "vec_id", "coarse_score", "q_sub").agg(
+        F.max("c").alias("best_c")
+    )
+    maxsim = best.groupBy("query_id", "vec_id", "coarse_score").agg(
+        F.round(F.sum("best_c") / SUBVECS, 6).alias("maxsim_score")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("maxsim_score").desc(), "vec_id"
+    )
+    return (
+        maxsim.withColumn("rank", F.row_number().over(w2).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", "coarse_score", "maxsim_score", "rank")
+        .orderBy("query_id", "rank")
+    )

@@ -1154,3 +1154,232 @@ def join_cardinality_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("err_hist"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Column encoding advisor: dictionary / RLE / plain, from measured stats
+# ---------------------------------------------------------------------------
+ENC_DICT_NDV_CAP = 1024  # dictionary pages stop paying above this alphabet
+ENC_DICT_RATIO_CAP = 0.1  # ...or when ndv/rows says values rarely repeat
+ENC_RLE_RUN_MIN = 4.0  # mean run length where RLE beats plain dictionary
+
+_ENC_COLUMNS = (
+    "l_returnflag",
+    "l_linestatus",
+    "l_quantity",
+    "l_discount",
+    "l_shipdate",
+    "l_suppkey",
+)
+
+
+def _enc_choice_sql(prefix: str) -> str:
+    return f"""CASE
+  WHEN {prefix}ndv <= {ENC_DICT_NDV_CAP}
+       AND {prefix}ndv_ratio <= {ENC_DICT_RATIO_CAP}
+  THEN CASE WHEN {prefix}avg_run_len >= {ENC_RLE_RUN_MIN}
+            THEN 'RLE_DICTIONARY' ELSE 'DICTIONARY' END
+  ELSE 'PLAIN' END"""
+
+
+@register(
+    "encoding_plan_audit",
+    oracle=f"""
+WITH flagged AS (
+  SELECT {", ".join(
+    f'''CASE WHEN LAG({c}) OVER w IS NULL OR LAG({c}) OVER w <> {c}
+        THEN 1 ELSE 0 END AS start_{c}''' for c in _ENC_COLUMNS)}
+  FROM lineitem
+  WINDOW w AS (PARTITION BY l_orderkey
+               ORDER BY l_linenumber, l_partkey, l_suppkey)
+),
+runs AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         {", ".join(f"CAST(SUM(start_{c}) AS BIGINT) AS runs_{c}" for c in _ENC_COLUMNS)}
+  FROM flagged
+),
+ndvs AS (
+  SELECT {", ".join(f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS ndv_{c}" for c in _ENC_COLUMNS)}
+  FROM lineitem
+),
+percol AS (
+  {" UNION ALL ".join(f'''
+  SELECT '{c}' AS column_name, n_rows, ndv_{c} AS ndv,
+         ROUND(CAST(ndv_{c} AS DOUBLE) / n_rows, 6) AS ndv_ratio,
+         runs_{c} AS n_runs,
+         ROUND(CAST(n_rows AS DOUBLE) / runs_{c}, 6) AS avg_run_len
+  FROM runs CROSS JOIN ndvs''' for c in _ENC_COLUMNS)}
+)
+SELECT column_name, n_rows, ndv, ndv_ratio, n_runs, avg_run_len,
+       {_enc_choice_sql("")} AS encoding
+FROM percol ORDER BY column_name
+""",
+)
+def encoding_plan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-encoding advisor: for each candidate lineitem column,
+    measure the alphabet size (ndv), its ratio to row count, and the
+    mean run length under the table's natural (l_orderkey,
+    l_linenumber) clustering, then recommend RLE_DICTIONARY /
+    DICTIONARY / PLAIN by the standard parquet heuristics (dictionary
+    pays while the alphabet is small AND repetitive; RLE on top pays
+    when values arrive in runs).  At 100 TB this table IS the writer
+    config review: a fact table written with the wrong encodings costs
+    2-5× the scan bytes of the right ones, and the run-length column is
+    exactly what a sort/Z-order layout change improves
+    (``zorder_layout_stats`` prices the layout; this prices the
+    encoding).
+
+    Runs are counted within each l_orderkey group — the row-group-local
+    view an encoder actually sees under the natural clustering — via ONE
+    partitioned window pass; ndv is one aggregate over the same scan.
+    No global sort anywhere.
+
+    Determinism: counts and run tallies are exact integers; the two
+    ratios are single IEEE divisions rounded to 6; the recommendation is
+    a CASE over those rounded values, identical text in both engines."""
+    li = load(spark, sf_dir, "lineitem")
+    # (l_linenumber alone is NOT unique within an order in this fixture;
+    # the partkey/suppkey tiebreakers make the run order total.)
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    flagged = li.select(
+        *[
+            F.when(
+                F.lag(c).over(w).isNull() | (F.lag(c).over(w) != F.col(c)), 1
+            )
+            .otherwise(0)
+            .alias(f"start_{c}")
+            for c in _ENC_COLUMNS
+        ]
+    )
+    runs = flagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        *[
+            F.sum(f"start_{c}").cast("bigint").alias(f"runs_{c}")
+            for c in _ENC_COLUMNS
+        ],
+    )
+    ndvs = li.agg(
+        *[
+            F.countDistinct(c).cast("bigint").alias(f"ndv_{c}")
+            for c in _ENC_COLUMNS
+        ]
+    )
+    base = runs.crossJoin(F.broadcast(ndvs))
+    percol = None
+    for c in _ENC_COLUMNS:
+        leg = base.select(
+            F.lit(c).alias("column_name"),
+            "n_rows",
+            F.col(f"ndv_{c}").alias("ndv"),
+            F.round(F.col(f"ndv_{c}").cast("double") / F.col("n_rows"), 6).alias(
+                "ndv_ratio"
+            ),
+            F.col(f"runs_{c}").alias("n_runs"),
+            F.round(
+                F.col("n_rows").cast("double") / F.col(f"runs_{c}"), 6
+            ).alias("avg_run_len"),
+        )
+        percol = leg if percol is None else percol.unionByName(leg)
+    return percol.select(
+        "*", F.expr(_enc_choice_sql("")).alias("encoding")
+    ).orderBy("column_name")
+
+
+# ---------------------------------------------------------------------------
+# DP preprocessing: per-user contribution bounding
+# ---------------------------------------------------------------------------
+DP_USER_CAP = 5  # max events any single user may contribute
+
+
+@register(
+    "dp_contribution_bounding",
+    oracle=f"""
+WITH ranked AS (
+  SELECT event_type, user_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+per_user_before AS (
+  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n
+  FROM ranked GROUP BY event_type, user_id
+),
+per_user_after AS (
+  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n
+  FROM ranked WHERE rn <= {DP_USER_CAP} GROUP BY event_type, user_id
+)
+SELECT b.event_type,
+       CAST(SUM(b.n) AS BIGINT) AS n_rows_before,
+       CAST(SUM(COALESCE(a.n, 0)) AS BIGINT) AS n_rows_after,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(MAX(b.n) AS BIGINT) AS max_user_rows_before,
+       CAST(MAX(COALESCE(a.n, 0)) AS BIGINT) AS max_user_rows_after,
+       ROUND(CAST(MAX(b.n) AS DOUBLE) / SUM(b.n), 6) AS max_user_share_before,
+       ROUND(CAST(MAX(COALESCE(a.n, 0)) AS DOUBLE) / SUM(COALESCE(a.n, 0)), 6)
+         AS max_user_share_after
+FROM per_user_before b
+LEFT JOIN per_user_after a
+  ON a.event_type = b.event_type AND a.user_id = b.user_id
+GROUP BY b.event_type
+ORDER BY b.event_type
+""",
+)
+def dp_contribution_bounding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy preprocessing: bound every user to their
+    FIRST {DP_USER_CAP} events (deterministic (ts, event_id) order) and
+    report, per event type, the row counts and the heaviest single
+    user's share before vs after.  Contribution bounding is the step
+    that makes a later noisy aggregate's sensitivity finite — without
+    it one power user's record dominates the query and no noise scale
+    is private; the before/after share columns are exactly the
+    sensitivity review a DP release reads.
+
+    Note the cap is per USER across all types (the global-sensitivity
+    discipline), not per (user, type) — the per-type rollup shows where
+    the trimmed rows came from.
+
+    Determinism: the kept set is a row_number over a total per-user
+    order; all counts are exact; the two shares are single divisions
+    rounded to 6.
+
+    Plan at 100 TB: one user-keyed window (the same shuffle the later
+    per-user aggregate needs anyway) and a per-(type, user) rollup that
+    map-side combines; nothing global, nothing quadratic."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = ev.select(
+        "event_type", "user_id", F.row_number().over(w).alias("rn")
+    )
+    before = ranked.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_before")
+    )
+    after = (
+        ranked.filter(F.col("rn") <= DP_USER_CAP)
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_after"))
+    )
+    j = before.join(after, ["event_type", "user_id"], "left").select(
+        "event_type",
+        "user_id",
+        "n_before",
+        F.coalesce(F.col("n_after"), F.lit(0)).cast("bigint").alias("n_after"),
+    )
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.sum("n_before").cast("bigint").alias("n_rows_before"),
+            F.sum("n_after").cast("bigint").alias("n_rows_after"),
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.max("n_before").cast("bigint").alias("max_user_rows_before"),
+            F.max("n_after").cast("bigint").alias("max_user_rows_after"),
+            F.round(
+                F.max("n_before").cast("double") / F.sum("n_before"), 6
+            ).alias("max_user_share_before"),
+            F.round(
+                F.max("n_after").cast("double") / F.sum("n_after"), 6
+            ).alias("max_user_share_after"),
+        )
+        .orderBy("event_type")
+    )

@@ -65,6 +65,11 @@ _SAMPLE_FRONT = (
     "stream_watermark_drop_audit",
     "hll_intersection_estimate",
     "adaptive_banding_dedup",
+    "encoding_plan_audit",
+    "maxsim_late_interaction",
+    "near_dup_transitivity_audit",
+    "shard_shuffle_epoch_plan",
+    "dp_contribution_bounding",
     # --- round-9 rotation: the four sketch keys promoted from rows-only to
     # bounded-contract oracles this round lead (their first-ever value-hash
     # sample), then round-9 additions as they land, then the r8 front.

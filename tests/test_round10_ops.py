@@ -249,3 +249,137 @@ def test_adaptive_banding_finds_planted_dups_with_eligible_config(spark, tmp_pat
             seen.add(n)
             todo.extend(adj[n] & members)
         assert seen == members, f"group {g} not fully connected: {seen}"
+
+
+# ---------------------------------------------------------------------------
+# encoding_plan_audit
+# ---------------------------------------------------------------------------
+def test_encoding_plan_recommends_by_regime(spark):
+    """At sf0.001: the 3-value flag columns must come back dictionary-coded
+    (tiny alphabet), the high-cardinality suppkey must not be RLE (runs
+    of 1 under natural order), and every row's stats must satisfy the
+    rule the recommendation claims."""
+    from cocktails_data_engineering_spark.operators.warehouse import (
+        ENC_DICT_NDV_CAP,
+        ENC_DICT_RATIO_CAP,
+        ENC_RLE_RUN_MIN,
+        encoding_plan_audit,
+    )
+
+    out = {r["column_name"]: r for r in
+           encoding_plan_audit(spark, "/root/testdata/sf0.001").collect()}
+    assert set(out) == {"l_returnflag", "l_linestatus", "l_quantity",
+                        "l_discount", "l_shipdate", "l_suppkey"}
+    for r in out.values():
+        dict_ok = (r["ndv"] <= ENC_DICT_NDV_CAP
+                   and r["ndv_ratio"] <= ENC_DICT_RATIO_CAP)
+        if not dict_ok:
+            assert r["encoding"] == "PLAIN"
+        elif r["avg_run_len"] >= ENC_RLE_RUN_MIN:
+            assert r["encoding"] == "RLE_DICTIONARY"
+        else:
+            assert r["encoding"] == "DICTIONARY"
+    assert out["l_linestatus"]["ndv"] <= 3
+    assert out["l_returnflag"]["ndv"] <= 3
+    assert out["l_linestatus"]["encoding"] in ("DICTIONARY", "RLE_DICTIONARY")
+
+
+# ---------------------------------------------------------------------------
+# maxsim_late_interaction
+# ---------------------------------------------------------------------------
+def test_maxsim_rerank_contract(spark):
+    """At sf0.001: exactly TOP_K rows per query, every reranked doc comes
+    from the coarse pool (rank keys are dense 1..K), and MaxSim >= the
+    full-vector cosine is NOT required — but an identical-direction pair
+    must score maxsim == 1 on itself-free pools, so instead check the
+    algebraic ceiling |maxsim| <= 1 + 1e-9 and per-query rank density."""
+    from cocktails_data_engineering_spark.operators.similarity import (
+        TOP_K,
+        maxsim_late_interaction,
+    )
+
+    out = maxsim_late_interaction(spark, "/root/testdata/sf0.001").collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+        assert abs(r["maxsim_score"]) <= 1 + 1e-9
+        assert abs(r["coarse_score"]) <= 1 + 1e-9
+    for q, rows in by_q.items():
+        assert sorted(r["rank"] for r in rows) == list(range(1, TOP_K + 1))
+        scores = [r["maxsim_score"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert scores == sorted(scores, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# near_dup_transitivity_audit
+# ---------------------------------------------------------------------------
+def test_transitivity_audit_identities(spark):
+    """At sf0.01 over the cached candidates: per size-band, edges never
+    exceed implied pairs, density in (0, 1], size-2 clusters are never
+    chained (1 edge == 1 implied pair)."""
+    from cocktails_data_engineering_spark.plans.queries import all_queries
+
+    out = all_queries()["near_dup_transitivity_audit"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert out, "no near-dup clusters in fixture?"
+    for r in out:
+        assert 0 < r["total_edges"] <= r["total_implied_pairs"]
+        assert 0 < r["edge_density"] <= 1.0
+        if r["cluster_size"] == 2:
+            assert r["n_chained_clusters"] == 0
+
+
+# ---------------------------------------------------------------------------
+# shard_shuffle_epoch_plan
+# ---------------------------------------------------------------------------
+def test_shard_shuffle_epochs_decorrelated(spark):
+    """At sf0.001: 3 epoch pairs over 64 shards, each rho in [-1, 1] and
+    well below perfect correlation (the hash orders are independent)."""
+    from cocktails_data_engineering_spark.plans.queries import all_queries
+
+    out = all_queries()["shard_shuffle_epoch_plan"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(out) == 3
+    for r in out:
+        assert r["n_shards"] == 64
+        assert -1.0 <= r["spearman_rho"] <= 1.0
+        assert abs(r["spearman_rho"]) < 0.5  # independent seeded orders
+
+
+# ---------------------------------------------------------------------------
+# dp_contribution_bounding
+# ---------------------------------------------------------------------------
+def test_dp_bounding_caps_heavy_user(spark, tmp_path):
+    """A user with 100 events against 10 one-event users: after the cap of
+    5, the heavy user contributes exactly 5 rows and the max share falls
+    from 100/110 to 5/15."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    for i in range(100):  # heavy user 1, increasing ts
+        rows.append((eid, base + dt.timedelta(minutes=i), 1, "view", 1.0, None))
+        eid += 1
+    for u in range(2, 12):
+        rows.append((eid, base, u, "view", 1.0, None))
+        eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "events.parquet")
+    )
+    from cocktails_data_engineering_spark.plans.queries import all_queries
+
+    out = all_queries()["dp_contribution_bounding"](spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_rows_before"] == 110 and r["n_rows_after"] == 15
+    assert r["max_user_rows_before"] == 100 and r["max_user_rows_after"] == 5
+    assert r["max_user_share_before"] == round(100 / 110, 6)
+    assert r["max_user_share_after"] == round(5 / 15, 6)
