@@ -1990,6 +1990,14 @@ def unimax_epoch_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     dom = docs.groupBy("source", "lang").agg(
         F.sum(ntok).cast("bigint").alias("n_tok")
     )
+    return unimax_waterfill(dom)
+
+
+def unimax_waterfill(dom: DataFrame) -> DataFrame:
+    """The closed-form waterfill over a (source, lang, n_tok) domain
+    rollup — split out so property tests can drive it with generated
+    rollups (tests/test_properties.py checks it against a sequential
+    Python reference on arbitrary domain sets)."""
     dom = dom.withColumn(
         "cap", (F.lit(UNIMAX_EPOCH_CAP) * F.col("n_tok")).cast("bigint")
     )

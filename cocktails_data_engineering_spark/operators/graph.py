@@ -872,3 +872,120 @@ def hits_over(spark: SparkSession, edges: DataFrame) -> DataFrame:
     return h.join(a, "node").select(
         "node", F.col("h").alias("hub"), F.col("a").alias("authority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank: teleport to a seed set, not the uniform vector
+# ---------------------------------------------------------------------------
+PPR_SEED_MOD = 5  # node % this == 0 -> seed
+
+
+def _ppr_oracle() -> str:
+    """Unrolled PR_ITERS personalized-PageRank iterations — same
+    rounding/DECIMAL contract as :func:`_pagerank_oracle`, with the
+    teleport mass restarting to the SEED set instead of all nodes."""
+    parts = [
+        f"""WITH e AS (SELECT DISTINCT o_custkey % 30 AS src, o_orderkey % 30 AS dst FROM orders),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+seeds AS (SELECT node FROM nodes WHERE node % {PPR_SEED_MOD} = 0),
+ns AS (SELECT COUNT(*) AS n_seeds FROM seeds),
+outd AS (SELECT src, COUNT(*) AS out_deg FROM e GROUP BY src),
+r0 AS (
+  SELECT nodes.node,
+         CASE WHEN nodes.node % {PPR_SEED_MOD} = 0
+              THEN ROUND(1.0 / n_seeds, 9) ELSE 0.0 END AS rank
+  FROM nodes CROSS JOIN ns)"""
+    ]
+    prev = "r0"
+    for i in range(1, PR_ITERS + 1):
+        parts.append(
+            f"""c{i} AS (
+  SELECT e.dst, ROUND(r.rank / o.out_deg, 12) AS contrib
+  FROM e JOIN {prev} r ON r.node = e.src JOIN outd o ON o.src = e.src
+),
+s{i} AS (
+  SELECT dst, CAST(SUM(CAST(contrib AS DECIMAL(18,12))) AS DOUBLE) AS in_sum
+  FROM c{i} GROUP BY dst
+),
+r{i} AS (
+  SELECT nodes.node,
+         ROUND(CASE WHEN nodes.node % {PPR_SEED_MOD} = 0
+                    THEN (1 - {PR_DAMPING}) / n_seeds ELSE 0.0 END
+               + {PR_DAMPING} * COALESCE(s{i}.in_sum, 0.0), 9) AS rank
+  FROM nodes CROSS JOIN ns LEFT JOIN s{i} ON s{i}.dst = nodes.node
+)"""
+        )
+        prev = f"r{i}"
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT node, rank,
+       CAST(CASE WHEN node % {PPR_SEED_MOD} = 0 THEN 1 ELSE 0 END AS INT)
+         AS is_seed
+FROM {prev} ORDER BY node"""
+    )
+
+
+@register("personalized_pagerank_seeds", oracle=_ppr_oracle())
+def personalized_pagerank_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank: the teleport vector restarts to a SEED set
+    (node % {PPR_SEED_MOD} == 0) instead of the uniform vector, so the
+    stationary mass measures proximity TO THE SEEDS — the graph
+    primitive behind "pages related to these trusted roots", seed-based
+    crawl prioritization, and topic-sensitive ranking, where global
+    PageRank answers a different question entirely.
+
+    Same bounded-iteration discipline as ``pagerank_crawl_graph``:
+    {PR_ITERS} unrolled rounds, per-edge contributions rounded to 12
+    into an order-independent DECIMAL sum, ranks rounded to 9 per round,
+    non-seed teleport mass exactly 0 — both engines carry bit-identical
+    vectors into every round.
+
+    Plan at 100 TB: identical shuffle structure to global PageRank (src
+    join, dst aggregate, node-set left join) — personalization changes
+    only the teleport term, a broadcast-sized seed membership test."""
+    e = derived_edges(spark, sf_dir).transform(materialize)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .transform(materialize)
+    )
+    is_seed = (F.col("node") % PPR_SEED_MOD) == 0
+    n_seeds = nodes.filter(is_seed).count()  # O(1) driver scalar
+    outd = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    ranks = nodes.select(
+        "node",
+        F.when(is_seed, F.round(F.lit(1.0) / n_seeds, 9))
+        .otherwise(0.0)
+        .alias("rank"),
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            e.join(ranks, ranks.node == e.src)
+            .join(outd, "src")
+            .select(
+                "dst",
+                F.round(F.col("rank") / F.col("out_deg"), 12).alias("contrib"),
+            )
+        )
+        in_sum = contrib.groupBy("dst").agg(
+            F.sum(F.col("contrib").cast("decimal(18,12)"))
+            .cast("double")
+            .alias("in_sum")
+        )
+        ranks = (
+            nodes.join(in_sum, nodes.node == in_sum.dst, "left")
+            .select(
+                "node",
+                F.round(
+                    F.when(is_seed, (1 - PR_DAMPING) / n_seeds).otherwise(0.0)
+                    + PR_DAMPING * F.coalesce("in_sum", F.lit(0.0)),
+                    9,
+                ).alias("rank"),
+            )
+            .transform(materialize)
+        )
+    return ranks.select(
+        "node", "rank", is_seed.cast("int").alias("is_seed")
+    ).orderBy("node")

@@ -70,6 +70,7 @@ _SAMPLE_FRONT = (
     "near_dup_transitivity_audit",
     "shard_shuffle_epoch_plan",
     "dp_contribution_bounding",
+    "personalized_pagerank_seeds",
     # --- round-9 rotation: the four sketch keys promoted from rows-only to
     # bounded-contract oracles this round lead (their first-ever value-hash
     # sample), then round-9 additions as they land, then the r8 front.

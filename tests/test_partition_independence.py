@@ -33,6 +33,11 @@ SENSITIVE = (
     "doremi_domain_reweight",  # DECIMAL NLL means + exp/normalize chain
     "ivfadc_rerank_topk",  # ADC shortlist + ordered-fold exact rerank
     "hits_hub_authority",  # per-round DECIMAL L1 normalization
+    # round-10 additions
+    "lsh_band_plan_curve",  # 120-way band census aggregation
+    "adaptive_banding_dedup",  # census-driven choice + banded self-join
+    "maxsim_late_interaction",  # fold dot products + per-query pools
+    "unimax_epoch_weights",  # unpartitioned waterfill windows
 )
 
 
@@ -43,15 +48,18 @@ def _rows(spark, sf_dir, name):
 
 @pytest.mark.parametrize("name", SENSITIVE)
 def test_result_identical_under_5_shuffle_partitions(spark, sf_dir, name):
-    from cocktails_data_engineering_spark.operators import ml
+    from cocktails_data_engineering_spark.operators import dedup, ml
 
     base = _rows(spark, sf_dir, name)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    ml._TRAIN_CACHE.clear()  # force retraining under the altered parallelism
+    # force retraining / signature rebuild under the altered parallelism
+    ml._TRAIN_CACHE.clear()
+    dedup._SIGS_CACHE.clear()
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "5")
         alt = _rows(spark, sf_dir, name)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         ml._TRAIN_CACHE.clear()
+        dedup._SIGS_CACHE.clear()
     assert alt == base, f"{name}: result depends on shuffle partition count"

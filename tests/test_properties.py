@@ -6,6 +6,7 @@ per component with the component minimum as its id."""
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -269,3 +270,62 @@ def test_entity_resolution_clusters_are_word_families(spark, sf_dir):
     want = {min(ms): len(ms) for ms in members.values()}
     got = {r.cluster_id: r.n_members for r in clusters}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# UniMax waterfill vs a sequential Python reference
+# ---------------------------------------------------------------------------
+domain_sets = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=25),  # domain name index
+        st.integers(min_value=1, max_value=10_000),  # token count
+    ),
+    min_size=1,
+    max_size=12,
+    unique_by=lambda t: t[0],
+)
+
+
+def _unimax_reference(counts: dict, epoch_cap: int, budget_x: int) -> dict:
+    """Sequential waterfill: grant capacities ascending while the uniform
+    share of the remaining budget would exceed them."""
+    budget = budget_x * sum(counts.values())
+    items = sorted(counts.items(), key=lambda kv: (epoch_cap * kv[1], kv[0]))
+    alloc, remaining, left = {}, budget, len(items)
+    for name, n in items:
+        cap = epoch_cap * n
+        if cap * left <= remaining:
+            alloc[name] = float(cap)
+            remaining -= cap
+        else:
+            alloc[name] = round(remaining / left, 6)
+            remaining -= remaining / left
+        left -= 1
+    return alloc
+
+
+@given(domain_sets)
+@settings(max_examples=15, deadline=None)
+def test_unimax_waterfill_matches_sequential_reference(spark, domains):
+    from cocktails_data_engineering_spark.operators.curation import (
+        UNIMAX_BUDGET_X,
+        UNIMAX_EPOCH_CAP,
+        unimax_waterfill,
+    )
+
+    rows = [(f"s{i:02d}", "en", n) for i, n in domains]
+    dom = spark.createDataFrame(rows, "source string, lang string, n_tok long")
+    out = {r["source"]: r for r in unimax_waterfill(dom).collect()}
+    ref = _unimax_reference(
+        {f"s{i:02d}": n for i, n in domains}, UNIMAX_EPOCH_CAP, UNIMAX_BUDGET_X
+    )
+    assert set(out) == set(ref)
+    for name, r in out.items():
+        # capped allocations are exact; uncapped differ only in rounding
+        # of the uniform share (reference divides sequentially).
+        assert r["alloc_tokens"] == pytest.approx(ref[name], abs=2e-6), (
+            name,
+            dict(domains),
+        )
+        assert r["alloc_tokens"] <= r["cap_tokens"] + 1e-9  # never over cap
+        assert r["epochs"] <= UNIMAX_EPOCH_CAP + 1e-9

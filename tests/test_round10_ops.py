@@ -383,3 +383,24 @@ def test_dp_bounding_caps_heavy_user(spark, tmp_path):
     assert r["max_user_rows_before"] == 100 and r["max_user_rows_after"] == 5
     assert r["max_user_share_before"] == round(100 / 110, 6)
     assert r["max_user_share_after"] == round(5 / 15, 6)
+
+
+# ---------------------------------------------------------------------------
+# personalized_pagerank_seeds
+# ---------------------------------------------------------------------------
+def test_ppr_mass_concentrates_on_and_near_seeds(spark):
+    """At sf0.001: total PPR mass stays <= 1 (dangling loss only), every
+    rank is non-negative, and the seed set's total mass exceeds a
+    uniform share (teleport restarts there every round)."""
+    from cocktails_data_engineering_spark.plans.queries import all_queries
+
+    out = all_queries()["personalized_pagerank_seeds"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert all(r["rank"] >= 0 for r in out)
+    total = sum(r["rank"] for r in out)
+    assert total <= 1.0 + 1e-6
+    seed_mass = sum(r["rank"] for r in out if r["is_seed"])
+    n_seed = sum(1 for r in out if r["is_seed"])
+    assert 0 < n_seed < len(out)
+    assert seed_mass > total * n_seed / len(out)  # concentrated vs uniform
