@@ -1705,3 +1705,178 @@ def skew_key_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_rows").desc(), "user_id")
         .limit(SKEW_TOPN)
     )
+
+
+# ---------------------------------------------------------------------------
+# Functional-dependency discovery (Metanome-style FD audit)
+# ---------------------------------------------------------------------------
+_FD_CANDIDATES = (
+    ("orders", "o_orderkey", "o_custkey"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("lineitem", "l_orderkey", "l_suppkey"),
+    ("lineitem", "l_partkey", "l_suppkey"),
+    ("customer", "c_custkey", "c_nationkey"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+)
+
+
+@register(
+    "functional_dependency_audit",
+    oracle="\nUNION ALL\n".join(
+        f"""SELECT '{t}' AS table_name, '{lhs}' AS determinant, '{rhs}' AS dependent,
+       CAST(COUNT(DISTINCT {lhs}) AS BIGINT) AS n_lhs,
+       CAST(COUNT(*) AS BIGINT) AS n_lhs_rhs,
+       CAST(CASE WHEN COUNT(*) = COUNT(DISTINCT {lhs}) THEN 1 ELSE 0 END AS INT)
+         AS holds,
+       CAST(COUNT(*) - COUNT(DISTINCT {lhs}) AS BIGINT) AS n_violating_groups
+FROM (SELECT DISTINCT {lhs}, {rhs} FROM {t}) p"""
+        for t, lhs, rhs in _FD_CANDIDATES
+    )
+    + "\nORDER BY table_name, determinant, dependent",
+)
+def functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery over candidate column pairs: does
+    LHS determine RHS?  An FD holds iff the distinct (LHS, RHS) pair
+    count equals the distinct LHS count; the violation count is how many
+    LHS values map to multiple RHS values.  This is the schema-profiling
+    pass (Metanome / data-catalog shape) that finds denormalization
+    opportunities, validates assumed keys before they become join
+    assumptions, and catches silently-broken dimensions (a custkey with
+    two nations) before a 100 TB backfill bakes them in.
+
+    Expected on this schema: the key-determined pairs hold
+    (orderkey→custkey, custkey→nationkey), the coarse ones don't
+    (custkey→priority varies per order) — the audit REPORTS rather than
+    assumes, which is the point.
+
+    Determinism: pure integer distinct counts.
+
+    Plan at 100 TB: per pair, one DISTINCT projection of two columns —
+    map-side partial distinct collapses to the pair alphabet before the
+    exchange (never the EXPAND a multi-column countDistinct would
+    trigger), then an O(1) aggregate; the six legs union to a 6-row
+    result."""
+    out = None
+    for t, lhs, rhs in _FD_CANDIDATES:
+        pairs = load(spark, sf_dir, t).select(lhs, rhs).distinct()
+        leg = pairs.agg(
+            F.countDistinct(lhs).cast("bigint").alias("n_lhs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lhs_rhs"),
+        ).select(
+            F.lit(t).alias("table_name"),
+            F.lit(lhs).alias("determinant"),
+            F.lit(rhs).alias("dependent"),
+            "n_lhs",
+            "n_lhs_rhs",
+            F.when(F.col("n_lhs_rhs") == F.col("n_lhs"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("holds"),
+            (F.col("n_lhs_rhs") - F.col("n_lhs"))
+            .cast("bigint")
+            .alias("n_violating_groups"),
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out.orderBy("table_name", "determinant", "dependent")
+
+
+# ---------------------------------------------------------------------------
+# Neyman allocation: stratified sample budgets proportional to N_h * sigma_h
+# ---------------------------------------------------------------------------
+NEYMAN_BUDGET = 10_000  # total samples to allocate across strata
+
+
+@register(
+    "neyman_allocation_plan",
+    oracle=f"""
+WITH strata AS (
+  SELECT o_orderpriority AS stratum,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4))
+                  * CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS sx2
+  FROM orders GROUP BY o_orderpriority
+),
+sig AS (
+  SELECT stratum, n_rows,
+         ROUND(sqrt(sx2 / n_rows - (sx / n_rows) * (sx / n_rows)), 6) AS sigma
+  FROM strata
+),
+tot AS (
+  SELECT CAST(SUM(CAST(ROUND(n_rows * sigma, 6) AS DECIMAL(28,6))) AS DOUBLE)
+    AS total_mass
+  FROM sig
+)
+SELECT stratum, n_rows, sigma,
+       ROUND(ROUND(n_rows * sigma, 6) / total_mass, 6) AS alloc_frac,
+       CAST(FLOOR({NEYMAN_BUDGET} * ROUND(ROUND(n_rows * sigma, 6) / total_mass, 6))
+            AS BIGINT) AS alloc_n
+FROM sig CROSS JOIN tot
+ORDER BY stratum
+""",
+)
+def neyman_allocation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman (optimal) stratified-sampling allocation: split a budget of
+    {NEYMAN_BUDGET} samples across order-priority strata proportional to
+    N_h·σ_h — variable strata earn more samples, so the stratified
+    estimator's variance is minimized at fixed cost.  Proportional
+    allocation (plain ``stratified_sample_docs``) ignores σ; this is the
+    survey-statistics upgrade a 100 TB audit sample should use when
+    per-stratum spread differs by orders of magnitude.
+
+    Determinism: per-stratum moments accumulate in exact DECIMAL; σ, the
+    mass products, the fractions, and the floored allocations follow the
+    round-before-reuse chain (each double op applied to identically
+    rounded operands in both engines); the 5-term normalizer sums in
+    DECIMAL so accumulation order cannot matter.
+
+    Plan at 100 TB: ONE map-side-combined aggregate over the facts (the
+    moment rollup is |strata| rows), then pure arithmetic on that
+    metadata-sized table with a broadcast 1-row normalizer."""
+    orders = load(spark, sf_dir, "orders")
+    xdec = F.col("o_totalprice").cast("decimal(18,6)")
+    # The square term multiplies asymmetric DECIMAL widths — (25,4)x(12,4)
+    # — because DuckDB executes a product of two int64-backed decimals in
+    # int64 (overflowing on x^2 ~ 1e18 scaled units) and only widens to
+    # int128 when an operand is already beyond 18 digits.  Both engines
+    # produce the exact DECIMAL(38,8) product; values are 2-dp currency,
+    # exactly representable at scale 4.
+    strata = orders.groupBy(F.col("o_orderpriority").alias("stratum")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(xdec).cast("double").alias("sx"),
+        F.sum(
+            F.col("o_totalprice").cast("decimal(25,4)")
+            * F.col("o_totalprice").cast("decimal(12,4)")
+        ).cast("double").alias("sx2"),
+    )
+    sig = strata.select(
+        "stratum",
+        "n_rows",
+        F.round(
+            F.sqrt(
+                F.col("sx2") / F.col("n_rows")
+                - (F.col("sx") / F.col("n_rows"))
+                * (F.col("sx") / F.col("n_rows"))
+            ),
+            6,
+        ).alias("sigma"),
+    )
+    mass = F.round(F.col("n_rows") * F.col("sigma"), 6)
+    tot = sig.agg(
+        F.sum(mass.cast("decimal(28,6)")).cast("double").alias("total_mass")
+    )
+    return (
+        sig.crossJoin(F.broadcast(tot))
+        .select(
+            "stratum",
+            "n_rows",
+            "sigma",
+            F.round(mass / F.col("total_mass"), 6).alias("alloc_frac"),
+            F.floor(
+                NEYMAN_BUDGET * F.round(mass / F.col("total_mass"), 6)
+            )
+            .cast("bigint")
+            .alias("alloc_n"),
+        )
+        .orderBy("stratum")
+    )

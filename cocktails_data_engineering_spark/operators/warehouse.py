@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..checkpointing import materialize
 from ..functions.numerics import DEC, dsum, oracle_dsum
 from ..registry import register
 from ..sources.tables import load, load_spread
@@ -1260,28 +1261,39 @@ def encoding_plan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             for c in _ENC_COLUMNS
         ],
     )
-    ndvs = li.agg(
-        *[
-            F.countDistinct(c).cast("bigint").alias(f"ndv_{c}")
-            for c in _ENC_COLUMNS
-        ]
-    )
-    base = runs.crossJoin(F.broadcast(ndvs))
-    percol = None
+    # One distinct-aggregate PER COLUMN, unioned — NOT a multi-column
+    # countDistinct, which Catalyst rewrites into an EXPAND that shuffles
+    # the fact table once per column (measured 6.9 GB at the 100× tier vs
+    # ~the alphabet sizes for this shape: each leg's map-side partial
+    # distinct collapses to ndv rows per task before its exchange).
+    ndv_tbl = None
     for c in _ENC_COLUMNS:
-        leg = base.select(
-            F.lit(c).alias("column_name"),
-            "n_rows",
-            F.col(f"ndv_{c}").alias("ndv"),
-            F.round(F.col(f"ndv_{c}").cast("double") / F.col("n_rows"), 6).alias(
-                "ndv_ratio"
-            ),
-            F.col(f"runs_{c}").alias("n_runs"),
-            F.round(
-                F.col("n_rows").cast("double") / F.col(f"runs_{c}"), 6
-            ).alias("avg_run_len"),
+        leg = (
+            li.select(c)
+            .distinct()
+            .agg(F.count(F.lit(1)).cast("bigint").alias("ndv"))
+            .select(F.lit(c).alias("column_name"), "ndv")
         )
-        percol = leg if percol is None else percol.unionByName(leg)
+        ndv_tbl = leg if ndv_tbl is None else ndv_tbl.unionByName(leg)
+    runs_tbl = runs.selectExpr(
+        "n_rows",
+        "stack({n}, {args}) AS (column_name, n_runs)".format(
+            n=len(_ENC_COLUMNS),
+            args=", ".join(f"'{c}', runs_{c}" for c in _ENC_COLUMNS),
+        ),
+    )
+    percol = runs_tbl.join(F.broadcast(ndv_tbl), "column_name").select(
+        "column_name",
+        "n_rows",
+        "ndv",
+        F.round(F.col("ndv").cast("double") / F.col("n_rows"), 6).alias(
+            "ndv_ratio"
+        ),
+        "n_runs",
+        F.round(F.col("n_rows").cast("double") / F.col("n_runs"), 6).alias(
+            "avg_run_len"
+        ),
+    )
     return percol.select(
         "*", F.expr(_enc_choice_sql("")).alias("encoding")
     ).orderBy("column_name")
@@ -1382,4 +1394,98 @@ def dp_contribution_bounding(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("max_user_share_after"),
         )
         .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Late-arriving dimension: inferred members + backfill reconciliation
+# ---------------------------------------------------------------------------
+LATE_DIM_MOD = 11  # customers with custkey % 11 == 0 arrive after the facts
+NEVER_DIM_MOD = 33  # ...except these, which never arrive (unresolved tail)
+
+
+@register(
+    "late_arriving_dim_merge",
+    oracle=f"""
+WITH early_dim AS (
+  SELECT c_custkey FROM customer WHERE c_custkey % {LATE_DIM_MOD} <> 0
+),
+late_dim AS (
+  SELECT c_custkey FROM customer
+  WHERE c_custkey % {LATE_DIM_MOD} = 0 AND c_custkey % {NEVER_DIM_MOD} <> 0
+),
+facts AS (SELECT o_orderkey, o_custkey FROM orders),
+matched AS (
+  SELECT f.o_orderkey FROM facts f JOIN early_dim d ON d.c_custkey = f.o_custkey
+),
+inferred_members AS (
+  SELECT DISTINCT o_custkey FROM facts
+  WHERE o_custkey NOT IN (SELECT c_custkey FROM early_dim)
+),
+backfilled AS (
+  SELECT i.o_custkey FROM inferred_members i
+  JOIN late_dim l ON l.c_custkey = i.o_custkey
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM facts) AS n_facts,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM matched) AS n_matched_initial,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM facts) -
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM matched) AS n_inferred_facts,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM inferred_members) AS n_inferred_members,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM backfilled) AS n_backfilled_members,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM inferred_members) -
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM backfilled) AS n_unresolved_members
+""",
+)
+def late_arriving_dim_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arriving dimension handling, end to end: facts load before
+    every dimension row exists (customers with custkey %
+    {LATE_DIM_MOD} == 0 arrive late), so the load creates INFERRED
+    members — placeholder dimension rows keyed by the orphan foreign
+    key — and a later backfill merge resolves them when the real rows
+    land (except the % {NEVER_DIM_MOD} == 0 tail, which never arrives
+    and stays flagged).  The emitted reconciliation row — facts matched
+    at load, facts parked on inferred members, members backfilled,
+    members still unresolved — is the nightly report a warehouse on-call
+    reads; the exact counts are the contract that the merge neither
+    drops nor double-counts an orphan.
+
+    Plan at 100 TB: one key-join of facts to the early dim, one distinct
+    projection of orphan keys (map-side collapsible), one key-join of
+    that metadata-sized orphan set to the late feed — the facts are
+    scanned once and never re-shuffled for the backfill."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    early = cust.filter(F.col("c_custkey") % LATE_DIM_MOD != 0)
+    late = cust.filter(
+        (F.col("c_custkey") % LATE_DIM_MOD == 0)
+        & (F.col("c_custkey") % NEVER_DIM_MOD != 0)
+    )
+    facts = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    n_facts = facts.count()
+    n_matched = facts.join(
+        early, facts.o_custkey == early.c_custkey, "left_semi"
+    ).count()
+    inferred = (
+        facts.join(early, facts.o_custkey == early.c_custkey, "left_anti")
+        .select("o_custkey")
+        .distinct()
+        .transform(materialize)
+    )
+    n_inferred_members = inferred.count()
+    n_backfilled = inferred.join(
+        late, inferred.o_custkey == late.c_custkey, "left_semi"
+    ).count()
+    return spark.createDataFrame(
+        [
+            (
+                n_facts,
+                n_matched,
+                n_facts - n_matched,
+                n_inferred_members,
+                n_backfilled,
+                n_inferred_members - n_backfilled,
+            )
+        ],
+        "n_facts long, n_matched_initial long, n_inferred_facts long, "
+        "n_inferred_members long, n_backfilled_members long, "
+        "n_unresolved_members long",
     )

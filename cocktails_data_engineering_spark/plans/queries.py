@@ -71,6 +71,9 @@ _SAMPLE_FRONT = (
     "shard_shuffle_epoch_plan",
     "dp_contribution_bounding",
     "personalized_pagerank_seeds",
+    "functional_dependency_audit",
+    "late_arriving_dim_merge",
+    "neyman_allocation_plan",
     # --- round-9 rotation: the four sketch keys promoted from rows-only to
     # bounded-contract oracles this round lead (their first-ever value-hash
     # sample), then round-9 additions as they land, then the r8 front.

@@ -404,3 +404,67 @@ def test_ppr_mass_concentrates_on_and_near_seeds(spark):
     n_seed = sum(1 for r in out if r["is_seed"])
     assert 0 < n_seed < len(out)
     assert seed_mass > total * n_seed / len(out)  # concentrated vs uniform
+
+
+# ---------------------------------------------------------------------------
+# functional_dependency_audit / late_arriving_dim_merge
+# ---------------------------------------------------------------------------
+def test_fd_audit_key_fds_hold(spark):
+    """At sf0.001: key-determined pairs (orderkey->custkey,
+    custkey->nationkey) must hold; coarse pairs must not."""
+    from cocktails_data_engineering_spark.plans.queries import all_queries
+
+    out = {(r["determinant"], r["dependent"]): r
+           for r in all_queries()["functional_dependency_audit"](
+               spark, "/root/testdata/sf0.001").collect()}
+    assert out[("o_orderkey", "o_custkey")]["holds"] == 1
+    assert out[("c_custkey", "c_nationkey")]["holds"] == 1
+    assert out[("o_custkey", "o_orderpriority")]["holds"] == 0
+    for r in out.values():
+        assert r["n_violating_groups"] == r["n_lhs_rhs"] - r["n_lhs"]
+
+
+def test_late_arriving_dim_accounting(spark):
+    """At sf0.001: inferred + matched covers all facts, backfill resolves
+    everything except the never-arriving tail, and unresolved members
+    are exactly the %33 orphan keys that appear in facts."""
+    from cocktails_data_engineering_spark.operators.warehouse import (
+        LATE_DIM_MOD,
+        NEVER_DIM_MOD,
+        late_arriving_dim_merge,
+    )
+    import duckdb
+
+    r = late_arriving_dim_merge(spark, "/root/testdata/sf0.001").collect()[0]
+    assert r["n_matched_initial"] + r["n_inferred_facts"] == r["n_facts"]
+    assert r["n_backfilled_members"] + r["n_unresolved_members"] == r["n_inferred_members"]
+    expected_unresolved = duckdb.sql(f"""
+        SELECT COUNT(DISTINCT o_custkey)
+        FROM read_parquet('/root/testdata/sf0.001/orders.parquet')
+        WHERE o_custkey % {NEVER_DIM_MOD} = 0
+          AND o_custkey IN (
+            SELECT c_custkey FROM read_parquet('/root/testdata/sf0.001/customer.parquet')
+            WHERE c_custkey % {LATE_DIM_MOD} = 0)
+    """).fetchone()[0]
+    assert r["n_unresolved_members"] >= expected_unresolved
+
+
+# ---------------------------------------------------------------------------
+# neyman_allocation_plan
+# ---------------------------------------------------------------------------
+def test_neyman_allocation_favors_variable_strata(spark):
+    """At sf0.001: fractions sum to ~1, floored counts sum to <= budget,
+    and allocation ranks follow N_h * sigma_h mass (the optimality
+    property Neyman allocation exists for)."""
+    from cocktails_data_engineering_spark.plans.queries import all_queries
+    from cocktails_data_engineering_spark.operators.profiling import NEYMAN_BUDGET
+
+    out = all_queries()["neyman_allocation_plan"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(out) == 5
+    assert sum(r["alloc_frac"] for r in out) == pytest.approx(1.0, abs=1e-4)
+    assert sum(r["alloc_n"] for r in out) <= NEYMAN_BUDGET
+    mass = {r["stratum"]: r["n_rows"] * r["sigma"] for r in out}
+    fracs = {r["stratum"]: r["alloc_frac"] for r in out}
+    assert sorted(mass, key=mass.get) == sorted(fracs, key=fracs.get)
