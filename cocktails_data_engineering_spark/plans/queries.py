@@ -44,6 +44,8 @@ _OPERATOR_MODULES = (
     "cocktails_data_engineering_spark.operators.tpch",
     "cocktails_data_engineering_spark.sources.io",
     "cocktails_data_engineering_spark.sources.python_source",
+    # LAST: composes other operators' registered oracles (must import after them)
+    "cocktails_data_engineering_spark.operators.health",
 )
 
 for _mod in _OPERATOR_MODULES:
@@ -74,6 +76,7 @@ _SAMPLE_FRONT = (
     "functional_dependency_audit",
     "late_arriving_dim_merge",
     "neyman_allocation_plan",
+    "table_health_report",
     # --- round-9 rotation: the four sketch keys promoted from rows-only to
     # bounded-contract oracles this round lead (their first-ever value-hash
     # sample), then round-9 additions as they land, then the r8 front.

@@ -468,3 +468,25 @@ def test_neyman_allocation_favors_variable_strata(spark):
     mass = {r["stratum"]: r["n_rows"] * r["sigma"] for r in out}
     fracs = {r["stratum"]: r["alloc_frac"] for r in out}
     assert sorted(mass, key=mass.get) == sorted(fracs, key=fracs.get)
+
+
+# ---------------------------------------------------------------------------
+# table_health_report
+# ---------------------------------------------------------------------------
+def test_health_report_composes_all_four_checks(spark):
+    """At sf0.001: all four check families present; every component row
+    appears; the flag rule matches the component columns."""
+    from cocktails_data_engineering_spark.plans.queries import all_queries
+
+    qs = all_queries()
+    out = qs["table_health_report"](spark, "/root/testdata/sf0.001").collect()
+    checks = {r["check_name"] for r in out}
+    assert checks == {"encoding", "functional_dependency", "join_key_skew",
+                      "dq_expectation"}
+    n_enc = qs["encoding_plan_audit"](spark, "/root/testdata/sf0.001").count()
+    n_fd = qs["functional_dependency_audit"](spark, "/root/testdata/sf0.001").count()
+    assert sum(1 for r in out if r["check_name"] == "encoding") == n_enc
+    assert sum(1 for r in out if r["check_name"] == "functional_dependency") == n_fd
+    fd_rows = [r for r in out if r["check_name"] == "functional_dependency"]
+    assert any(r["flagged"] == 1 for r in fd_rows)  # coarse FDs break
+    assert any(r["flagged"] == 0 for r in fd_rows)  # key FDs hold
