@@ -524,3 +524,172 @@ def kcenter_coreset_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vecs.sparkSession.createDataFrame(
         centers, "step int, center_id bigint, sel_d2 double"
     )
+
+
+# ---------------------------------------------------------------------------
+# Power-iteration PCA: the top principal component of the embedding cloud
+# ---------------------------------------------------------------------------
+PCA_ITERS = 3
+
+
+def _pca_oracle() -> str:
+    """Unrolled power iteration as chained CTEs: mean-center, then
+    v_{k+1} = normalize(Σ_i (x_i·v_k) x_i), every product rounded to 12
+    before an order-independent DECIMAL sum and every vector element
+    rounded to 9 after normalization — the pagerank discipline applied
+    to a matvec, so both engines carry bit-identical vectors."""
+    parts = [
+        f"""WITH flat AS (
+  SELECT vec_id, g.i AS d, CAST(embedding[g.i + 1] AS DOUBLE) AS x
+  FROM embeddings CROSS JOIN (SELECT unnest(range(0, {DIM})) AS i) g
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM embeddings),
+mean AS (
+  SELECT d, ROUND(CAST(SUM(CAST(ROUND(x, 12) AS DECIMAL(28,12))) AS DOUBLE)
+                  / n_rows, 9) AS m
+  FROM flat CROSS JOIN n GROUP BY d, n_rows
+),
+c AS (
+  SELECT flat.vec_id, flat.d, ROUND(flat.x - mean.m, 9) AS x
+  FROM flat JOIN mean ON mean.d = flat.d
+),
+v0 AS (SELECT d, ROUND(1.0 / sqrt({DIM}), 9) AS v FROM (SELECT unnest(range(0, {DIM})) AS d))"""
+    ]
+    prev = "v0"
+    for k in range(1, PCA_ITERS + 1):
+        parts.append(
+            f"""w{k}_dots AS (
+  SELECT c.vec_id,
+         CAST(SUM(CAST(ROUND(c.x * {prev}.v, 12) AS DECIMAL(28,12))) AS DOUBLE) AS dot
+  FROM c JOIN {prev} ON {prev}.d = c.d GROUP BY c.vec_id
+),
+w{k} AS (
+  SELECT c.d,
+         CAST(SUM(CAST(ROUND(ROUND(t.dot, 12) * c.x, 12) AS DECIMAL(28,12))) AS DOUBLE) AS w
+  FROM c JOIN w{k}_dots t ON t.vec_id = c.vec_id GROUP BY c.d
+),
+nrm{k} AS (
+  SELECT ROUND(sqrt(CAST(SUM(CAST(ROUND(w * w, 12) AS DECIMAL(28,12))) AS DOUBLE)), 9) AS nn
+  FROM w{k}
+),
+v{k} AS (
+  SELECT d, ROUND(w / nn, 9) AS v FROM w{k} CROSS JOIN nrm{k}
+)"""
+        )
+        prev = f"v{k}"
+    # sign canonicalization: the component is defined up to sign, so flip
+    # to make the largest-|loading| coordinate positive (ties: lowest d).
+    parts.append(
+        f"""pick AS (
+  SELECT d AS pick_d, v AS pick_v FROM {prev}
+  ORDER BY abs(v) DESC, d LIMIT 1
+),
+canon AS (
+  SELECT {prev}.d, ROUND({prev}.v * CASE WHEN pick.pick_v < 0 THEN -1 ELSE 1 END, 9) AS loading
+  FROM {prev} CROSS JOIN pick
+)"""
+    )
+    return (
+        ",\n".join(parts)
+        + "\nSELECT CAST(d AS INT) AS dim, loading FROM canon ORDER BY dim"
+    )
+
+
+@register("pca_power_iteration_top", oracle=_pca_oracle())
+def pca_power_iteration_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding cloud by {PCA_ITERS}
+    power-iteration rounds — the decorrelation/whitening primitive an
+    embedding pipeline runs before ANN indexing or drift analysis
+    (dominant-direction removal is the standard fix for anisotropic
+    embedding spaces).  Each round is one distributed matvec: per-vector
+    dot with the current direction (a broadcast 64-float literal), then
+    per-dimension accumulation of dot-weighted coordinates.
+
+    Determinism (the pagerank discipline on a matvec): every product
+    rounds to 12 before an order-independent DECIMAL sum; means,
+    centered coordinates, and normalized vector elements round to 9; the
+    final component's sign canonicalizes on the largest-|loading|
+    coordinate, so both engines emit the identical vector even though
+    eigenvectors are sign-ambiguous.
+
+    Plan at 100 TB: the mean and each round are ONE map-side-combined
+    aggregation over the (vec, dim) flat view (64 rows per vector, the
+    same flat shape the cosine oracle uses); the direction vector lives
+    on the driver between rounds (64 doubles — O(1), the
+    logistic_regression_gd precedent).  No shuffle ever exceeds
+    |dims| × partitions rows."""
+    import math
+
+    vecs = _vectors(spark, sf_dir)
+    n_rows = vecs.count()
+    flat = vecs.select(
+        "vec_id", F.posexplode("emb").alias("d", "x")
+    )
+    dec = "decimal(28,12)"
+    mean_rows = (
+        flat.groupBy("d")
+        .agg(
+            (
+                F.sum(F.round("x", 12).cast(dec)).cast("double") / n_rows
+            ).alias("m_raw")
+        )
+        .select("d", F.round("m_raw", 9).alias("m"))
+        .collect()
+    )
+    mean = [0.0] * DIM
+    for r in mean_rows:
+        mean[r["d"]] = r["m"]
+    centered = flat.join(
+        F.broadcast(
+            flat.sparkSession.createDataFrame(
+                [(i, mean[i]) for i in range(DIM)], "d int, m double"
+            )
+        ),
+        "d",
+    ).select("vec_id", "d", F.round(F.col("x") - F.col("m"), 9).alias("x"))
+    centered = materialize(centered)
+
+    v = [round(1.0 / math.sqrt(DIM), 9)] * DIM
+    for _ in range(PCA_ITERS):
+        vlit = F.array(*[F.lit(float(x)) for x in v])
+        dots = (
+            centered.withColumn("vv", F.element_at(vlit, F.col("d") + 1))
+            .groupBy("vec_id")
+            .agg(
+                F.sum(F.round(F.col("x") * F.col("vv"), 12).cast(dec))
+                .cast("double")
+                .alias("dot")
+            )
+        )
+        w_rows = (
+            centered.join(dots, "vec_id")
+            .groupBy("d")
+            .agg(
+                F.sum(
+                    F.round(F.round("dot", 12) * F.col("x"), 12).cast(dec)
+                )
+                .cast("double")
+                .alias("w")
+            )
+            .collect()
+        )  # 64 scalars — O(1) driver round, the GD precedent
+        w = [0.0] * DIM
+        for r in w_rows:
+            w[r["d"]] = r["w"]
+        import decimal
+
+        nn = round(
+            math.sqrt(
+                float(
+                    sum(
+                        decimal.Decimal(str(round(x * x, 12))) for x in w
+                    )
+                )
+            ),
+            9,
+        )
+        v = [round(x / nn, 9) for x in w]
+    pick = max(range(DIM), key=lambda i: (abs(v[i]), -i))
+    sign = -1.0 if v[pick] < 0 else 1.0
+    out = [(i, round(v[i] * sign, 9)) for i in range(DIM)]
+    return spark.createDataFrame(out, "dim int, loading double").orderBy("dim")

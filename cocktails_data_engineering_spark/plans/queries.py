@@ -77,6 +77,7 @@ _SAMPLE_FRONT = (
     "late_arriving_dim_merge",
     "neyman_allocation_plan",
     "table_health_report",
+    "pca_power_iteration_top",
     # --- round-9 rotation: the four sketch keys promoted from rows-only to
     # bounded-contract oracles this round lead (their first-ever value-hash
     # sample), then round-9 additions as they land, then the r8 front.

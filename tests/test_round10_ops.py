@@ -490,3 +490,42 @@ def test_health_report_composes_all_four_checks(spark):
     fd_rows = [r for r in out if r["check_name"] == "functional_dependency"]
     assert any(r["flagged"] == 1 for r in fd_rows)  # coarse FDs break
     assert any(r["flagged"] == 0 for r in fd_rows)  # key FDs hold
+
+
+# ---------------------------------------------------------------------------
+# pca_power_iteration_top
+# ---------------------------------------------------------------------------
+def test_pca_top_component_contract(spark):
+    """At sf0.001: 64 unit-norm loadings, canonical sign (largest-|l|
+    coordinate positive), and the found direction's Rayleigh quotient
+    beats the mean coordinate axis by construction (it is a dominant
+    direction after 3 matvec rounds)."""
+    import numpy as np
+
+    from cocktails_data_engineering_spark.plans.queries import all_queries
+
+    out = all_queries()["pca_power_iteration_top"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    v = np.zeros(64)
+    for r in out:
+        v[r["dim"]] = r["loading"]
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-6
+    assert v[int(np.argmax(np.abs(v)))] > 0  # canonical sign
+    emb = np.array(
+        [r["embedding"] for r in spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet").collect()],
+        dtype=np.float64,
+    )
+    xc = emb - emb.mean(axis=0)
+    cov = xc.T @ xc / len(xc)
+    rq = float(v @ cov @ v)
+    axis_rqs = np.diag(cov)
+    assert rq >= float(axis_rqs.mean())  # beats the average axis
+    # Power iteration's defining property: each matvec round cannot
+    # decrease the Rayleigh quotient, so 3 rounds must beat the start
+    # vector.  (The synthetic cloud's spectrum is nearly flat, so exact
+    # eigenvector proximity is NOT a fair 3-round expectation — the
+    # DuckDB oracle already pins the computation itself bit-for-bit.)
+    v0 = np.ones(64) / 8.0
+    assert rq > float(v0 @ cov @ v0)
