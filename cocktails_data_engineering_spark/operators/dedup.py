@@ -335,40 +335,44 @@ def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 # planner and the adaptive executor — same cache/lock discipline as the
 # candidate table above.  Kept separate from _CANDS_CACHE because the
 # production 32×4 pipeline consumes candidates (post-banding) while the
-# planners consume the pre-banding signatures.
-_SIGS_CACHE: dict[tuple, str] = {}
+# planners consume the pre-banding signatures.  Keyed by the SESSION (not
+# just applicationId like _CANDS_CACHE): consumers embed a temp-view name
+# in SQL text, and temp views are session-local, so a sibling
+# spark.newSession() must build (and register) its own — a cached name or
+# frame from another session would dangle in this one's catalog.
+_SIGS_CACHE: dict[tuple, DataFrame] = {}
 
 
 def minhash_signatures_view(spark: SparkSession, sf_dir: str) -> str:
-    """Name of a temp view over the CHECKPOINTED signature table —
-    computed once per (session, fixture)."""
+    """Register a FRESH temp view over the once-per-(session, fixture)
+    checkpointed signature table and return its name (consumers embed
+    the name in SQL text)."""
     from ..sources.tables import table_fingerprint
 
     key = (
         spark.sparkContext.applicationId,
+        id(spark),
         sf_dir,
         table_fingerprint(sf_dir, "documents"),
     )
-    got = _SIGS_CACHE.get(key)
-    if got is not None:
-        return got
-    with _CANDS_LOCK:
-        got = _SIGS_CACHE.get(key)
-        if got is not None:
-            return got
-        shingled = _shingles(load_spread(spark, sf_dir, "documents"))
-        hashed = shingled.select("doc_id", _x_col().alias("x"))
-        hview = f"minhash_hashed_{next(_VIEW_COUNTER)}"
-        hashed.createOrReplaceTempView(hview)
-        mins = materialize(
-            spark.sql(
-                f"SELECT doc_id, {_SPARK_MINS} FROM {hview} GROUP BY doc_id"
-            )
-        )
-        view = f"minhash_sigs_{next(_VIEW_COUNTER)}"
-        mins.createOrReplaceTempView(view)
-        _SIGS_CACHE[key] = view
-        return view
+    mins = _SIGS_CACHE.get(key)
+    if mins is None:
+        with _CANDS_LOCK:
+            mins = _SIGS_CACHE.get(key)
+            if mins is None:
+                shingled = _shingles(load_spread(spark, sf_dir, "documents"))
+                hashed = shingled.select("doc_id", _x_col().alias("x"))
+                hview = f"minhash_hashed_{next(_VIEW_COUNTER)}"
+                hashed.createOrReplaceTempView(hview)
+                mins = materialize(
+                    spark.sql(
+                        f"SELECT doc_id, {_SPARK_MINS} FROM {hview} GROUP BY doc_id"
+                    )
+                )
+                _SIGS_CACHE[key] = mins
+    view = f"minhash_sigs_{next(_VIEW_COUNTER)}"
+    mins.createOrReplaceTempView(view)
+    return view
 
 
 @register("minhash_near_dedup", oracle=f"WITH {_ORACLE_CANDIDATES} SELECT * FROM cands")
@@ -1973,6 +1977,32 @@ def _plan_band_rows(select_tpl: str) -> list[str]:
     return parts
 
 
+def _census_stack_sql() -> tuple[str, int]:
+    """The ONE Spark-side census stack: all (config, band) key projections
+    as a stack() argument list + the row multiplier.  Shared by the
+    banding planner and the adaptive executor so the census they price
+    can never drift apart."""
+    args = ", ".join(
+        "'{cfg}', {band}, concat_ws('|', {cols})".format(
+            cfg=f"b{b}r{r}",
+            band=band,
+            cols=", ".join(f"h{band * r + i}" for i in range(r)),
+        )
+        for b, r in _PLAN_CONFIGS
+        for band in range(b)
+    )
+    return args, sum(b for b, _ in _PLAN_CONFIGS)
+
+
+# The capped pair-generation workload of one bucket census — the single
+# text used by the planner output, the adaptive choice (both engines),
+# and their oracles.
+_CAPPED_WORKLOAD_SQL = (
+    f"SUM(CASE WHEN n > {HOT_BUCKET_CAP} THEN n - 1"
+    f" ELSE n * (n - 1) / 2 END)"
+)
+
+
 _PLAN_CFG_VALUES = ", ".join(
     f"('b{b}r{r}', {b}, {r}, CAST({_catch_prob(0.5, b, r)!r} AS DOUBLE), "
     f"CAST({_catch_prob(0.8, b, r)!r} AS DOUBLE))"
@@ -1992,8 +2022,7 @@ percfg AS (
            AS n_hot_buckets,
          CAST(MAX(n) AS BIGINT) AS max_bucket,
          CAST(SUM(n * (n - 1) / 2) AS BIGINT) AS pair_workload,
-         CAST(SUM(CASE WHEN n > {HOT_BUCKET_CAP} THEN n - 1
-                       ELSE n * (n - 1) / 2 END) AS BIGINT) AS capped_workload
+         CAST({_CAPPED_WORKLOAD_SQL} AS BIGINT) AS capped_workload
   FROM buckets GROUP BY cfg
 )
 SELECT p.cfg, c.n_bands, c.band_rows,
@@ -2047,16 +2076,7 @@ def lsh_band_plan_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     Analytic constants are emitted as Python-formatted literals in both
     engines, so parity cannot hinge on libm pow rounding."""
     sigs = minhash_signatures_view(spark, sf_dir)
-    stack_args = ", ".join(
-        "'{cfg}', {band}, concat_ws('|', {cols})".format(
-            cfg=f"b{b}r{r}",
-            band=band,
-            cols=", ".join(f"h{band * r + i}" for i in range(r)),
-        )
-        for b, r in _PLAN_CONFIGS
-        for band in range(b)
-    )
-    n_rows = sum(b for b, _ in _PLAN_CONFIGS)
+    stack_args, n_rows = _census_stack_sql()
     return spark.sql(
         f"""
 WITH mins AS (SELECT * FROM {sigs}),
@@ -2145,8 +2165,7 @@ buckets AS (
 ),
 percfg AS (
   SELECT cfg,
-         CAST(SUM(CASE WHEN n > {HOT_BUCKET_CAP} THEN n - 1
-                       ELSE n * (n - 1) / 2 END) AS BIGINT) AS capped_workload
+         CAST({_CAPPED_WORKLOAD_SQL} AS BIGINT) AS capped_workload
   FROM buckets GROUP BY cfg
 ),
 chosen AS (
@@ -2203,16 +2222,7 @@ def adaptive_banding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     mins_view = minhash_signatures_view(spark, sf_dir)
     # Census over the SAME checkpointed-signature view the execution leg
     # (and lsh_band_plan_curve) uses: bucket counts per config.
-    stack_args = ", ".join(
-        "'{cfg}', {band}, concat_ws('|', {cols})".format(
-            cfg=f"b{b}r{r}",
-            band=band,
-            cols=", ".join(f"h{band * r + i}" for i in range(r)),
-        )
-        for b, r in _PLAN_CONFIGS
-        for band in range(b)
-    )
-    n_rows = sum(b for b, _ in _PLAN_CONFIGS)
+    stack_args, n_rows = _census_stack_sql()
     census = spark.sql(
         f"""
 WITH mins AS (SELECT * FROM {mins_view}),
@@ -2224,8 +2234,7 @@ buckets AS (
   SELECT cfg, band_id, band_key, COUNT(*) AS n
   FROM bands_all GROUP BY cfg, band_id, band_key
 )
-SELECT cfg, CAST(SUM(CASE WHEN n > {HOT_BUCKET_CAP} THEN n - 1
-                          ELSE n * (n - 1) / 2 END) AS BIGINT) AS capped_workload
+SELECT cfg, CAST({_CAPPED_WORKLOAD_SQL} AS BIGINT) AS capped_workload
 FROM buckets GROUP BY cfg
 """
     ).collect()  # 4 summary rows -- the O(1) driver-side planning read
@@ -2235,7 +2244,13 @@ FROM buckets GROUP BY cfg
         for b, r in _PLAN_CONFIGS
         if _catch_prob(0.8, b, r) >= ADAPT_RECALL_FLOOR
     ]
-    b, r = min(eligible, key=lambda br: (workload[f"b{br[0]}r{br[1]}"], br[0]))
+    # .get(..., 0): an EMPTY corpus yields a zero-row census; any eligible
+    # config then produces the same (empty) candidate set, so defaulting
+    # the workload to 0 keeps the choice deterministic instead of raising.
+    b, r = min(
+        eligible,
+        key=lambda br: (workload.get(f"b{br[0]}r{br[1]}", 0), br[0]),
+    )
     return spark.sql(
         f"""
 WITH mins AS (SELECT * FROM {mins_view}),

@@ -1269,7 +1269,11 @@ def encoding_plan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ndv_tbl = None
     for c in _ENC_COLUMNS:
         leg = (
+            # isNotNull: COUNT(DISTINCT) excludes NULL in both engines,
+            # but a bare distinct() keeps the NULL group — a +1 ndv drift
+            # on any nullable column (latent on NOT NULL lineitem).
             li.select(c)
+            .where(F.col(c).isNotNull())
             .distinct()
             .agg(F.count(F.lit(1)).cast("bigint").alias("ndv"))
             .select(F.lit(c).alias("column_name"), "ndv")

@@ -1396,29 +1396,39 @@ def stream_watermark_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     availableNow batches), keeps only an hour-window count as state, and
     the summary is a handful of O(1) aggregates — the staging write is
     the only data-sized cost."""
-    import datetime
     import shutil
     import tempfile
 
+    # The split cuts stay Spark Columns end-to-end: collecting max(ts) to
+    # a Python datetime and re-injecting via F.lit would round-trip the
+    # instant through the driver's LOCAL timezone (naive datetimes +
+    # wall-clock timedeltas), drifting an hour from the oracle's exact
+    # `mx - INTERVAL n DAY` arithmetic whenever the lookback crosses a
+    # DST boundary on a non-UTC driver.
     ev = load(spark, sf_dir, "events").select("ts")
-    mx = ev.agg(F.max("ts").alias("mx")).collect()[0]["mx"]  # O(1) driver scalar
-    fresh_cut = mx - datetime.timedelta(days=WM_FRESH_DAYS)
-    mid_cut = mx - datetime.timedelta(days=WM_MID_DAYS)
+    cuts = F.broadcast(
+        ev.agg(F.max("ts").alias("mx")).select(
+            F.expr(f"mx - INTERVAL {WM_FRESH_DAYS} DAYS").alias("fresh_cut"),
+            F.expr(f"mx - INTERVAL {WM_MID_DAYS} DAYS").alias("mid_cut"),
+        )
+    )
+    banded = ev.crossJoin(cuts)
 
     stage = tempfile.mkdtemp(prefix="cde_wm_stage_")
     ckpt = tempfile.mkdtemp(prefix="cde_wm_ckpt_")
     try:
         bands = (
-            F.col("ts") >= F.lit(fresh_cut),
-            (F.col("ts") >= F.lit(mid_cut)) & (F.col("ts") < F.lit(fresh_cut)),
-            F.col("ts") < F.lit(mid_cut),
+            F.col("ts") >= F.col("fresh_cut"),
+            (F.col("ts") >= F.col("mid_cut"))
+            & (F.col("ts") < F.col("fresh_cut")),
+            F.col("ts") < F.col("mid_cut"),
         )
         # One file per band; mtimes pinned in band order so the file
         # source's discovery order never depends on write speed.
         seen: set[str] = set()
         base = 1_700_000_000
         for i, cond in enumerate(bands):
-            ev.filter(cond).coalesce(1).write.mode(
+            banded.filter(cond).select("ts").coalesce(1).write.mode(
                 "overwrite" if i == 0 else "append"
             ).parquet(stage)
             now = {f for f in os.listdir(stage) if f.endswith(".parquet")}
@@ -1453,7 +1463,7 @@ def stream_watermark_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(ckpt, ignore_errors=True)
 
     n_input = ev.count()
-    n_admitted = ev.filter(F.col("ts") >= F.lit(mid_cut)).count()
+    n_admitted = banded.filter(F.col("ts") >= F.col("mid_cut")).count()
     em = emitted.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_windows_emitted"),
         F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n_rows_emitted"),

@@ -161,12 +161,24 @@ def test_watermark_audit_internal_consistency(spark):
         stream_watermark_drop_audit,
     )
 
+    import duckdb
+
     r = stream_watermark_drop_audit(spark, "/root/testdata/sf0.001").collect()[0]
     assert r["n_input"] == r["n_admitted"] + r["n_late_dropped"]
     assert r["n_admitted"] == r["n_rows_emitted"] + r["n_pending"]
     assert r["n_late_dropped"] > 0  # the 30-day backlog has a >14d tail
-    assert r["n_rows_emitted"] > 0
     assert r["n_windows_emitted"] > 0
+    # n_rows_emitted pinned against an INDEPENDENT batch computation of the
+    # watermark model (the operator derives the other columns from it, so
+    # only an external value makes the identities non-tautological).
+    expected = duckdb.sql("""
+        WITH b AS (SELECT MAX(ts) AS mx
+                   FROM read_parquet('/root/testdata/sf0.001/events.parquet'))
+        SELECT COUNT(*) FROM read_parquet('/root/testdata/sf0.001/events.parquet'), b
+        WHERE ts >= mx - INTERVAL 14 DAY
+          AND date_trunc('hour', ts) + INTERVAL 1 HOUR <= mx - INTERVAL 1 HOUR
+    """).fetchone()[0]
+    assert r["n_rows_emitted"] == expected
 
 
 # ---------------------------------------------------------------------------
@@ -529,3 +541,30 @@ def test_pca_top_component_contract(spark):
     # DuckDB oracle already pins the computation itself bit-for-bit.)
     v0 = np.ones(64) / 8.0
     assert rq > float(v0 @ cov @ v0)
+
+
+def test_adaptive_banding_empty_corpus_returns_empty(spark, tmp_path):
+    """Zero documents: the census is zero rows; the adaptive choice must
+    default workloads to 0 and return an EMPTY candidate set (review
+    r10: it raised KeyError instead)."""
+    from cocktails_data_engineering_spark.operators.dedup import (
+        adaptive_banding_dedup,
+    )
+
+    sf = _write_docs(spark, str(tmp_path), [])
+    assert adaptive_banding_dedup(spark, sf).count() == 0
+
+
+def test_int_div_exact_above_2_53(spark):
+    """Quotients must stay exact for dividends beyond 2^53 (review r10:
+    the double-division route flipped ~3% of them; the DECIMAL route
+    cannot)."""
+    import pyspark.sql.functions as F
+
+    from cocktails_data_engineering_spark.functions.numerics import int_div
+
+    rows = [(7860390340973931 * 1024 + k, 1000 + k) for k in range(50)]
+    df = spark.createDataFrame(rows, "m long, d long")
+    out = df.select("m", "d", int_div(F.col("m"), F.col("d")).alias("q")).collect()
+    for r in out:
+        assert r["q"] == r["m"] // r["d"], (r["m"], r["d"])
