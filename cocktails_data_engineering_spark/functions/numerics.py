@@ -52,6 +52,42 @@ def int_div(col: Column, divisor: int | Column) -> Column:
     ).cast("long")
 
 
+def round_half_up(x: float, ndigits: int):
+    """Driver-side twin of ``F.round`` (and DuckDB ``ROUND``) on doubles.
+
+    Python's builtin ``round`` is banker's rounding (half-to-EVEN);
+    Spark's ``F.round`` is ``BigDecimal.valueOf(x).setScale(n, HALF_UP)``
+    — shortest-decimal representation, then half-AWAY-from-zero — which
+    is what DuckDB's ``ROUND`` agrees with on every oracled path in this
+    repo.  A driver scalar rounded with the builtin therefore diverges
+    from both engines exactly on decimal midpoints and poisons every
+    later round of an iterative loop (ADVICE r10).  ``Decimal(repr(x))``
+    is the same shortest-roundtrip decimal ``BigDecimal.valueOf`` uses,
+    so this helper is bit-identical to routing the value through
+    ``spark.range(1).select(F.round(...))`` without the extra job.
+    """
+    import decimal
+
+    if x is None:
+        return None
+    d = decimal.Decimal(repr(float(x))).quantize(
+        decimal.Decimal(1).scaleb(-ndigits), rounding=decimal.ROUND_HALF_UP
+    )
+    return float(d)
+
+
+def dec_half_up(x: float, ndigits: int):
+    """:func:`round_half_up` returning the exact ``Decimal`` — for exact
+    driver-side sums of engine-rounded terms (a 12-dp-rounded double cast
+    to DECIMAL recovers the exact 12-dp value in both engines; summing
+    those Decimals in Python is the same order-independent exact sum)."""
+    import decimal
+
+    return decimal.Decimal(repr(float(x))).quantize(
+        decimal.Decimal(1).scaleb(-ndigits), rounding=decimal.ROUND_HALF_UP
+    )
+
+
 def oracle_dsum(expr: str) -> str:
     """DuckDB-side twin of :func:`dsum`."""
     return f"CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import itertools
 import threading
+import weakref
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -340,7 +341,15 @@ def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in SQL text, and temp views are session-local, so a sibling
 # spark.newSession() must build (and register) its own — a cached name or
 # frame from another session would dangle in this one's catalog.
-_SIGS_CACHE: dict[tuple, DataFrame] = {}
+# WeakKeyDictionary on the SESSION OBJECT, not id(spark): CPython reuses a
+# garbage-collected session's address, so an id() key could hand a new
+# session a cached DataFrame bound to the dead one (ADVICE r10).  The
+# per-session value dict (and its DataFrames) strongly reference the
+# session, so an entry lives exactly as long as code can still reach that
+# session — the lifetime the checkpoint blocks have anyway.
+_SIGS_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def minhash_signatures_view(spark: SparkSession, sf_dir: str) -> str:
@@ -349,16 +358,11 @@ def minhash_signatures_view(spark: SparkSession, sf_dir: str) -> str:
     the name in SQL text)."""
     from ..sources.tables import table_fingerprint
 
-    key = (
-        spark.sparkContext.applicationId,
-        id(spark),
-        sf_dir,
-        table_fingerprint(sf_dir, "documents"),
-    )
-    mins = _SIGS_CACHE.get(key)
+    key = (sf_dir, table_fingerprint(sf_dir, "documents"))
+    mins = _SIGS_CACHE.get(spark, {}).get(key)
     if mins is None:
         with _CANDS_LOCK:
-            mins = _SIGS_CACHE.get(key)
+            mins = _SIGS_CACHE.setdefault(spark, {}).get(key)
             if mins is None:
                 shingled = _shingles(load_spread(spark, sf_dir, "documents"))
                 hashed = shingled.select("doc_id", _x_col().alias("x"))
@@ -369,7 +373,7 @@ def minhash_signatures_view(spark: SparkSession, sf_dir: str) -> str:
                         f"SELECT doc_id, {_SPARK_MINS} FROM {hview} GROUP BY doc_id"
                     )
                 )
-                _SIGS_CACHE[key] = mins
+                _SIGS_CACHE[spark][key] = mins
     view = f"minhash_sigs_{next(_VIEW_COUNTER)}"
     mins.createOrReplaceTempView(view)
     return view
@@ -451,14 +455,21 @@ def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Dedup finalization: candidate pairs → duplicate clusters → kept corpus
 # ---------------------------------------------------------------------------
-def connected_components(pairs: DataFrame) -> DataFrame:
-    """Min-label propagation over an undirected pair list → (node,
+# Round counters for the last run of each CC kernel — test/SCALE
+# instrumentation only (tests assert the anchor-hopping kernel converges in
+# O(log diameter) rounds where plain propagation needs O(diameter)).
+_LAST_CC_ROUNDS = {"labelprop": 0, "anchor_hop": 0}
+
+
+def connected_components_labelprop(pairs: DataFrame) -> DataFrame:
+    """Plain min-label propagation over an undirected pair list → (node,
     cluster_id) where cluster_id = min doc_id of the component.
 
-    The same driver-loop-with-checkpoint pattern as graph.bfs_min_depth;
-    converges in O(component diameter) rounds — duplicate clusters are
-    shallow, so 2-3 rounds in practice.  Each round is one shuffle join +
-    one aggregate; lineage is truncated per round.
+    O(component diameter) rounds — fine for shallow duplicate clusters,
+    but a chain-merged cluster of length L (the exact pathology
+    near_dup_transitivity_audit flags) costs L rounds.  Kept as the
+    simple reference kernel the production :func:`connected_components`
+    is property-tested against (tests/test_properties.py).
     """
     # Materialize the pair list once: the symmetric union below consumes it
     # twice, and without the checkpoint the whole upstream candidate
@@ -474,7 +485,9 @@ def connected_components(pairs: DataFrame) -> DataFrame:
         "node", F.col("node").alias("cluster_id")
     ).transform(materialize)
 
+    _LAST_CC_ROUNDS["labelprop"] = 0
     while True:
+        _LAST_CC_ROUNDS["labelprop"] += 1
         nbr_min = (
             edges.join(labels, edges.v == labels.node)
             .groupBy("u")
@@ -487,6 +500,84 @@ def connected_components(pairs: DataFrame) -> DataFrame:
                 F.least(F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")).alias(
                     "cluster_id"
                 ),
+            )
+            .transform(materialize)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+
+
+def connected_components(pairs: DataFrame) -> DataFrame:
+    """Connected components over an undirected pair list → (node,
+    cluster_id) where cluster_id = min doc_id of the component — the
+    anchor-hopping kernel: each round ONE min-label propagation step
+    (pull the min label over edges) followed by ONE pointer-doubling
+    shortcut (L(u) ← L(L(u))), so a label reaches distance 2^k in k
+    rounds and convergence is O(log diameter) instead of O(diameter)
+    (VERDICT r10 #4 — the 100× tier emits >1M candidate edges, and
+    chain-merged clusters make diameter grow with corpus size).
+
+    Correctness invariants (each preserves "L(u) is the id of some node
+    in u's component, L(u) ≤ u"): propagation takes a min over
+    same-component labels; shortcutting replaces L(u) by L(L(u)), the
+    label of a node in the same component, and labels only decrease.
+    The fixpoint of BOTH steps is L(u) = component min — the identical
+    output (and oracle hash) as plain propagation, property-tested
+    against :func:`connected_components_labelprop` on random and
+    pathological-chain graphs.
+
+    Plan per round: the propagation join shuffles edges⋈labels (edge
+    count is candidate-pair-sized, not corpus-sized), the shortcut is a
+    labels⋈labels self-join on the label key (node-count-sized), and
+    lineage truncates per round — at 100 TB the round count is the
+    binary log of the deepest chain, bounded ~40 for any physical graph.
+    """
+    pairs = pairs.select("doc_a", "doc_b").transform(materialize)
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        .distinct()
+        .transform(materialize)
+    )
+    labels = edges.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("cluster_id")
+    ).transform(materialize)
+
+    _LAST_CC_ROUNDS["anchor_hop"] = 0
+    while True:
+        _LAST_CC_ROUNDS["anchor_hop"] += 1
+        # 1 — propagate: L'(u) = min(L(u), min over neighbors' labels)
+        nbr_min = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        propagated = labels.join(nbr_min, labels.node == nbr_min.u, "left").select(
+            "node",
+            F.least(
+                F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")
+            ).alias("cluster_id"),
+        )
+        # 2 — shortcut (pointer doubling): L''(u) = L'(L'(u)).  Every
+        # label IS a node (labels start as node ids and only move to
+        # other nodes' ids via mins), so the lookup is a self-join; the
+        # left join + coalesce is belt-and-braces for the root, whose
+        # label is itself.
+        hop = propagated.select(
+            F.col("node").alias("anchor"), F.col("cluster_id").alias("anchor_label")
+        )
+        new_labels = (
+            propagated.join(hop, propagated.cluster_id == hop.anchor, "left")
+            .select(
+                "node",
+                F.coalesce("anchor_label", "cluster_id").alias("cluster_id"),
             )
             .transform(materialize)
         )
@@ -1994,13 +2085,19 @@ def _census_stack_sql() -> tuple[str, int]:
     return args, sum(b for b, _ in _PLAN_CONFIGS)
 
 
-# The capped pair-generation workload of one bucket census — the single
-# text used by the planner output, the adaptive choice (both engines),
-# and their oracles.
-_CAPPED_WORKLOAD_SQL = (
-    f"SUM(CASE WHEN n > {HOT_BUCKET_CAP} THEN n - 1"
-    f" ELSE n * (n - 1) / 2 END)"
-)
+# The capped pair-generation workload of one bucket census — one template
+# used by the planner output, the adaptive choice (both engines), and
+# their oracles.  Parameterized on the INTEGER-division spelling (`DIV`
+# in Spark SQL, `//` in DuckDB): `n * (n - 1)` is always even, so integer
+# division keeps every workload exact int64, where the previous double
+# `/ 2` route goes inexact past 2^53 and the engines' double→bigint casts
+# then disagree (truncate vs round-to-nearest — ADVICE r10; the same trap
+# pack_sequences_bins documents).
+def _capped_workload_sql(idiv: str) -> str:
+    return (
+        f"SUM(CASE WHEN n > {HOT_BUCKET_CAP} THEN n - 1"
+        f" ELSE (n * (n - 1)) {idiv} 2 END)"
+    )
 
 
 _PLAN_CFG_VALUES = ", ".join(
@@ -2009,7 +2106,8 @@ _PLAN_CFG_VALUES = ", ".join(
     for b, r in _PLAN_CONFIGS
 )
 
-_PLAN_FINAL = f"""
+def _plan_final(idiv: str) -> str:
+    return f"""
 buckets AS (
   SELECT cfg, band_id, band_key, CAST(COUNT(*) AS BIGINT) AS n
   FROM bands_all GROUP BY cfg, band_id, band_key
@@ -2021,8 +2119,8 @@ percfg AS (
          CAST(SUM(CASE WHEN n > {HOT_BUCKET_CAP} THEN 1 ELSE 0 END) AS BIGINT)
            AS n_hot_buckets,
          CAST(MAX(n) AS BIGINT) AS max_bucket,
-         CAST(SUM(n * (n - 1) / 2) AS BIGINT) AS pair_workload,
-         CAST({_CAPPED_WORKLOAD_SQL} AS BIGINT) AS capped_workload
+         CAST(SUM((n * (n - 1)) {idiv} 2) AS BIGINT) AS pair_workload,
+         CAST({_capped_workload_sql(idiv)} AS BIGINT) AS capped_workload
   FROM buckets GROUP BY cfg
 )
 SELECT p.cfg, c.n_bands, c.band_rows,
@@ -2034,6 +2132,10 @@ JOIN (VALUES {_PLAN_CFG_VALUES})
   ON p.cfg = c.cfg
 ORDER BY c.n_bands DESC
 """
+
+
+_PLAN_FINAL_SPARK = _plan_final("DIV")
+_PLAN_FINAL_ORACLE = _plan_final("//")
 
 _PLAN_ORACLE_BANDS = "\n    UNION ALL\n".join(
     _plan_band_rows(
@@ -2052,7 +2154,7 @@ mins AS (SELECT doc_id, {_ORACLE_MINS} FROM hashed GROUP BY doc_id),
 bands_all AS (
     {_PLAN_ORACLE_BANDS}
 ),
-{_PLAN_FINAL}
+{_PLAN_FINAL_ORACLE}
 """,
 )
 def lsh_band_plan_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2084,7 +2186,7 @@ bands_all AS (
   SELECT doc_id, stack({n_rows}, {stack_args}) AS (cfg, band_id, band_key)
   FROM mins
 ),
-{_PLAN_FINAL}
+{_PLAN_FINAL_SPARK}
 """
     )
 
@@ -2165,7 +2267,7 @@ buckets AS (
 ),
 percfg AS (
   SELECT cfg,
-         CAST({_CAPPED_WORKLOAD_SQL} AS BIGINT) AS capped_workload
+         CAST({_capped_workload_sql('//')} AS BIGINT) AS capped_workload
   FROM buckets GROUP BY cfg
 ),
 chosen AS (
@@ -2234,7 +2336,7 @@ buckets AS (
   SELECT cfg, band_id, band_key, COUNT(*) AS n
   FROM bands_all GROUP BY cfg, band_id, band_key
 )
-SELECT cfg, CAST({_CAPPED_WORKLOAD_SQL} AS BIGINT) AS capped_workload
+SELECT cfg, CAST({_capped_workload_sql('DIV')} AS BIGINT) AS capped_workload
 FROM buckets GROUP BY cfg
 """
     ).collect()  # 4 summary rows -- the O(1) driver-side planning read
@@ -2287,7 +2389,7 @@ cluster_edges AS (
 ),
 percluster AS (
   SELECT s.cluster_id, s.s, COALESCE(ce.e, 0) AS e,
-         s.s * (s.s - 1) / 2 AS implied
+         (s.s * (s.s - 1)) // 2 AS implied
   FROM sizes s LEFT JOIN cluster_edges ce ON ce.cluster_id = s.cluster_id
 )
 SELECT s AS cluster_size,
@@ -2331,7 +2433,9 @@ def near_dup_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         "s",
         F.coalesce(F.col("e"), F.lit(0)).cast("bigint").alias("e"),
-        (F.col("s") * (F.col("s") - 1) / 2).cast("bigint").alias("implied"),
+        # integer DIV: s*(s-1) is even, so the quotient is exact int64 at
+        # any cluster size (double "/ 2" + cast truncates past 2^53)
+        F.expr("(s * (s - 1)) DIV 2").alias("implied"),
     )
     return (
         percluster.groupBy(F.col("s").alias("cluster_size"))

@@ -1217,7 +1217,7 @@ subflat AS (
 subcos AS (
   SELECT query_id, vec_id, q_sub, d_sub,
          CASE WHEN ANY_VALUE(q_snorm) * ANY_VALUE(d_snorm) = 0 THEN 0.0
-              ELSE SUM(qx * vx) / (ANY_VALUE(q_snorm) * ANY_VALUE(d_snorm))
+              ELSE ROUND(SUM(qx * vx) / (ANY_VALUE(q_snorm) * ANY_VALUE(d_snorm)), 12)
          END AS c
   FROM subflat GROUP BY query_id, vec_id, q_sub, d_sub
 ),
@@ -1226,7 +1226,9 @@ best AS (
   FROM subcos GROUP BY query_id, vec_id, q_sub
 ),
 maxsim AS (
-  SELECT query_id, vec_id, ROUND(SUM(best_c) / {SUBVECS}, 6) AS maxsim_score
+  SELECT query_id, vec_id,
+         ROUND(CAST(SUM(CAST(best_c AS DECIMAL(28,12))) AS DOUBLE)
+               / {SUBVECS}, 6) AS maxsim_score
   FROM best GROUP BY query_id, vec_id
 )
 SELECT p.query_id, p.vec_id, p.coarse_score, m.maxsim_score,
@@ -1256,8 +1258,10 @@ def maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     max/avg are plain aggregates — no UDF, no new primitives.
 
     Determinism: each sub-cosine is a fold + one division (zero-norm
-    guarded to 0), maxima/averages are exact over 6-dp-rounded terms;
-    final ties break on vec_id.
+    guarded to 0) ROUNDED to 12 dp, the per-query-sub max is exact over
+    those rounded terms, and the {SUBVECS}-term average accumulates in
+    DECIMAL — Spark's partition-dependent partial-sum order cannot flip
+    a 6th decimal (ADVICE r10); final ties break on vec_id.
 
     Plan at 100 TB: stage 1 is the documented cosine_topk plan (or any
     registered ANN op — the pool contract is the same); stage 2 joins
@@ -1321,8 +1325,11 @@ def maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "d_sub",
             F.when(F.col("q_snorm") * F.col("d_snorm") == 0, F.lit(0.0))
             .otherwise(
-                _dot(F.col("q_semb"), F.col("d_semb"))
-                / (F.col("q_snorm") * F.col("d_snorm"))
+                F.round(
+                    _dot(F.col("q_semb"), F.col("d_semb"))
+                    / (F.col("q_snorm") * F.col("d_snorm")),
+                    12,
+                )
             )
             .alias("c"),
         )
@@ -1331,7 +1338,11 @@ def maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c").alias("best_c")
     )
     maxsim = best.groupBy("query_id", "vec_id", "coarse_score").agg(
-        F.round(F.sum("best_c") / SUBVECS, 6).alias("maxsim_score")
+        F.round(
+            F.sum(F.col("best_c").cast("decimal(28,12)")).cast("double")
+            / SUBVECS,
+            6,
+        ).alias("maxsim_score")
     )
     w2 = Window.partitionBy("query_id").orderBy(
         F.col("maxsim_score").desc(), "vec_id"

@@ -52,24 +52,85 @@ for _mod in _OPERATOR_MODULES:
     importlib.import_module(_mod)
 
 
-# Driver-sampling rotation (round 5).  The external correctness sweep checks
-# the FIRST 50 registered queries each round; rounds 1-4 together covered 120
-# of the 200 keys.  This front list holds every ORACLED key the sweep has
-# never sampled (r1-r4 union), ordered by evidence value (composed flagships
-# and the statistics family first), so round 5 lands on fresh keys.  Keys not
-# listed keep their module registration order behind these.  Rotate again
-# next round for whatever the sweep still hasn't reached.
+# Driver-sampling rotation (re-ordered each round since round 5).  The
+# external correctness sweep checks the FIRST 50 registered queries each
+# round, so this front list is the round's evidence budget: changed keys
+# first (fresh hash after any semantic edit), then the keys whose last
+# driver check is oldest.  Keys not listed keep their module registration
+# order behind these.  Rotate again next round.
 _SAMPLE_FRONT = (
-    # --- round-10 additions lead (first-ever samples) ---
+    # --- round-11 rotation (VERDICT r10 #1: drain the oldest-checked
+    # headline keys).  Order: (a) keys whose code or oracle CHANGED this
+    # round (CC kernel swap, maxsim/PCA rounding, workload DIV, the
+    # jdbc_roundtrip promotion — each needs a fresh driver hash), then
+    # (b) the 32 headline-core keys last driver-checked in r1–r4, then
+    # (c) the oldest non-headline keys as the ~50 cut allows.
+    # (a) changed this round
+    "jdbc_roundtrip",
+    "pca_power_iteration_top",
+    "maxsim_late_interaction",
     "lsh_band_plan_curve",
+    "adaptive_banding_dedup",
+    "near_dup_transitivity_audit",
+    "dedup_clusters",
+    "dedup_canonical_corpus",
+    "dedup_keep_longest",
+    "entity_resolution_clusters",
+    "training_corpus_pipeline",
+    "dataset_release_pipeline",
+    "kmeans_embeddings",
+    "ivf_cosine_topk",
+    # (b) stale headline core (last hashed r1–r4)
+    "q1_pricing_summary",
+    "scan_project",
+    "filter_blocklist",
+    "route_by_suffix",
+    "rewrite_relative_urls",
+    "sanitize_filename",
+    "md5_name",
+    "distinct_links",
+    "enumerate_ids",
+    "edges_from_children",
+    "anti_join_visited",
+    "equi_join_vertex_resolve",
+    "semi_join_active",
+    "broadcast_join_dims",
+    "union_frontier",
+    "groupby_agg_depth",
+    "agg_multi",
+    "rollup_priority_status",
+    "cube_flag_status",
+    "window_rank_topk",
+    "window_running",
+    "sort_limit_topk",
+    "intersect_segments",
+    "except_unvisited",
+    "json_extract_props",
+    "date_trunc_hourly",
+    "session_window_agg",
+    "exact_dedup_docs",
+    "minhash_near_dedup",
+    "cosine_topk",
+    "tokenize_wordcount",
+    "bfs_crawl_sim",
+    # (c) oldest non-headline keys (r1–r3) up to the cut
+    "bpe_ish_token_count",
+    "connected_reachable_pairs",
+    "doc_fingerprint",
+    "graph_degree_stats",
+    "quality_score",
+    "token_count_stats",
+    "wordcount_by_source",
+    "histogram_extendedprice",
+    "profile_orders_columns",
+    "tfidf_top_terms",
+    # --- prior fronts below (r10, r9, r8 …) keep their relative order as
+    # re-samples; everything past the ~50 cut is free extra evidence.
     "unimax_epoch_weights",
     "skew_key_diagnosis",
     "stream_watermark_drop_audit",
     "hll_intersection_estimate",
-    "adaptive_banding_dedup",
     "encoding_plan_audit",
-    "maxsim_late_interaction",
-    "near_dup_transitivity_audit",
     "shard_shuffle_epoch_plan",
     "dp_contribution_bounding",
     "personalized_pagerank_seeds",
@@ -77,12 +138,6 @@ _SAMPLE_FRONT = (
     "late_arriving_dim_merge",
     "neyman_allocation_plan",
     "table_health_report",
-    "pca_power_iteration_top",
-    # --- round-9 rotation: the four sketch keys promoted from rows-only to
-    # bounded-contract oracles this round lead (their first-ever value-hash
-    # sample), then round-9 additions as they land, then the r8 front.
-    # Everything after the ~50 cut keeps registration order; re-samples of
-    # green keys are free extra evidence.
     "approx_distinct_users",
     "approx_topk_words",
     "hll_distinct_by_type",

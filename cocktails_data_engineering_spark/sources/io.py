@@ -214,10 +214,33 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
-@register("jdbc_roundtrip")  # side-effectful smoke — rows-only check
+# Operational introspection for the last jdbc_roundtrip run (which sink
+# leg executed, any fallback reason, raw counts).  Environment-dependent,
+# so it lives OUTSIDE the registered result: the returned frame carries
+# only the data-derived bounded contract the oracle can hash.
+LAST_JDBC_RUN: dict = {}
+
+
+@register(
+    "jdbc_roundtrip",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(o_custkey) AS BIGINT) AS parent_checksum,
+       CAST(SUM(o_orderkey) AS BIGINT) AS child_checksum,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_parents,
+       TRUE AS roundtrip_ok
+FROM orders WHERE o_orderkey % 100 = 0
+""",
+)
 def jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sink round trip (O15): write an edge slice through a sink, read it
-    back, report counts.  Uses the real JDBC writer when
+    back, and return a BOUNDED VALUE CONTRACT over the read-back leg —
+    row count, both key checksums, distinct-parent count (and a
+    written==read boolean) — which the oracle recomputes from the
+    original parquet.  A hash match therefore certifies the sink
+    preserved every row and value, not merely that the query ran (the r9
+    sketch-promotion pattern; VERDICT r10 #2 — this was the last
+    rows-only key).  Uses the real JDBC writer when
     ``SPARK_GRAFT_JDBC_URL`` points at a live database; otherwise an
     embedded Derby database (jars ship inside the Spark distribution) —
     a REAL JDBC write/read through the JVM driver stack, not a parquet
@@ -299,7 +322,9 @@ def jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 else "jdbc_derby_embedded"
             )
             n_written = edges.count()
-            n_read = back.count()
+            # The contract aggregate must run BEFORE the finally block
+            # shuts the embedded database down — read_jdbc is lazy.
+            stats = _roundtrip_stats(back)
         finally:
             if os.path.isdir(derby_dir):
                 # Shut the embedded database down BEFORE removing its
@@ -334,12 +359,38 @@ def jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         back = spark.read.parquet(path)
         sink = "parquet_fallback"
         n_written = edges.count()
-        n_read = back.count()
-    return spark.createDataFrame(
-        [(sink, detail, n_written, n_read, n_written == n_read)],
-        "sink string, fallback_reason string, n_written long, n_read long,"
-        " roundtrip_ok boolean",
+        stats = _roundtrip_stats(back)
+    LAST_JDBC_RUN.clear()
+    LAST_JDBC_RUN.update(
+        sink=sink,
+        fallback_reason=detail,
+        n_written=n_written,
+        n_read=stats["n_rows"],
     )
+    return spark.createDataFrame(
+        [
+            (
+                stats["n_rows"],
+                stats["parent_checksum"],
+                stats["child_checksum"],
+                stats["n_parents"],
+                n_written == stats["n_rows"],
+            )
+        ],
+        "n_rows bigint, parent_checksum bigint, child_checksum bigint,"
+        " n_parents bigint, roundtrip_ok boolean",
+    )
+
+
+def _roundtrip_stats(back: DataFrame):
+    """One aggregate over the read-back leg: the values the oracle
+    recomputes from the source parquet."""
+    return back.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("parent_id").cast("bigint").alias("parent_checksum"),
+        F.sum("child_id").cast("bigint").alias("child_checksum"),
+        F.countDistinct("parent_id").cast("bigint").alias("n_parents"),
+    ).first()
 
 
 @register(

@@ -244,3 +244,60 @@ def test_stream_python_datasource_agg_reruns_in_same_session(spark):
               for r in stream_python_datasource_agg(spark, "unused").collect()}
     assert first == second
     assert sum(v[0] for v in first.values()) == STREAM_ROWS
+
+
+def test_pca_degenerate_clouds_match_oracle(spark, tmp_path):
+    """ADVICE r11: an all-identical (or single-vector) embedding cloud
+    centers to all-zeros, so the power-iteration norm is 0 — the oracle's
+    ROUND(w / 0, 9) is NULL per element and the Spark side must emit the
+    same 64 NULL loadings instead of raising ZeroDivisionError; an empty
+    table must yield zero rows.  Checked against the REAL oracle SQL in
+    DuckDB on the same parquet."""
+    import duckdb
+
+    from cocktails_data_engineering_spark.operators import clustering
+
+    for label, rows in {
+        "identical": [(i, [0.5] * 64) for i in range(5)],
+        "single": [(7, [float(j) for j in range(64)])],
+        "empty": [],
+    }.items():
+        sf = os.path.join(str(tmp_path), label)
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(sf, "embeddings.parquet")
+        )
+        got = sorted(
+            (r["dim"], r["loading"])
+            for r in clustering.pca_power_iteration_top(spark, sf).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{sf}/embeddings.parquet/*.parquet')"
+        )
+        want = sorted(con.execute(clustering._pca_oracle()).fetchall())
+        con.close()
+        assert got == want, (label, got[:3], want[:3])
+
+
+def test_pca_driver_rounding_is_half_up(spark):
+    """ADVICE r10: driver-side scalars must round like F.round/DuckDB
+    ROUND (half-away-from-zero on the shortest-decimal repr), not like
+    Python's builtin (half-to-even)."""
+    from pyspark.sql import functions as F
+
+    from cocktails_data_engineering_spark.functions.numerics import round_half_up
+
+    cases = [(0.5, 0), (1.5, 0), (2.5, 0), (-0.5, 0), (0.125, 2), (-0.125, 2),
+             (1.0000000005, 9), (7.5e-10, 9), (0.3333333335, 9)]
+    got = [round_half_up(x, n) for x, n in cases]
+    want = list(
+        spark.range(1)
+        .select(*[F.round(F.lit(x), n).alias(f"c{i}") for i, (x, n) in enumerate(cases)])
+        .collect()[0]
+    )
+    assert got == want, list(zip(cases, got, want))
+    # and the builtin disagrees on at least one midpoint (the bug class)
+    assert any(round(x, n) != g for (x, n), g in zip(cases, got))

@@ -165,9 +165,12 @@ def test_jdbc_roundtrip_uses_real_jdbc_sink(spark, sf_dir):
     """O15's REAL leg: with Derby bundled in the Spark distribution the
     round trip must go through df.write.jdbc -> spark.read.jdbc (not the
     parquet fallback) and preserve every row."""
-    from cocktails_data_engineering_spark.sources.io import jdbc_roundtrip
+    from cocktails_data_engineering_spark.sources.io import (
+        LAST_JDBC_RUN,
+        jdbc_roundtrip,
+    )
 
     row = jdbc_roundtrip(spark, sf_dir).collect()[0]
-    assert row["sink"] == "jdbc_derby_embedded"
+    assert LAST_JDBC_RUN["sink"] == "jdbc_derby_embedded"
     assert row["roundtrip_ok"] is True
-    assert row["n_written"] == row["n_read"] > 0
+    assert LAST_JDBC_RUN["n_written"] == LAST_JDBC_RUN["n_read"] == row["n_rows"] > 0

@@ -99,6 +99,51 @@ def test_connected_components_laws(spark, raw_pairs):
     assert set(labels) == set(parent)
 
 
+@given(st.lists(
+    st.tuples(st.integers(0, 60), st.integers(0, 60)).filter(lambda p: p[0] != p[1]),
+    min_size=1, max_size=60,
+))
+@_slow
+def test_cc_kernels_agree_on_random_graphs(spark, raw_pairs):
+    """Differential: the production anchor-hopping kernel and the plain
+    min-label-propagation reference must emit identical labelings on any
+    graph (VERDICT r10 #4)."""
+    from cocktails_data_engineering_spark.operators.dedup import (
+        connected_components_labelprop,
+    )
+
+    df = spark.createDataFrame(raw_pairs, "doc_a long, doc_b long")
+    fast = {r.node: r.cluster_id for r in connected_components(df).collect()}
+    ref = {r.node: r.cluster_id for r in connected_components_labelprop(df).collect()}
+    assert fast == ref
+
+
+def test_cc_anchor_hopping_is_log_rounds_on_chains(spark):
+    """The pathological case the kernel swap targets: a 48-node path graph
+    (diameter 47).  Plain propagation needs O(diameter) rounds to carry
+    the min label to the far end; pointer doubling squares the reach per
+    round, so the anchor-hopping kernel must finish in O(log n) rounds —
+    with the identical labeling."""
+    from cocktails_data_engineering_spark.operators import dedup
+
+    n = 48
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    fast = {r.node: r.cluster_id for r in dedup.connected_components(chain).collect()}
+    fast_rounds = dedup._LAST_CC_ROUNDS["anchor_hop"]
+    assert fast == {i: 0 for i in range(n)}
+    assert fast_rounds <= 10, fast_rounds  # log2(48) ≈ 5.6 plus convergence checks
+
+    ref = {
+        r.node: r.cluster_id
+        for r in dedup.connected_components_labelprop(chain).collect()
+    }
+    ref_rounds = dedup._LAST_CC_ROUNDS["labelprop"]
+    assert ref == fast
+    assert ref_rounds >= n // 2, ref_rounds  # O(diameter): the cost being removed
+
+
 def test_fuzzy_ed1_blocking_is_complete(spark, sf_dir):
     """Deletion-neighborhood blocking is EXACT for edit distance 1: the
     candidates→verify result must equal the brute-force levenshtein

@@ -31,19 +31,24 @@ def test_approx_distinct_within_5pct_of_exact(spark, sf_dir):
 
 
 def test_jdbc_roundtrip_reports_ok(spark, sf_dir):
+    from cocktails_data_engineering_spark.sources.io import LAST_JDBC_RUN
+
     row = jdbc_roundtrip(spark, sf_dir).collect()[0]
     assert row.roundtrip_ok
-    assert row.n_written == row.n_read > 0
-    assert row.sink in ("jdbc", "jdbc_derby_embedded", "parquet_fallback")
+    assert row.n_rows > 0
+    assert LAST_JDBC_RUN["n_written"] == LAST_JDBC_RUN["n_read"] == row.n_rows
+    assert LAST_JDBC_RUN["sink"] in (
+        "jdbc", "jdbc_derby_embedded", "parquet_fallback"
+    )
 
 
 def test_rows_only_set_is_pinned(spark):
     """Tripwire: every query that CAN be oracled IS.  The approximate
-    sketches were promoted to bounded-contract oracles in r9 (exact value
-    + within_bound boolean, the approx_percentile_prices pattern), so the
-    rows-only set is exactly the side-effectful JDBC smoke — any
-    accidental oracle removal or un-oracled new query fails here."""
+    sketches were promoted to bounded-contract oracles in r9 and the JDBC
+    roundtrip to a read-back value contract in r11, so the rows-only set
+    is EMPTY — any accidental oracle removal or un-oracled new query
+    fails here."""
     from cocktails_data_engineering_spark.plans.queries import all_oracles, all_queries
 
     rows_only = set(all_queries()) - set(all_oracles())
-    assert rows_only == {"jdbc_roundtrip"}
+    assert rows_only == set()
