@@ -126,9 +126,16 @@ def _warm(spark, sf_dir: str) -> None:
     exercises a distinct worker module, so whichever Python-backed query the
     sweep hits first is timed at steady state, not daemon cold-start."""
     try:
-        from cocktails_data_engineering_spark.sources.tables import load
+        from cocktails_data_engineering_spark.sources.tables import TABLES, load
 
-        load(spark, sf_dir, "lineitem").write.format("noop").mode("overwrite").save()
+        # One noop scan per table: parquet footers + column metadata are
+        # session-cached on first touch, so without this the first headline
+        # query that reads a given table is charged its footer I/O (the
+        # r10→r11 headline audit measured q1/broadcast_join_dims paying
+        # first-touch scan overhead even at min-of-3).  Warm-up precedes
+        # timing by this harness's documented method.
+        for t in TABLES:
+            load(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
     except Exception:
         pass
     try:  # Python DataSource reader workers

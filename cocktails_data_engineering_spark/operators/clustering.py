@@ -732,3 +732,179 @@ def pca_power_iteration_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     sign = -1.0 if v[pick] < 0 else 1.0
     out = [(i, round_half_up(v[i] * sign, 9)) for i in range(DIM)]
     return spark.createDataFrame(out, "dim int, loading double").orderBy("dim")
+
+
+# ---------------------------------------------------------------------------
+# IVF index sizing planner: price nlist/nprobe BEFORE building the index
+# ---------------------------------------------------------------------------
+PLAN_NLISTS = (4, 8, 16, 32)
+PLAN_NPROBES = (1, 2, 4)
+PLAN_SAMPLE = 512  # deterministic training sample — the planner's FIXED cost
+
+
+def _ivf_plan_oracle() -> str:
+    """DuckDB twin: the same md5-ranked sample, per-nlist seed codebook,
+    rounded-fold assignment, cell census, and probe-mass curve, unrolled
+    per candidate nlist."""
+    parts = [
+        """vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+)""",
+        f"""sample AS MATERIALIZED (
+  SELECT vec_id, emb FROM (
+    SELECT vec_id, emb,
+           ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+    FROM vecs) t
+  WHERE rk <= {PLAN_SAMPLE}
+)""",
+        "sn AS (SELECT CAST(COUNT(*) AS BIGINT) AS s FROM sample)",
+    ]
+    max_p = max(PLAN_NPROBES)
+    for k in PLAN_NLISTS:
+        parts.append(f"""init{k} AS MATERIALIZED (
+  SELECT vec_id AS cid, emb AS cemb
+  FROM sample ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k}
+),
+flat{k} AS (
+  SELECT s.vec_id, c.cid, unnest(s.emb) AS vx, unnest(c.cemb) AS cx
+  FROM sample s, init{k} c
+),
+d{k} AS (
+  SELECT vec_id, cid, ROUND(SUM((vx - cx) * (vx - cx)), 6) AS d2
+  FROM flat{k} GROUP BY vec_id, cid
+),
+r{k} AS (
+  SELECT vec_id, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+  FROM d{k}
+),
+sz{k} AS (
+  SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_c FROM r{k} WHERE rk = 1 GROUP BY cid
+),
+cellstats{k} AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_cells_used,
+         CAST(MAX(n_c) AS BIGINT) AS max_c,
+         CAST(SUM(n_c * n_c) AS BIGINT) AS sum_sq
+  FROM sz{k}
+),
+probesum{k} AS (
+  SELECT {", ".join(f"CAST(SUM(CASE WHEN r.rk <= {p} THEN z.n_c ELSE 0 END) AS BIGINT) AS c{p}" for p in PLAN_NPROBES)}
+  FROM r{k} r LEFT JOIN sz{k} z USING (cid) WHERE r.rk <= {max_p}
+),
+met{k} AS (
+  SELECT {k} AS nlist, cs.n_cells_used,
+         ROUND(CAST(cs.max_c AS DOUBLE) / sn.s, 6) AS max_cell_share,
+         ROUND({k} * CAST(cs.sum_sq AS DOUBLE) / (sn.s * sn.s), 6)
+           AS imbalance_factor,
+         {", ".join(f"ROUND(CAST(ps.c{p} AS DOUBLE) / (sn.s * sn.s), 6) AS scan_frac_p{p}" for p in PLAN_NPROBES)}
+  FROM cellstats{k} cs, probesum{k} ps, sn
+)""")
+    union = "\nUNION ALL\n".join(f"SELECT * FROM met{k}" for k in PLAN_NLISTS)
+    return "WITH " + ",\n".join(parts) + f"\n{union}\nORDER BY nlist"
+
+
+@register("ivf_index_plan_curve", oracle=_ivf_plan_oracle())
+def ivf_index_plan_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index sizing planner — the ANN twin of the LSH banding planner
+    (``lsh_band_plan_curve``): BEFORE paying for a full codebook build +
+    inverted-list assignment over the corpus, price every candidate
+    ``nlist`` in {PLAN_NLISTS} from a FIXED {PLAN_SAMPLE}-vector
+    deterministic sample (md5-rank order, the engine's seeding device).
+    Per nlist it reports the cell census (cells actually used, max cell
+    share), the standard IVF imbalance factor nlist·Σ share² (1.0 =
+    perfectly balanced; the expected slow-down multiplier of a random
+    probe), and the measured scan fraction at nprobe ∈ {PLAN_NPROBES} —
+    the fraction of the corpus a query would actually score.  A pipeline
+    owner reads this curve to pick nlist/nprobe for the recall/cost
+    target before committing the 100 TB index build.
+
+    Determinism: the sample, seeds, rounded-fold distances, and argmin
+    tiebreak are the proven kmeans devices; every reported metric reduces
+    to exact integer counts divided once in double and rounded to 6 — no
+    order-dependent float accumulation anywhere.
+
+    Plan at 100 TB: the planner's cost is FIXED — {PLAN_SAMPLE} sampled
+    vectors × at most {max(PLAN_NLISTS)} seed centroids, independent of
+    corpus size (the sample is one md5-rank top-k over the vec_id/emb
+    projection; everything after operates on ≤{PLAN_SAMPLE}·nlist rows).
+    Like the banding planner, no inverted list is ever materialized."""
+    vecs = _vectors(spark, sf_dir)
+    # orderBy+limit plans as TakeOrderedAndProject (per-partition top-k,
+    # then a k-row merge) — the scalable spelling of the md5-rank sample;
+    # a global ROW_NUMBER window would sort the whole projection on one
+    # partition.
+    sample = materialize(
+        vecs.select(
+            "vec_id", "emb", F.md5(F.col("vec_id").cast("string")).alias("h")
+        )
+        .orderBy("h", "vec_id")
+        .limit(PLAN_SAMPLE)
+        .drop("h")
+    )
+    s = sample.count()  # O(1): ≤ PLAN_SAMPLE by construction
+    max_p = max(PLAN_NPROBES)
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with("emb", "cemb", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    mets = []
+    for k in PLAN_NLISTS:
+        cents = _init_centroids_dyn(sample, k)
+        wv = Window.partitionBy("vec_id").orderBy("d2", "cid")
+        ranked = (
+            sample.crossJoin(F.broadcast(cents))
+            .select("vec_id", "cid", d2.alias("d2"))
+            .withColumn("rk", F.row_number().over(wv))
+        )
+        sizes = (
+            ranked.filter(F.col("rk") == 1)
+            .groupBy("cid")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_c"))
+        )
+        cellstats = sizes.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cells_used"),
+            F.max("n_c").cast("bigint").alias("max_c"),
+            F.sum(F.col("n_c") * F.col("n_c")).cast("bigint").alias("sum_sq"),
+        )
+        probesum = (
+            ranked.filter(F.col("rk") <= max_p)
+            .join(sizes, "cid", "left")
+            .agg(
+                *[
+                    F.sum(
+                        F.when(F.col("rk") <= p, F.coalesce("n_c", F.lit(0)))
+                        .otherwise(0)
+                    )
+                    .cast("bigint")
+                    .alias(f"c{p}")
+                    for p in PLAN_NPROBES
+                ]
+            )
+        )
+        mets.append(
+            cellstats.crossJoin(probesum).select(
+                F.lit(k).cast("int").alias("nlist"),
+                "n_cells_used",
+                F.round(F.col("max_c").cast("double") / s, 6).alias(
+                    "max_cell_share"
+                ),
+                F.round(
+                    F.lit(k) * F.col("sum_sq").cast("double") / (s * s), 6
+                ).alias("imbalance_factor"),
+                *[
+                    F.round(
+                        F.col(f"c{p}").cast("double") / (s * s), 6
+                    ).alias(f"scan_frac_p{p}")
+                    for p in PLAN_NPROBES
+                ],
+            )
+        )
+    out = mets[0]
+    for m in mets[1:]:
+        out = out.unionByName(m)
+    return out.orderBy("nlist")

@@ -47,6 +47,14 @@ TOP_K = 5
 # remaining the exact-LUT baseline ivfadc_topk is audited against.  All
 # fixture vec_ids are < 500, so sf0.001/sf0.01 results are unchanged.
 ADC_PROBE_CAP = 500
+# Fixed retrieval workload for the IVF/PQ heads (round 11): a production
+# retrieval benchmark holds the QUERY set fixed while the corpus grows —
+# keying queries to a corpus FRACTION (vec_id % QUERY_MOD alone) made the
+# measured 100x tier run 100x the queries over 100x the corpus (total
+# work quadratic in N).  All driver-fixture vec_ids are < 2000, so
+# sf0.001/0.01/0.1 results (and oracle hashes) are unchanged; only
+# synthetic scale tiers with shifted ids drop the extra probes.
+QUERY_CAP = 2000
 _DEC = "decimal(18,6)"
 _DEC_UPD = "decimal(18,12)"  # centroid-update accumulator (clustering._DEC)
 
@@ -592,7 +600,7 @@ def _ivfadc_chain() -> str:
 {coarse},
 qp_flat AS (
   SELECT v.vec_id, c.cid, unnest(v.emb) AS vx, unnest(c.cemb) AS cx
-  FROM vecs v, cent1 c WHERE v.vec_id % {QUERY_MOD} = 0
+  FROM vecs v, cent1 c WHERE v.vec_id % {QUERY_MOD} = 0 AND v.vec_id < {QUERY_CAP}
 ),
 qp_d AS (
   SELECT vec_id, cid, ROUND(SUM((vx - cx) * (vx - cx)), 6) AS d2
@@ -609,7 +617,8 @@ cand AS (
   FROM qp_a p JOIN L_a l ON l.cid = p.cid
   WHERE l.vec_id <> p.vec_id
 ),
-q AS (SELECT vec_id AS query_id, emb FROM vecs WHERE vec_id % {QUERY_MOD} = 0),
+q AS (SELECT vec_id AS query_id, emb FROM vecs
+     WHERE vec_id % {QUERY_MOD} = 0 AND vec_id < {QUERY_CAP}),
 qsubs AS (
   SELECT query_id, m,
          list_slice(emb, m * {SUB_DIM} + 1, m * {SUB_DIM} + {SUB_DIM}) AS s_emb
@@ -694,9 +703,9 @@ def _ivfadc_scored(
     cb = codebook(vecs)
     codes = encode(vecs, cb).select("vec_id", "m", "code")
 
-    queries = vecs.filter(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("query_id"), "emb"
-    )
+    queries = vecs.filter(
+        (F.col("vec_id") % QUERY_MOD == 0) & (F.col("vec_id") < QUERY_CAP)
+    ).select(F.col("vec_id").alias("query_id"), "emb")
     # nprobe nearest cells per query (same metric as list assignment)
     qd = (
         queries.select(F.col("query_id").alias("vec_id"), "emb")
@@ -830,7 +839,7 @@ rvecs AS (
 {_oracle_encode_chain("rvecs", "r_")},
 qp_flat AS (
   SELECT v.vec_id, c.cid, unnest(v.emb) AS vx, unnest(c.cemb) AS cx
-  FROM vecs v, cent1 c WHERE v.vec_id % {QUERY_MOD} = 0
+  FROM vecs v, cent1 c WHERE v.vec_id % {QUERY_MOD} = 0 AND v.vec_id < {QUERY_CAP}
 ),
 qp_d AS (
   SELECT vec_id, cid, ROUND(SUM((vx - cx) * (vx - cx)), 6) AS d2
@@ -917,7 +926,9 @@ def ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb_r = codebook(rvecs)
     codes_r = encode(rvecs, cb_r).select("vec_id", "m", "code")
 
-    qv = vecs.filter(F.col("vec_id") % QUERY_MOD == 0)
+    qv = vecs.filter(
+        (F.col("vec_id") % QUERY_MOD == 0) & (F.col("vec_id") < QUERY_CAP)
+    )
     qd = (
         qv.crossJoin(F.broadcast(cents1))
         .select("vec_id", "cid", _d2("emb", "cemb").alias("d2"), "emb", "cemb")
@@ -956,3 +967,85 @@ def ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "vec_id", "adc_d2", "rank")
     )
+
+
+@register(
+    "pq_code_usage_audit",
+    oracle=f"""
+WITH {_ORACLE_ENCODE},
+usage AS (
+  SELECT m, code, CAST(COUNT(*) AS BIGINT) AS n_c
+  FROM best GROUP BY m, code
+),
+terms AS (
+  SELECT m, n_c, ROUND(ln(CAST(n_c AS DOUBLE)), 9) AS ln_nc FROM usage
+),
+per_m AS (
+  SELECT m,
+         CAST(COUNT(*) AS BIGINT) AS n_codes_used,
+         CAST(SUM(n_c) AS BIGINT) AS n_vecs,
+         CAST(MAX(n_c) AS BIGINT) AS max_code_n,
+         CAST(SUM(CAST(n_c * ln_nc AS DECIMAL(28,9))) AS DOUBLE) AS s
+  FROM terms GROUP BY m
+)
+SELECT CAST(m AS INT) AS m, n_codes_used,
+       CAST({K} - n_codes_used AS BIGINT) AS n_dead_codes,
+       ROUND(CAST(max_code_n AS DOUBLE) / n_vecs, 6) AS max_code_share,
+       ROUND(ROUND(ln(CAST(n_vecs AS DOUBLE)), 9) - s / n_vecs, 6)
+         AS code_entropy_nats
+FROM per_m ORDER BY m
+""",
+)
+def pq_code_usage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codebook usage audit — the index-quality leg of the PQ family:
+    per subspace, how many of the {K} codewords the corpus actually uses,
+    how many are DEAD (never the argmin — wasted quantization capacity,
+    the standard retrain signal), the hottest codeword's share, and the
+    Shannon entropy of code usage in nats (ln {K} ≈ {round(__import__("math").log(K), 2)}
+    = perfectly balanced; low entropy = the codebook collapsed and ADC
+    distances lose resolution).  A pipeline owner reads this after
+    ``pq_encode_embeddings`` and before trusting ``ivfadc_topk`` recall
+    at 100 TB — dead or collapsed subspaces are invisible in wall-clock
+    but destroy ranking quality.
+
+    Determinism: the proven char_entropy discipline — H = ln(N) −
+    Σ n_c·ln n_c / N with every ln rounded to 9 BEFORE the DECIMAL sum
+    (libm last-ulp differences cannot flip the hash), final values
+    rounded to 6.
+
+    Plan at 100 TB: encode is the linear corpus pass the index build pays
+    anyway; the audit itself aggregates {M}×{K} usage rows — constant
+    size at any corpus scale, map-side combined."""
+    import math  # noqa: F401 — K entropy bound referenced in the docstring
+
+    vecs = materialize(_vectors(spark, sf_dir))
+    codes = encode(vecs, codebook(vecs))
+    usage = codes.groupBy("m", "code").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_c")
+    )
+    terms = usage.select(
+        "m",
+        "n_c",
+        F.round(F.log(F.col("n_c").cast("double")), 9).alias("ln_nc"),
+    )
+    per_m = terms.groupBy("m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_codes_used"),
+        F.sum("n_c").cast("bigint").alias("n_vecs"),
+        F.max("n_c").cast("bigint").alias("max_code_n"),
+        F.sum((F.col("n_c") * F.col("ln_nc")).cast("decimal(28,9)"))
+        .cast("double")
+        .alias("s"),
+    )
+    return per_m.select(
+        F.col("m").cast("int").alias("m"),
+        "n_codes_used",
+        (F.lit(K) - F.col("n_codes_used")).cast("bigint").alias("n_dead_codes"),
+        F.round(
+            F.col("max_code_n").cast("double") / F.col("n_vecs"), 6
+        ).alias("max_code_share"),
+        F.round(
+            F.round(F.log(F.col("n_vecs").cast("double")), 9)
+            - F.col("s") / F.col("n_vecs"),
+            6,
+        ).alias("code_entropy_nats"),
+    ).orderBy("m")

@@ -65,7 +65,9 @@ _SAMPLE_FRONT = (
     # jdbc_roundtrip promotion — each needs a fresh driver hash), then
     # (b) the 32 headline-core keys last driver-checked in r1–r4, then
     # (c) the oldest non-headline keys as the ~50 cut allows.
-    # (a) changed this round
+    # (a) new + changed this round
+    "ivf_index_plan_curve",
+    "pq_code_usage_audit",
     "jdbc_roundtrip",
     "pca_power_iteration_top",
     "maxsim_late_interaction",

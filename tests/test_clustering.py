@@ -64,3 +64,27 @@ def test_kcenter_coreset_greedy_invariants(spark, sf_dir):
     dists = [r.sel_d2 for r in rows[1:]]
     assert all(a >= b for a, b in zip(dists, dists[1:])), dists
     assert all(d > 0 for d in dists)
+
+
+def test_ivf_plan_curve_census_laws(spark, sf_dir):
+    """Sizing-planner invariants: one row per candidate nlist; cells used
+    never exceeds nlist; probe mass is monotone in nprobe and bounded by
+    the whole sample; imbalance >= 1 (Cauchy-Schwarz: nlist * sum(share^2)
+    is 1.0 exactly when cells are perfectly balanced); a larger nlist
+    never scans a LARGER fraction at nprobe=1."""
+    from cocktails_data_engineering_spark.operators.clustering import (
+        PLAN_NLISTS,
+        ivf_index_plan_curve,
+    )
+
+    rows = sorted(
+        ivf_index_plan_curve(spark, sf_dir).collect(), key=lambda r: r.nlist
+    )
+    assert [r.nlist for r in rows] == list(PLAN_NLISTS)
+    for r in rows:
+        assert 1 <= r.n_cells_used <= r.nlist
+        assert 0 < r.max_cell_share <= 1
+        assert r.imbalance_factor >= 0.999999, r
+        assert 0 < r.scan_frac_p1 <= r.scan_frac_p2 <= r.scan_frac_p4 <= 1
+    fracs1 = [r.scan_frac_p1 for r in rows]
+    assert all(a >= b for a, b in zip(fracs1, fracs1[1:])), fracs1
