@@ -66,7 +66,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_spread(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
-    return (
+    # avg_qty/avg_price reuse sum_qty/sum_base_price post-agg (davg is
+    # EXACTLY dsum/count, so deriving the average from the same decimal
+    # sum and per-column count is bit-identical) — 5 decimal
+    # accumulations per row instead of 7; the decimal casts are q1's
+    # dominant per-row cost.
+    agged = (
         li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -74,10 +79,25 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("l_extendedprice")).alias("sum_base_price"),
             dsum(disc_price).alias("sum_disc_price"),
             dsum(charge).alias("sum_charge"),
-            davg(F.col("l_quantity")).alias("avg_qty"),
-            davg(F.col("l_extendedprice")).alias("avg_price"),
-            davg(F.col("l_discount")).alias("avg_disc"),
+            dsum(F.col("l_discount")).alias("_sum_disc"),
+            F.count(F.col("l_quantity")).alias("_n_qty"),
+            F.count(F.col("l_extendedprice")).alias("_n_price"),
+            F.count(F.col("l_discount")).alias("_n_disc"),
             F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+    return (
+        agged.select(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty",
+            "sum_base_price",
+            "sum_disc_price",
+            "sum_charge",
+            (F.col("sum_qty") / F.col("_n_qty")).alias("avg_qty"),
+            (F.col("sum_base_price") / F.col("_n_price")).alias("avg_price"),
+            (F.col("_sum_disc") / F.col("_n_disc")).alias("avg_disc"),
+            "count_order",
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
@@ -358,11 +378,22 @@ GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 """,
 )
 def rollup_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GROUP BY ROLLUP — hierarchical subtotals."""
-    return (
+    """GROUP BY ROLLUP — hierarchical subtotals.
+
+    Same two-level shape as cube_flag_status: base aggregate to the
+    (priority, status) grain with DECIMAL partials, ROLLUP's Expand over
+    the ~15 base rows — exact by decimal-sum associativity."""
+    base = (
         load(spark, sf_dir, "orders")
-        .rollup("o_orderpriority", "o_orderstatus")
-        .agg(F.count(F.lit(1)).alias("n_orders"), dsum(F.col("o_totalprice")).alias("total_price"))
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.col("o_totalprice").cast(DEC)).alias("_sp"),
+        )
+    )
+    return base.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.sum("_n").alias("n_orders"),
+        F.sum("_sp").cast("double").alias("total_price"),
     )
 
 
@@ -377,11 +408,27 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
 """,
 )
 def cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GROUP BY CUBE — all grouping-set combinations."""
-    return (
+    """GROUP BY CUBE — all grouping-set combinations.
+
+    Two-level plan: one base aggregate to the (flag, status) grain keeps
+    the DECIMAL partials, then the CUBE's Expand runs over those ~6 rows
+    instead of multiplying the fact scan by 4 grouping sets (a direct
+    cube pays the per-row decimal cast once per grouping set).  Exact:
+    decimal sums are associative, so summing per-group partials and
+    casting to double at the END is bit-identical to the single-level
+    dsum — the same reasoning the map-side partial aggregation relies
+    on, applied across grouping sets."""
+    base = (
         load(spark, sf_dir, "lineitem")
-        .cube("l_returnflag", "l_linestatus")
-        .agg(F.count(F.lit(1)).alias("n_items"), dsum(F.col("l_quantity")).alias("sum_qty"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.col("l_quantity").cast(DEC)).alias("_sq"),
+        )
+    )
+    return base.cube("l_returnflag", "l_linestatus").agg(
+        F.sum("_n").alias("n_items"),
+        F.sum("_sq").cast("double").alias("sum_qty"),
     )
 
 
