@@ -25,7 +25,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.numerics import DEC, davg, dsum, oracle_davg, oracle_dsum
+from ..functions.numerics import DEC, dsum, oracle_davg, oracle_dsum
 from ..registry import register
 from ..sources.tables import load, load_dim, load_spread
 
@@ -324,14 +324,28 @@ ORDER BY o_orderstatus
 )
 def groupby_agg_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """count / countDistinct per group — the crawl-stats query over the
-    reference's depth-stamped edge table (web_spider_oo.py:318)."""
-    return (
+    reference's depth-stamped edge table (web_spider_oo.py:318).
+
+    Two-level plan: mixing countDistinct with plain aggregates makes
+    Catalyst rewrite through an Expand that doubles the scanned rows;
+    pre-aggregating to the (status, custkey) grain (counts + DECIMAL
+    partials, map-side combined) and finishing on the distinct grain
+    computes the identical values — n_customers is the second level's
+    plain COUNT — with no Expand (measured 0.64s → 0.47s at sf0.1)."""
+    base = (
         load(spark, sf_dir, "orders")
-        .groupBy("o_orderstatus")
+        .groupBy("o_orderstatus", "o_custkey")
         .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.countDistinct("o_custkey").alias("n_customers"),
-            dsum(F.col("o_totalprice")).alias("total_price"),
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.col("o_totalprice").cast(DEC)).alias("_tp"),
+        )
+    )
+    return (
+        base.groupBy("o_orderstatus")
+        .agg(
+            F.sum("_n").alias("n_orders"),
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("_tp").cast("double").alias("total_price"),
         )
         .orderBy("o_orderstatus")
     )
@@ -355,15 +369,27 @@ def agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global multi-aggregate: sum/avg/min/max/count over measures and
     timestamps (README's price-analytics intent)."""
     li = load(spark, sf_dir, "lineitem")
-    return li.agg(
+    # avg_price derives post-agg from the SAME decimal sum (davg is
+    # exactly dsum/count) — one fewer per-row decimal accumulation.
+    agged = li.agg(
         F.count(F.lit(1)).alias("n_rows"),
         dsum(F.col("l_extendedprice")).alias("sum_price"),
-        davg(F.col("l_extendedprice")).alias("avg_price"),
+        F.count(F.col("l_extendedprice")).alias("_n_price"),
         F.min("l_extendedprice").alias("min_price"),
         F.max("l_extendedprice").alias("max_price"),
         dsum(F.col("l_quantity")).alias("sum_qty"),
         F.date_format(F.min("l_shipdate"), "yyyy-MM-dd HH:mm:ss").alias("min_shipdate_str"),
         F.date_format(F.max("l_shipdate"), "yyyy-MM-dd HH:mm:ss").alias("max_shipdate_str"),
+    )
+    return agged.select(
+        "n_rows",
+        "sum_price",
+        (F.col("sum_price") / F.col("_n_price")).alias("avg_price"),
+        "min_price",
+        "max_price",
+        "sum_qty",
+        "min_shipdate_str",
+        "max_shipdate_str",
     )
 
 
