@@ -797,3 +797,25 @@ def test_contamination_and_repetition_stay_gram_keyed(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "BatchEvalPython" not in plan, name
+
+
+def test_grouping_set_expands_run_over_preaggregates(spark, sf_dir):
+    """r11 aggregate rework contract: CUBE/ROLLUP's Expand must consume the
+    BASE-GRAIN pre-aggregate (a handful of rows), never the fact scan —
+    in the parent-first plan text a HashAggregate must sit between the
+    Expand and the FileScan; and groupby_agg_depth's two-level rewrite
+    must keep the mixed distinct/plain aggregate Expand-free."""
+    qs = plans.all_queries()
+    for name in ("cube_flag_status", "rollup_priority_status"):
+        plan = qs[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "Expand" in plan, name  # grouping sets still go through Expand
+        below_expand = plan[plan.rindex("Expand"):]
+        scan_at = below_expand.index("FileScan")
+        assert "HashAggregate" in below_expand[:scan_at], (
+            f"{name}: Expand feeds the raw scan (pre-aggregate rewrite lost)"
+        )
+    depth_plan = (
+        qs["groupby_agg_depth"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Expand" not in depth_plan, "countDistinct Expand reappeared"
