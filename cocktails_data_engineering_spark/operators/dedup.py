@@ -2452,3 +2452,84 @@ def near_dup_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+@register(
+    "chain_edge_audit",
+    oracle=f"""
+WITH RECURSIVE {_ORACLE_CANDIDATES},
+edges AS (SELECT doc_a AS u, doc_b AS v FROM cands
+          UNION SELECT doc_b, doc_a FROM cands),
+corroborated AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cands c
+  JOIN edges e1 ON e1.u = c.doc_a
+  JOIN edges e2 ON e2.u = c.doc_b AND e2.v = e1.v
+  WHERE e1.v <> c.doc_a AND e1.v <> c.doc_b
+  GROUP BY c.doc_a, c.doc_b
+),
+reach(node, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r
+),
+clusters AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node),
+sizes AS (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS s
+  FROM clusters GROUP BY cluster_id
+)
+SELECT c.doc_a, c.doc_b, cl.cluster_id, z.s AS cluster_size
+FROM cands c
+LEFT JOIN corroborated cm ON cm.doc_a = c.doc_a AND cm.doc_b = c.doc_b
+JOIN clusters cl ON cl.node = c.doc_a
+JOIN sizes z ON z.cluster_id = cl.cluster_id
+WHERE cm.doc_a IS NULL AND z.s >= 3
+ORDER BY c.doc_a, c.doc_b
+""",
+)
+def chain_edge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The review LIST behind ``near_dup_transitivity_audit``'s counts:
+    every candidate edge inside a cluster of size ≥ 3 whose endpoints
+    share NO common neighbor — a single uncorroborated near-dup judgment
+    that alone welds its two sides into one cluster.  These are exactly
+    the edges a pipeline owner inspects (or re-verifies with exact
+    Jaccard) before transitive dedup deletes documents that never
+    matched each other; a triangle-supported edge is safe by
+    corroboration, a chain edge is one banding fluke away from a wrong
+    merge.  Size-2 clusters are excluded: their single edge is trivially
+    uncorroborated and dropping it just un-merges the pair.
+
+    Plan: candidate pairs come from the session-cached checkpoint; the
+    corroboration test is one self-join of the symmetric edge list keyed
+    on the shared neighbor (candidate-pair-sized, never corpus-sized);
+    CC labels come from the anchor-hopping kernel.  At 100 TB this costs
+    Σ deg(a)·deg(b) over candidate edges — bounded by the hot-bucket cap
+    that already bounds the candidate join itself."""
+    pairs = minhash_candidates(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        .distinct()
+        .transform(materialize)
+    )
+    e1 = edges.select(F.col("u").alias("a1"), F.col("v").alias("w1"))
+    e2 = edges.select(F.col("u").alias("b2"), F.col("v").alias("w2"))
+    corroborated = (
+        pairs.join(e1, F.col("doc_a") == F.col("a1"))
+        .join(e2, (F.col("doc_b") == F.col("b2")) & (F.col("w1") == F.col("w2")))
+        .filter((F.col("w1") != F.col("doc_a")) & (F.col("w1") != F.col("doc_b")))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    weak = pairs.join(corroborated, ["doc_a", "doc_b"], "left_anti")
+    cc = connected_components(pairs)
+    sizes = cc.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return (
+        weak.join(cc.withColumnRenamed("node", "doc_a"), "doc_a")
+        .join(sizes, "cluster_id")
+        .filter(F.col("cluster_size") >= 3)
+        .select("doc_a", "doc_b", "cluster_id", "cluster_size")
+        .orderBy("doc_a", "doc_b")
+    )

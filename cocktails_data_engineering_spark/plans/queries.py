@@ -68,6 +68,7 @@ _SAMPLE_FRONT = (
     # (a) new + changed this round
     "ivf_index_plan_curve",
     "pq_code_usage_audit",
+    "chain_edge_audit",
     "jdbc_roundtrip",
     "pca_power_iteration_top",
     "maxsim_late_interaction",

@@ -136,3 +136,80 @@ def test_winnowing_locality_guarantee(spark, tmp_path):
     }
     assert (1, 2) in pairs and pairs[(1, 2)] >= 3
     assert all(3 not in p for p in pairs)
+
+
+def test_chain_edge_audit_flags_exactly_uncorroborated_edges(spark, sf_dir):
+    """Every emitted edge must (a) be a real candidate pair, (b) sit in a
+    cluster of size >= 3, and (c) have endpoints with NO common candidate
+    neighbor — verified against a Python adjacency reference built from
+    the same candidate set."""
+    from cocktails_data_engineering_spark.operators.dedup import (
+        chain_edge_audit,
+        minhash_candidates,
+    )
+
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_candidates(spark, sf_dir).select("doc_a", "doc_b").collect()
+    }
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    # Python reference components (union-find)
+    parent: dict[int, int] = {n: n for n in adj}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp: dict[int, list[int]] = {}
+    for n in adj:
+        comp.setdefault(find(n), []).append(n)
+
+    got = chain_edge_audit(spark, sf_dir).collect()
+    expected = {
+        (a, b)
+        for a, b in pairs
+        if len(comp[find(a)]) >= 3 and not (adj[a] & adj[b] - {a, b})
+    }
+    assert {(r.doc_a, r.doc_b) for r in got} == expected
+    for r in got:
+        assert r.cluster_size == len(comp[find(r.doc_a)])
+        assert r.cluster_id == min(comp[find(r.doc_a)])
+
+
+def test_chain_edge_audit_on_planted_graph(spark, monkeypatch):
+    """Planted topology (the small driver fixtures contain no size->=3
+    chained clusters, so this pins the predicate itself): a 3-path emits
+    both of its edges, a triangle emits none, an isolated pair is
+    excluded by the size gate, and a triangle with a pendant emits
+    exactly the pendant edge."""
+    from cocktails_data_engineering_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 2), (2, 3),                      # path: both edges weak
+            (10, 11), (10, 12), (11, 12),        # triangle: all corroborated
+            (20, 21),                            # pair: size-2, excluded
+            (30, 31), (30, 32), (31, 32), (31, 33),  # triangle + pendant 33
+        ],
+        "doc_a long, doc_b long",
+    )
+    monkeypatch.setattr(dedup, "minhash_candidates", lambda s, d: pairs)
+    got = {
+        (r.doc_a, r.doc_b): (r.cluster_id, r.cluster_size)
+        for r in dedup.chain_edge_audit(spark, "unused").collect()
+    }
+    assert got == {
+        (1, 2): (1, 3),
+        (2, 3): (1, 3),
+        (31, 33): (30, 4),
+    }
