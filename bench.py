@@ -106,7 +106,21 @@ def _passes_from_argv(argv: list[str]) -> int:
     buys the headline two more chances to dodge a load spike)."""
     if "--passes" in argv:
         return max(1, int(argv[argv.index("--passes") + 1]))
-    return max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
+    # Default raised 3 → 5 in round 12 (VERDICT r11 #3/#8): r11's real
+    # aggregate wins were invisible in the recorded headline because the
+    # box ran ~30% hotter during the official run; two extra passes cost
+    # ~25 s and buy two more chances per query to dodge ambient load.
+    return max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "5")))
+
+
+def _loadavg() -> float | None:
+    """1-minute load average — recorded alongside timings so cross-round
+    headline deltas can be read against ambient contention on this shared
+    host (VERDICT r11 #8) instead of being confounded by it."""
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:
+        return None
 
 
 def _time_query(fn, spark, sf_dir: str) -> float:
@@ -164,8 +178,13 @@ def main() -> None:
     _warm(spark, sf_dir)
 
     # ---- Phase 1: headline set FIRST, clean session, min-of-passes ----
+    load_start = _loadavg()
     headline_t: dict[str, float | None] = {}
+    headline_loads: list[float] = []
     for _ in range(passes):
+        la = _loadavg()
+        if la is not None:
+            headline_loads.append(la)
         for name in HEADLINE:
             fn = qs.get(name)
             if fn is None:
@@ -249,6 +268,11 @@ def main() -> None:
     detail = {
         "sf": _sf_of(sf_dir),
         "headline_sec": headline,
+        "load_avg_1m": {
+            "start": load_start,
+            "headline_passes": headline_loads,
+            "end": _loadavg(),
+        },
         "method": (
             "headline timed first on a clean session (min of "
             f"{passes} passes), then full single-pass sweep, then top-"
@@ -278,6 +302,11 @@ def main() -> None:
         ),
         "value": headline,
         "unit": "sec",
+        "load_avg_1m": {
+            "start": load_start,
+            "headline_passes": headline_loads,
+            "end": _loadavg(),
+        },
         "queries": {n: timings.get(n) for n in HEADLINE},
         "sf": _sf_of(sf_dir),
         "total_all_queries_sec": round(sum(ran), 3),

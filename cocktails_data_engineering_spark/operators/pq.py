@@ -167,6 +167,87 @@ def encode(vecs: DataFrame, cb: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Shared index artifacts — built ONCE per (session, fixture)
+# ---------------------------------------------------------------------------
+# A real ANN deployment trains the codebook, encodes the corpus, and
+# builds the inverted lists ONCE, then serves every query from those
+# artifacts.  Until round 11 each retrieval head retrained the identical
+# (deterministic) codebook and re-encoded the corpus per invocation —
+# at 100× that was 91–150 s per head of which actual retrieval was a
+# small fraction (SCALE.md r11; VERDICT r11 #2).  These builders
+# memoize the materialized artifact DataFrames in the session-attribute
+# cache (caching.get_or_build): keyed by the embeddings fixture
+# fingerprint so a rewritten fixture rebuilds, scoped to the session so
+# checkpoint blocks never outlive their context.  Every artifact is a
+# deterministic function of the fixture (seeded codebook, engine-stable
+# DECIMAL/round-6 arithmetic), so serving it from cache yields
+# bit-identical query results — the oracles never see the difference.
+
+
+def _artifact_key(sf_dir: str, tag: str) -> tuple:
+    from ..sources.tables import table_fingerprint
+
+    return ("pq", tag, sf_dir, table_fingerprint(sf_dir, "embeddings"))
+
+
+def pq_index_artifacts(spark: SparkSession, sf_dir: str) -> dict:
+    """{vecs, cb, enc}: the materialized corpus, trained codebook, and
+    full corpus encode (vec_id, m, code, d2) — the PQ index build every
+    PQ-family head shares."""
+    from ..caching import get_or_build
+
+    def _build() -> dict:
+        vecs = materialize(_vectors(spark, sf_dir))
+        cb = materialize(codebook(vecs))
+        enc = materialize(encode(vecs, cb))
+        return {"vecs": vecs, "cb": cb, "enc": enc}
+
+    return get_or_build(spark, _artifact_key(sf_dir, "index"), _build)
+
+
+def coarse_quantizer(spark: SparkSession, sf_dir: str) -> dict:
+    """{cents1, lists}: the dynamic-K one-Lloyd-round coarse centroids and
+    the corpus inverted-list assignment (vec_id, cid) — the IVF leg shared
+    by ivfadc_topk / ivfadc_rerank_topk / ivfpq_residual_topk."""
+    from ..caching import get_or_build
+    from .clustering import _assign, _init_centroids_dyn, _update, dyn_k
+
+    def _build() -> dict:
+        vecs = pq_index_artifacts(spark, sf_dir)["vecs"]
+        cents1 = materialize(
+            _update(_assign(vecs, _init_centroids_dyn(vecs, dyn_k(vecs.count()))))
+        )
+        lists = materialize(_assign(vecs, cents1).select("vec_id", "cid"))
+        return {"cents1": cents1, "lists": lists}
+
+    return get_or_build(spark, _artifact_key(sf_dir, "coarse"), _build)
+
+
+def residual_artifacts(spark: SparkSession, sf_dir: str) -> dict:
+    """{cb_r, codes_r}: the residual-trained codebook and the corpus's
+    residual codes — the full-fidelity IVFPQ index leg (PQ over
+    v − coarse centroid)."""
+    from ..caching import get_or_build
+
+    def _build() -> dict:
+        vecs = pq_index_artifacts(spark, sf_dir)["vecs"]
+        coarse = coarse_quantizer(spark, sf_dir)
+        rvecs = materialize(
+            coarse["lists"]
+            .join(vecs, "vec_id")
+            .join(F.broadcast(coarse["cents1"]), "cid")
+            .select(
+                "vec_id", F.zip_with("emb", "cemb", lambda x, y: x - y).alias("emb")
+            )
+        )
+        cb_r = materialize(codebook(rvecs))
+        codes_r = materialize(encode(rvecs, cb_r).select("vec_id", "m", "code"))
+        return {"cb_r": cb_r, "codes_r": codes_r}
+
+    return get_or_build(spark, _artifact_key(sf_dir, "residual"), _build)
+
+
 # DuckDB twin: seed codebook → one Lloyd refinement per subspace →
 # argmin encode against the refined codebook.
 def _oracle_encode_chain(src: str = "vecs", p: str = "") -> str:
@@ -305,10 +386,10 @@ def pq_encode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: codebook broadcast; one shuffle keyed (vec_id, m) with ≤{M}
     rows per vector for the argmin window; the final per-vector rollup
-    combines map-side on vec_id.
+    combines map-side on vec_id.  The encode itself is served from the
+    once-per-(session, fixture) index build (pq_index_artifacts).
     """
-    vecs = _vectors(spark, sf_dir)
-    enc = encode(vecs, codebook(vecs))
+    enc = pq_index_artifacts(spark, sf_dir)["enc"]
     ordered = F.array_sort(F.collect_list(F.struct("m", "code")))
     return enc.groupBy("vec_id").agg(
         F.array_join(
@@ -369,9 +450,9 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation combines map-side; the top-k window partitions per query.
     Recall vs the exact scan is asserted in tests/test_pq.py.
     """
-    vecs = _vectors(spark, sf_dir)
-    cb = codebook(vecs)
-    codes = encode(vecs, cb).select("vec_id", "m", "code")
+    idx = pq_index_artifacts(spark, sf_dir)
+    vecs, cb = idx["vecs"], idx["cb"]
+    codes = idx["enc"].select("vec_id", "m", "code")
 
     # Fixed-size deterministic probe sample (see ADC_PROBE_CAP): keeps the
     # exhaustive baseline O(constant · N) instead of O(N²/MOD).
@@ -690,18 +771,15 @@ def _ivfadc_scored(
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Build the IVFADC pipeline through ADC scoring; returns
     (vecs, queries, scored) so ivfadc_topk and the exact-rerank refine
-    stage share one implementation."""
-    from .clustering import _assign, _init_centroids_dyn, _update, dyn_k
-
-    vecs = _vectors(spark, sf_dir)
-    vecs = materialize(vecs)
-    cents1 = materialize(
-        _update(_assign(vecs, _init_centroids_dyn(vecs, dyn_k(vecs.count()))))
-    )
-    lists = _assign(vecs, cents1).select("vec_id", F.col("cid").alias("list_id"))
-
-    cb = codebook(vecs)
-    codes = encode(vecs, cb).select("vec_id", "m", "code")
+    stage share one implementation.  Every corpus-scale artifact
+    (centroids, inverted lists, codebook, codes) is served from the
+    once-per-(session, fixture) index build."""
+    idx = pq_index_artifacts(spark, sf_dir)
+    coarse = coarse_quantizer(spark, sf_dir)
+    vecs, cb = idx["vecs"], idx["cb"]
+    cents1 = coarse["cents1"]
+    lists = coarse["lists"].select("vec_id", F.col("cid").alias("list_id"))
+    codes = idx["enc"].select("vec_id", "m", "code")
 
     queries = vecs.filter(
         (F.col("vec_id") % QUERY_MOD == 0) & (F.col("vec_id") < QUERY_CAP)
@@ -909,22 +987,15 @@ def ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan at 100 TB: residuals are a map-side zip_with; the residual
     codebook and the Q×nprobe×{M}×{K} LUT broadcast; the scoring join is
     equi on (query, cell, m, code) — candidates never touch raw
-    vectors."""
-    from .clustering import _assign, _init_centroids_dyn, _update, dyn_k
-
-    vecs = materialize(_vectors(spark, sf_dir))
-    cents1 = materialize(
-        _update(_assign(vecs, _init_centroids_dyn(vecs, dyn_k(vecs.count()))))
-    )
-    lists = _assign(vecs, cents1).select("vec_id", "cid")
+    vectors.  The residual index (coarse centroids, residual codebook,
+    residual codes) is served from the once-per-(session, fixture)
+    build (residual_artifacts)."""
+    vecs = pq_index_artifacts(spark, sf_dir)["vecs"]
+    coarse = coarse_quantizer(spark, sf_dir)
+    cents1, lists = coarse["cents1"], coarse["lists"]
     resid = F.zip_with("emb", "cemb", lambda x, y: x - y)
-    rvecs = materialize(
-        lists.join(vecs, "vec_id")
-        .join(F.broadcast(cents1), "cid")
-        .select("vec_id", resid.alias("emb"))
-    )
-    cb_r = codebook(rvecs)
-    codes_r = encode(rvecs, cb_r).select("vec_id", "m", "code")
+    res = residual_artifacts(spark, sf_dir)
+    cb_r, codes_r = res["cb_r"], res["codes_r"]
 
     qv = vecs.filter(
         (F.col("vec_id") % QUERY_MOD == 0) & (F.col("vec_id") < QUERY_CAP)
@@ -1014,12 +1085,12 @@ def pq_code_usage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded to 6.
 
     Plan at 100 TB: encode is the linear corpus pass the index build pays
-    anyway; the audit itself aggregates {M}×{K} usage rows — constant
-    size at any corpus scale, map-side combined."""
+    anyway (served here from the once-per-(session, fixture) build); the
+    audit itself aggregates {M}×{K} usage rows — constant size at any
+    corpus scale, map-side combined."""
     import math  # noqa: F401 — K entropy bound referenced in the docstring
 
-    vecs = materialize(_vectors(spark, sf_dir))
-    codes = encode(vecs, codebook(vecs))
+    codes = pq_index_artifacts(spark, sf_dir)["enc"]
     usage = codes.groupBy("m", "code").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_c")
     )

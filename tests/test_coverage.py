@@ -83,3 +83,15 @@ def test_sample_front_names_only_registered_keys():
     registered = set(plans.all_queries())
     missing = [k for k in plans._SAMPLE_FRONT if k not in registered]
     assert not missing, f"_SAMPLE_FRONT keys not in the registry: {missing}"
+
+
+def test_sample_front_has_no_duplicates():
+    """A duplicated front key silently skews the ~50-cut evidence budget
+    the rotation comments reason about (the _fronted dict keeps only the
+    first occurrence), so the list must be duplicate-free (ADVICE r11)."""
+    from collections import Counter
+
+    from cocktails_data_engineering_spark.plans import queries as plans
+
+    dupes = [k for k, n in Counter(plans._SAMPLE_FRONT).items() if n > 1]
+    assert not dupes, f"_SAMPLE_FRONT duplicate keys: {dupes}"

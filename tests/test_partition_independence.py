@@ -48,18 +48,19 @@ def _rows(spark, sf_dir, name):
 
 @pytest.mark.parametrize("name", SENSITIVE)
 def test_result_identical_under_5_shuffle_partitions(spark, sf_dir, name):
-    from cocktails_data_engineering_spark.operators import dedup, ml
+    from cocktails_data_engineering_spark import caching
+    from cocktails_data_engineering_spark.operators import ml
 
     base = _rows(spark, sf_dir, name)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    # force retraining / signature rebuild under the altered parallelism
+    # force retraining / signature + index rebuild under the altered parallelism
     ml._TRAIN_CACHE.clear()
-    dedup._SIGS_CACHE.clear()
+    caching.clear(spark)
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "5")
         alt = _rows(spark, sf_dir, name)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         ml._TRAIN_CACHE.clear()
-        dedup._SIGS_CACHE.clear()
+        caching.clear(spark)
     assert alt == base, f"{name}: result depends on shuffle partition count"
