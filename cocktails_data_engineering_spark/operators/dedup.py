@@ -30,7 +30,6 @@ from __future__ import annotations
 
 import itertools
 import threading
-import weakref
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -333,47 +332,39 @@ def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The 128-perm SIGNATURE table (doc_id, h0..h127) shared by the banding
-# planner and the adaptive executor — same cache/lock discipline as the
-# candidate table above.  Kept separate from _CANDS_CACHE because the
-# production 32×4 pipeline consumes candidates (post-banding) while the
-# planners consume the pre-banding signatures.  Keyed by the SESSION (not
-# just applicationId like _CANDS_CACHE): consumers embed a temp-view name
-# in SQL text, and temp views are session-local, so a sibling
-# spark.newSession() must build (and register) its own — a cached name or
-# frame from another session would dangle in this one's catalog.
-# WeakKeyDictionary on the SESSION OBJECT, not id(spark): CPython reuses a
-# garbage-collected session's address, so an id() key could hand a new
-# session a cached DataFrame bound to the dead one (ADVICE r10).  The
-# per-session value dict (and its DataFrames) strongly reference the
-# session, so an entry lives exactly as long as code can still reach that
-# session — the lifetime the checkpoint blocks have anyway.
-_SIGS_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
-    weakref.WeakKeyDictionary()
-)
+# planner and the adaptive executor.  Kept separate from _CANDS_CACHE
+# because the production 32×4 pipeline consumes candidates (post-banding)
+# while the planners consume the pre-banding signatures.  Scoped to the
+# SESSION (not just applicationId like _CANDS_CACHE): consumers embed a
+# temp-view name in SQL text, and temp views are session-local, so a
+# sibling spark.newSession() must build (and register) its own — a cached
+# name or frame from another session would dangle in this one's catalog.
+# Lives in the session-attribute cache (caching.get_or_build), keyed by
+# the session OBJECT — not id(spark) (address reuse could hand a new
+# session a dead session's frame, ADVICE r10), and not a module-level
+# WeakKeyDictionary (the cached DataFrames strongly reference the session,
+# so the values would keep the weak key alive forever, ADVICE r11).
 
 
 def minhash_signatures_view(spark: SparkSession, sf_dir: str) -> str:
     """Register a FRESH temp view over the once-per-(session, fixture)
     checkpointed signature table and return its name (consumers embed
     the name in SQL text)."""
+    from ..caching import get_or_build
     from ..sources.tables import table_fingerprint
 
-    key = (sf_dir, table_fingerprint(sf_dir, "documents"))
-    mins = _SIGS_CACHE.get(spark, {}).get(key)
-    if mins is None:
-        with _CANDS_LOCK:
-            mins = _SIGS_CACHE.setdefault(spark, {}).get(key)
-            if mins is None:
-                shingled = _shingles(load_spread(spark, sf_dir, "documents"))
-                hashed = shingled.select("doc_id", _x_col().alias("x"))
-                hview = f"minhash_hashed_{next(_VIEW_COUNTER)}"
-                hashed.createOrReplaceTempView(hview)
-                mins = materialize(
-                    spark.sql(
-                        f"SELECT doc_id, {_SPARK_MINS} FROM {hview} GROUP BY doc_id"
-                    )
-                )
-                _SIGS_CACHE[spark][key] = mins
+    key = ("minhash_sigs", sf_dir, table_fingerprint(sf_dir, "documents"))
+
+    def _build() -> DataFrame:
+        shingled = _shingles(load_spread(spark, sf_dir, "documents"))
+        hashed = shingled.select("doc_id", _x_col().alias("x"))
+        hview = f"minhash_hashed_{next(_VIEW_COUNTER)}"
+        hashed.createOrReplaceTempView(hview)
+        return materialize(
+            spark.sql(f"SELECT doc_id, {_SPARK_MINS} FROM {hview} GROUP BY doc_id")
+        )
+
+    mins = get_or_build(spark, key, _build)
     view = f"minhash_sigs_{next(_VIEW_COUNTER)}"
     mins.createOrReplaceTempView(view)
     return view
@@ -2454,6 +2445,32 @@ def near_dup_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def uncorroborated_pairs(pairs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) candidate edges whose endpoints share NO common
+    neighbor in the candidate graph — single near-dup judgments that
+    alone weld their two sides together.  The corroboration test is one
+    self-join of the symmetric edge list keyed on the shared neighbor
+    (candidate-pair-sized, never corpus-sized); shared by
+    chain_edge_audit (the review list) and chain_edge_reverify (the
+    remediation loop)."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        .distinct()
+        .transform(materialize)
+    )
+    e1 = edges.select(F.col("u").alias("a1"), F.col("v").alias("w1"))
+    e2 = edges.select(F.col("u").alias("b2"), F.col("v").alias("w2"))
+    corroborated = (
+        pairs.join(e1, F.col("doc_a") == F.col("a1"))
+        .join(e2, (F.col("doc_b") == F.col("b2")) & (F.col("w1") == F.col("w2")))
+        .filter((F.col("w1") != F.col("doc_a")) & (F.col("w1") != F.col("doc_b")))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return pairs.join(corroborated, ["doc_a", "doc_b"], "left_anti")
+
+
 @register(
     "chain_edge_audit",
     oracle=f"""
@@ -2506,22 +2523,7 @@ def chain_edge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σ deg(a)·deg(b) over candidate edges — bounded by the hot-bucket cap
     that already bounds the candidate join itself."""
     pairs = minhash_candidates(spark, sf_dir)
-    edges = (
-        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-        .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
-        .distinct()
-        .transform(materialize)
-    )
-    e1 = edges.select(F.col("u").alias("a1"), F.col("v").alias("w1"))
-    e2 = edges.select(F.col("u").alias("b2"), F.col("v").alias("w2"))
-    corroborated = (
-        pairs.join(e1, F.col("doc_a") == F.col("a1"))
-        .join(e2, (F.col("doc_b") == F.col("b2")) & (F.col("w1") == F.col("w2")))
-        .filter((F.col("w1") != F.col("doc_a")) & (F.col("w1") != F.col("doc_b")))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    weak = pairs.join(corroborated, ["doc_a", "doc_b"], "left_anti")
+    weak = uncorroborated_pairs(pairs)
     cc = connected_components(pairs)
     sizes = cc.groupBy("cluster_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("cluster_size")
@@ -2533,3 +2535,333 @@ def chain_edge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "cluster_id", "cluster_size")
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Chain-edge remediation: re-verify the weak edges, split the flukes
+# ---------------------------------------------------------------------------
+# The reverify oracle references the shingle table 4× and the candidate
+# table 5× (two closures + corroboration + verification); DuckDB inlines
+# single-reference CTEs but can re-execute these hubs per reference,
+# which measured >380 s at sf0.001.  MATERIALIZED is a pure execution
+# hint (identical values), and drops the oracle to ~1.5 s.
+_ORACLE_CANDIDATES_MAT = _ORACLE_CANDIDATES.replace(
+    "shingled AS (", "shingled AS MATERIALIZED (", 1
+).replace("\ncands AS (", "\ncands AS MATERIALIZED (", 1)
+
+_REVERIFY_ORACLE = f"""
+WITH RECURSIVE {_ORACLE_CANDIDATES_MAT},
+edges AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM cands
+          UNION SELECT doc_b, doc_a FROM cands),
+reach(node, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r
+),
+clusters AS MATERIALIZED (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node),
+sizes AS MATERIALIZED (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM clusters GROUP BY cluster_id
+),
+corroborated AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cands c
+  JOIN edges e1 ON e1.u = c.doc_a
+  JOIN edges e2 ON e2.u = c.doc_b AND e2.v = e1.v
+  WHERE e1.v <> c.doc_a AND e1.v <> c.doc_b
+  GROUP BY c.doc_a, c.doc_b
+),
+weak AS MATERIALIZED (
+  SELECT c.doc_a, c.doc_b, cl.cluster_id
+  FROM cands c
+  LEFT JOIN corroborated cm ON cm.doc_a = c.doc_a AND cm.doc_b = c.doc_b
+  JOIN clusters cl ON cl.node = c.doc_a
+  JOIN sizes z ON z.cluster_id = cl.cluster_id
+  WHERE cm.doc_a IS NULL AND z.cluster_size >= 3
+),
+wcounts AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingled GROUP BY doc_id),
+wcommon AS (
+  SELECT w.doc_a, w.doc_b, COUNT(*) AS n_common
+  FROM weak w
+  JOIN shingled sa ON sa.doc_id = w.doc_a
+  JOIN shingled sb ON sb.doc_id = w.doc_b AND sb.shingle = sa.shingle
+  GROUP BY w.doc_a, w.doc_b
+),
+refuted AS MATERIALIZED (
+  SELECT w.doc_a, w.doc_b, w.cluster_id
+  FROM weak w
+  LEFT JOIN wcommon c ON c.doc_a = w.doc_a AND c.doc_b = w.doc_b
+  JOIN wcounts ca ON ca.doc_id = w.doc_a
+  JOIN wcounts cb ON cb.doc_id = w.doc_b
+  WHERE COALESCE(CAST(c.n_common AS DOUBLE)
+                 / (ca.n_sh + cb.n_sh - c.n_common), 0.0) < {JACCARD_MIN}
+),
+kept AS MATERIALIZED (
+  SELECT c.doc_a, c.doc_b FROM cands c
+  LEFT JOIN refuted r ON r.doc_a = c.doc_a AND r.doc_b = c.doc_b
+  WHERE r.doc_a IS NULL
+),
+edges2 AS (SELECT doc_a AS u, doc_b AS v FROM kept
+           UNION SELECT doc_b, doc_a FROM kept),
+reach2(node, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges2) t
+  UNION
+  SELECT reach2.node, e.v FROM reach2 JOIN edges2 e ON e.u = reach2.r
+),
+clusters2 AS (SELECT node, MIN(r) AS new_label FROM reach2 GROUP BY node),
+members AS (
+  SELECT cl.node, cl.cluster_id, COALESCE(c2.new_label, cl.node) AS new_label
+  FROM clusters cl LEFT JOIN clusters2 c2 ON c2.node = cl.node
+),
+subs AS (
+  SELECT cluster_id, new_label, COUNT(*) AS sub_n
+  FROM members GROUP BY cluster_id, new_label
+),
+subagg AS (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_subclusters,
+         CAST(MAX(sub_n) AS BIGINT) AS largest_subcluster
+  FROM subs GROUP BY cluster_id
+),
+weak_per AS (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_weak
+  FROM weak GROUP BY cluster_id
+),
+ref_per AS (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_ref
+  FROM refuted GROUP BY cluster_id
+)
+SELECT s.cluster_id, s.cluster_size,
+       CAST(COALESCE(w.n_weak, 0) AS BIGINT) AS n_weak_edges,
+       CAST(COALESCE(rp.n_ref, 0) AS BIGINT) AS n_refuted_edges,
+       a.n_subclusters, a.largest_subcluster
+FROM sizes s
+JOIN subagg a USING (cluster_id)
+LEFT JOIN weak_per w USING (cluster_id)
+LEFT JOIN ref_per rp USING (cluster_id)
+WHERE s.cluster_size >= 3
+ORDER BY s.cluster_id
+"""
+
+
+def reverify_chain_edges(pairs: DataFrame, shingled: DataFrame) -> DataFrame:
+    """The remediation core behind :func:`chain_edge_reverify`, taking the
+    candidate pairs and the (doc_id, shingle) table as inputs so tests can
+    inject a planted banding fluke (the production path feeds the cached
+    LSH candidates and the real shingle table).
+
+    Stages: (1) find the uncorroborated edges inside size-≥3 clusters
+    (chain_edge_audit's review list), (2) recompute EXACT 3-shingle
+    Jaccard for those edges only — candidate-sized work, the unrolled
+    verification from ngram_jaccard_dedup, (3) drop the refuted edges
+    (exact Jaccard < {JACCARD_MIN}, including zero-overlap pairs — the
+    LEFT JOIN keeps edges whose endpoints share no shingle at all) and
+    re-run connected components on what survives, (4) report, per
+    original size-≥3 cluster, how many weak edges it had, how many were
+    refuted, and how the cluster splits (subcluster count + largest
+    surviving subcluster).
+    """
+    pairs = pairs.select("doc_a", "doc_b").transform(materialize)
+    cc = connected_components(pairs)
+    cca = cc.select(F.col("node").alias("doc_a"), "cluster_id")
+    sizes = cc.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    weak = (
+        uncorroborated_pairs(pairs)
+        .join(cca, "doc_a")
+        .join(sizes, "cluster_id")
+        .filter(F.col("cluster_size") >= 3)
+        .select("doc_a", "doc_b", "cluster_id")
+        .transform(materialize)
+    )
+    counts = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = shingled.alias("sa")
+    sb = shingled.alias("sb")
+    common = (
+        weak.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            sb,
+            (F.col("doc_b") == F.col("sb.doc_id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = counts.alias("ca")
+    cb = counts.alias("cb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("ca.n_sh") + F.col("cb.n_sh") - F.col("n_common")
+    )
+    refuted = (
+        weak.join(common, ["doc_a", "doc_b"], "left")
+        .join(ca, F.col("ca.doc_id") == F.col("doc_a"))
+        .join(cb, F.col("cb.doc_id") == F.col("doc_b"))
+        .filter(F.coalesce(jac, F.lit(0.0)) < JACCARD_MIN)
+        .select("doc_a", "doc_b", "cluster_id")
+        .transform(materialize)
+    )
+    kept = pairs.join(refuted.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti")
+    cc2 = connected_components(kept).withColumnRenamed("cluster_id", "nl")
+    members = cc.join(cc2, "node", "left").select(
+        "node", "cluster_id", F.coalesce("nl", "node").alias("new_label")
+    )
+    subs = members.groupBy("cluster_id", "new_label").agg(
+        F.count(F.lit(1)).alias("sub_n")
+    )
+    subagg = subs.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_subclusters"),
+        F.max("sub_n").cast("bigint").alias("largest_subcluster"),
+    )
+    weak_per = weak.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_weak")
+    )
+    ref_per = refuted.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ref")
+    )
+    return (
+        sizes.filter(F.col("cluster_size") >= 3)
+        .join(subagg, "cluster_id")
+        .join(weak_per, "cluster_id", "left")
+        .join(ref_per, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            "cluster_size",
+            F.coalesce("n_weak", F.lit(0)).cast("bigint").alias("n_weak_edges"),
+            F.coalesce("n_ref", F.lit(0)).cast("bigint").alias("n_refuted_edges"),
+            "n_subclusters",
+            "largest_subcluster",
+        )
+        .orderBy("cluster_id")
+    )
+
+
+@register("chain_edge_reverify", oracle=_REVERIFY_ORACLE)
+def chain_edge_reverify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Close the loop ``chain_edge_audit`` opens (VERDICT r11 #5): the
+    audit lists the uncorroborated single edges that alone weld size-≥3
+    clusters together; this operator RE-VERIFIES exactly those edges
+    with exact 3-shingle Jaccard (candidate-sized work — never the
+    corpus), drops the refuted flukes, re-runs connected components on
+    the surviving edge set, and reports per original cluster how it
+    splits.  This is the production answer to the wrong-merge pathology:
+    a banding fluke stops deleting documents that never matched each
+    other, while triangle-corroborated merges are untouched (their edges
+    are never even re-checked).
+
+    Determinism: every output column is an integer count; the refute
+    test compares one exact int/int IEEE division against {JACCARD_MIN}
+    — identical in both engines, no rounding anywhere.
+
+    Plan at 100 TB: weak-edge discovery is the chain_edge_audit plan
+    (edge-list self-join bounded by the hot-bucket cap); exact Jaccard
+    touches only weak-edge endpoints' shingles (|weak| × shingles/doc);
+    both CC runs are the anchor-hopping O(log diameter) kernel; the
+    report is cluster-keyed aggregation over candidate-sized data."""
+    docs = load_spread(spark, sf_dir, "documents")
+    shingled = _shingles(docs).transform(materialize)
+    pairs = minhash_candidates(spark, sf_dir)
+    return reverify_chain_edges(pairs, shingled)
+
+
+# ---------------------------------------------------------------------------
+# Incremental connected components: fold a batch's edges into stored labels
+# ---------------------------------------------------------------------------
+def incremental_cc_from(pairs: DataFrame) -> DataFrame:
+    """The merge core behind :func:`incremental_cc_merge`, taking the full
+    candidate pair list and splitting it on the BATCH_MOD/BATCH_REM
+    ingest convention (shared with incremental_minhash_dedup): base-only
+    edges play the role of yesterday's stored state, edges touching a
+    batch doc are today's delta.
+
+    Merge algebra: contract every base component to its LABEL (min doc
+    id) — a delta edge (u, v) becomes the super-edge (L(u), L(v)), where
+    a node outside the stored labels is its own label.  Connected
+    components over the SUPER-EDGE graph (delta-sized, anchor-hopping
+    kernel) then assigns each touched label the min label of its merged
+    component; untouched labels keep their value.  Because every label
+    is the min doc id of its base component, the min over merged
+    super-nodes IS the global min of the merged full component — so the
+    output is bit-identical to recomputing CC over base+delta from
+    scratch, which is exactly what the oracle does.
+    """
+    pairs = pairs.select("doc_a", "doc_b").transform(materialize)
+    in_batch_a = F.col("doc_a") % BATCH_MOD == BATCH_REM
+    in_batch_b = F.col("doc_b") % BATCH_MOD == BATCH_REM
+    base_pairs = pairs.filter(~in_batch_a & ~in_batch_b)
+    delta_pairs = pairs.filter(in_batch_a | in_batch_b).transform(materialize)
+    # yesterday's stored state: (node, cluster_id) over base-only edges
+    base_labels = connected_components(base_pairs)
+    la = base_labels.select(F.col("node").alias("doc_a"), F.col("cluster_id").alias("la"))
+    lb = base_labels.select(F.col("node").alias("doc_b"), F.col("cluster_id").alias("lb"))
+    super_edges = (
+        delta_pairs.join(la, "doc_a", "left")
+        .join(lb, "doc_b", "left")
+        .select(
+            F.coalesce("la", F.col("doc_a")).alias("doc_a"),
+            F.coalesce("lb", F.col("doc_b")).alias("doc_b"),
+        )
+        .filter(F.col("doc_a") != F.col("doc_b"))  # intra-cluster edges are no-ops
+        .distinct()
+    )
+    super_labels = connected_components(super_edges).select(
+        F.col("node").alias("lab"), F.col("cluster_id").alias("merged")
+    )
+    delta_nodes = (
+        delta_pairs.select(F.col("doc_a").alias("node"))
+        .union(delta_pairs.select("doc_b"))
+        .distinct()
+        .join(base_labels.select("node"), "node", "left_anti")
+        .select("node", F.col("node").alias("lab"))
+    )
+    nodemap = base_labels.select(
+        "node", F.col("cluster_id").alias("lab")
+    ).unionByName(delta_nodes)
+    return nodemap.join(super_labels, "lab", "left").select(
+        F.col("node").alias("doc_id"),
+        F.coalesce("merged", "lab").alias("cluster_id"),
+        F.when(F.col("node") == F.coalesce("merged", "lab"), 1)
+        .otherwise(0)
+        .alias("is_canonical"),
+    )
+
+
+@register(
+    "incremental_cc_merge",
+    oracle=f"""
+WITH RECURSIVE {_ORACLE_CANDIDATES},
+edges AS (SELECT doc_a AS u, doc_b AS v FROM cands
+          UNION SELECT doc_b, doc_a FROM cands),
+reach(node, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r
+)
+SELECT node AS doc_id, MIN(r) AS cluster_id,
+       CASE WHEN node = MIN(r) THEN 1 ELSE 0 END AS is_canonical
+FROM reach GROUP BY node
+""",
+)
+def incremental_cc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cluster maintenance — the daily-ingest shape at 100 TB
+    (VERDICT r11 #6): ``incremental_minhash_dedup`` screens today's batch
+    against the corpus, but until now cluster LABELS were recomputed from
+    scratch over the full edge set each run.  This operator folds only
+    the batch-touching delta edges into yesterday's stored labels: base
+    components contract to their min-id label, delta edges become
+    super-edges between labels, and one anchor-hopping CC over that
+    DELTA-SIZED graph re-labels exactly the affected components.  The
+    full corpus edge set is never re-traversed at merge time.
+
+    The oracle is a FULL RECOMPUTE (dedup_clusters' recursive-CTE
+    transitive closure over base+delta) — the hash match is the proof
+    that the incremental path reproduces from-scratch labels exactly;
+    the same differential is property-tested on random graphs + random
+    splits in tests/test_properties.py.
+
+    Plan at 100 TB: the base CC here bootstraps the "stored state" a
+    deployment would read from yesterday's output (corpus-scale once,
+    amortized across runs); the merge itself is the delta-edge label
+    join (equi, label side is the stored table) + CC over a graph whose
+    node count is bounded by touched components — independent of corpus
+    size for a fixed batch."""
+    return incremental_cc_from(minhash_candidates(spark, sf_dir))

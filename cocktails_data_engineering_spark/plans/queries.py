@@ -59,23 +59,119 @@ for _mod in _OPERATOR_MODULES:
 # driver check is oldest.  Keys not listed keep their module registration
 # order behind these.  Rotate again next round.
 _SAMPLE_FRONT = (
-    # --- round-11 rotation (VERDICT r10 #1: drain the oldest-checked
-    # headline keys).  Order: (a) keys whose code or oracle CHANGED this
-    # round (CC kernel swap, maxsim/PCA rounding, workload DIV, the
-    # jdbc_roundtrip promotion — each needs a fresh driver hash), then
-    # (b) the 32 headline-core keys last driver-checked in r1–r4, then
-    # (c) the oldest non-headline keys as the ~50 cut allows.
-    # (a) new + changed this round
-    "ivf_index_plan_curve",
+    # --- round-12 rotation (VERDICT r11 #1: drain the 73-key r1–r4
+    # driver-hash staleness tail).  Order: (a) the two keys NEW this
+    # round (no driver hash exists for them at all), then (b) the 73
+    # stale keys strictly oldest-check-first (6 r1, 3 r2, 28 r3, then
+    # r4) — the ~50 cut takes (a) plus the first 48 of (b); the
+    # remaining 25 r4 keys sit immediately behind the cut so the r13
+    # rotation finishes the drain.  Keys whose implementation changed
+    # this round but whose results are bit-identical by design (the
+    # session-cached PQ/IVF index artifacts, the null-safe
+    # groupby_agg_depth rewrite) are re-proven exactly by
+    # tests/test_oracle_parity.py every pytest run and queue as (c)
+    # behind the staleness drain.
+    # (a) new this round
+    "chain_edge_reverify",
+    "incremental_cc_merge",
+    # (b) the staleness tail, oldest driver hash first — r1
+    "connected_reachable_pairs",
+    "doc_fingerprint",
+    "graph_degree_stats",
+    "quality_score",
+    "token_count_stats",
+    "wordcount_by_source",
+    # r2
+    "histogram_extendedprice",
+    "profile_orders_columns",
+    "tfidf_top_terms",
+    # r3
+    "above_avg_balance_customers",
+    "cheapest_supplier_per_part",
+    "customer_order_counts_left",
+    "from_json_struct",
+    "grouping_sets_priority_status",
+    "listagg_sources_by_lang",
+    "order_ship_latency",
+    "percentile_quantiles",
+    "pivot_priority_by_status",
+    "q10_returned_item_revenue",
+    "q14_promo_revenue_share",
+    "q18_large_volume_orders",
+    "q19_disjunctive_revenue",
+    "q22_wealthy_inactive",
+    "q3_shipping_priority",
+    "q4_priority_late_ship",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "sessionize_lag_gaps",
+    "sliding_window_agg",
+    "tumbling_window_agg",
+    "unpivot_measures",
+    "window_ntile_quartiles",
+    "window_percent_rank_cume",
+    "window_value_functions",
+    # r4 — first 11 inside the ~50 cut
+    "ann_cosine_lsh",
+    "audio_chunk_segments",
+    "binary_fingerprint",
+    "bm25_keyword_search",
+    "cdc_replay_reconstruct",
+    "chunk_documents_stride",
+    "doc_repetition_stats",
+    "embedding_near_dup_pairs",
+    "embedding_norm_stats",
+    "eval_contamination_overlap",
+    "exact_dedup_by_fingerprint",
+    # ---- ~50 cut lands here ----
+    # r4 remainder (drained by the r13 rotation)
+    "exact_substr_doc_spans",
+    "exact_substr_windows",
+    "incremental_minhash_dedup",
+    "kmeans_assign_embeddings",
+    "line_dedup_boilerplate",
+    "media_feature_extract",
+    "merge_upsert_orders",
+    "multimodal_shard_pipeline",
+    "ngram_jaccard_dedup",
+    "pack_sequences_bins",
+    "pii_scrub_stats",
+    "positional_index_terms",
+    "pq_adc_topk",
+    "pq_encode_embeddings",
+    "rare_token_stats",
+    "simhash_dedup",
+    "stream_exact_dedup",
+    "stream_foreachbatch_upsert",
+    "stream_session_window_agg",
+    "stream_sliding_window_agg",
+    "stream_static_join_enrich",
+    "stream_stream_interval_join",
+    "stream_tumbling_window_agg",
+    "stream_user_event_counts",
+    "video_frame_sample",
+    # (c) implementation changed this round, values identical by design —
+    # fresh driver hashes are free extra evidence once the drain is done
+    "ivfadc_topk",
+    "ivfadc_rerank_topk",
+    "ivfpq_residual_topk",
     "pq_code_usage_audit",
-    "chain_edge_audit",
-    "jdbc_roundtrip",
-    "pca_power_iteration_top",
-    "maxsim_late_interaction",
+    "groupby_agg_depth",
+    "minhash_near_dedup",
     "lsh_band_plan_curve",
     "adaptive_banding_dedup",
     "near_dup_transitivity_audit",
+    "chain_edge_audit",
     "dedup_clusters",
+    # --- prior fronts below keep their relative order as re-samples;
+    # everything past the ~50 cut is free extra evidence.
+    "ivf_index_plan_curve",
+    "jdbc_roundtrip",
+    "pca_power_iteration_top",
+    "maxsim_late_interaction",
     "dedup_canonical_corpus",
     "dedup_keep_longest",
     "entity_resolution_clusters",
@@ -83,7 +179,6 @@ _SAMPLE_FRONT = (
     "dataset_release_pipeline",
     "kmeans_embeddings",
     "ivf_cosine_topk",
-    # (b) stale headline core (last hashed r1–r4)
     "q1_pricing_summary",
     "scan_project",
     "filter_blocklist",
@@ -99,7 +194,6 @@ _SAMPLE_FRONT = (
     "semi_join_active",
     "broadcast_join_dims",
     "union_frontier",
-    "groupby_agg_depth",
     "agg_multi",
     "rollup_priority_status",
     "cube_flag_status",
@@ -112,23 +206,10 @@ _SAMPLE_FRONT = (
     "date_trunc_hourly",
     "session_window_agg",
     "exact_dedup_docs",
-    "minhash_near_dedup",
     "cosine_topk",
     "tokenize_wordcount",
     "bfs_crawl_sim",
-    # (c) oldest non-headline keys (r1–r3) up to the cut
     "bpe_ish_token_count",
-    "connected_reachable_pairs",
-    "doc_fingerprint",
-    "graph_degree_stats",
-    "quality_score",
-    "token_count_stats",
-    "wordcount_by_source",
-    "histogram_extendedprice",
-    "profile_orders_columns",
-    "tfidf_top_terms",
-    # --- prior fronts below (r10, r9, r8 …) keep their relative order as
-    # re-samples; everything past the ~50 cut is free extra evidence.
     "unimax_epoch_weights",
     "skew_key_diagnosis",
     "stream_watermark_drop_audit",
@@ -145,7 +226,6 @@ _SAMPLE_FRONT = (
     "approx_topk_words",
     "hll_distinct_by_type",
     "hll_rolling_7d_users",
-    # --- round-9 additions land here (newest evidence first) ---
     "media_header_decode",
     "context_window_chunks",
     "packing_boundary_stats",
@@ -156,29 +236,23 @@ _SAMPLE_FRONT = (
     "dataset_card_summary",
     "matryoshka_prefix_recall",
     "webdataset_shard_manifest",
-    "dedup_keep_longest",
     "stream_contamination_gate",
     "stream_python_datasource_agg",
-    "dataset_release_pipeline",
     "int8_quant_audit",
-    # --- r8 front below ---
     "lang_id_heuristic",
     "json_parse_robustness",
-    "jdbc_roundtrip",
     "python_datasource_scan",
     "orc_roundtrip_agg",
     "xml_roundtrip_agg",
     "try_arithmetic_safety",
     "null_safe_join_counts",
     "dense_rank_top_price_levels",
-    # --- round-8 additions land here (newest evidence first) ---
     "kcenter_coreset_sample",
     "el2n_prune_deciles",
     "split_leakage_audit",
     "winnowing_fingerprint_pairs",
     "ngram_diversity_by_source",
     "rho_loss_selection",
-    "ivfadc_rerank_topk",
     "doremi_domain_reweight",
     "hits_hub_authority",
     "token_budget_epoch_plan",
@@ -189,17 +263,13 @@ _SAMPLE_FRONT = (
     "dedup_detector_agreement",
     "temperature_mixture_weights",
     "tokenizer_fertility_stats",
-    # --- prior-round keys below (r7 order), re-sampled as the cut allows ---
     "ewma_daily_revenue",
-    "ivfadc_topk",
-    "ivfpq_residual_topk",
     "logistic_regression_gd",
     "dsir_importance_resample",
     "bpe_train_merges",
     "label_propagation_communities",
     "stream_curation_funnel",
     "bootstrap_ci_order_value",
-    # rest of the round-6 additions
     "acf_daily_events",
     "user_active_day_streaks",
     "adamic_adar_link_prediction",
@@ -213,7 +283,6 @@ _SAMPLE_FRONT = (
     "join_cardinality_estimates",
     "bpe_apply_tokenize",
     "stream_user_spend_tws",
-    # r5 statistics / time-series tail
     "kcore_crawl_graph",
     "degree_assortativity",
     "winsorized_price_stats",
@@ -223,22 +292,17 @@ _SAMPLE_FRONT = (
     "rfm_user_segments",
     "embedding_drift_by_label",
     "assoc_rules_brands",
-    # geo / semi-structured
     "geo_nearest_supplier",
     "geo_cell_density",
     "variant_extract_agg",
-    # streaming tail
     "stream_topk_trending",
     "stream_chained_window_agg",
-    # joins / sampling extensions
     "asof_join_last_signup",
     "range_join_recent_activity",
     "salted_topk_words",
     "salted_join_event_enrich",
-    # io roundtrips
     "csv_roundtrip_agg",
     "jsonl_roundtrip_agg",
-    # TPC-H tail
     "q11_important_stock",
     "q12_late_lines_by_status",
     "q13_customer_distribution",

@@ -118,6 +118,31 @@ def test_cc_kernels_agree_on_random_graphs(spark, raw_pairs):
     assert fast == ref
 
 
+@given(st.lists(
+    st.tuples(st.integers(0, 60), st.integers(0, 60)).filter(lambda p: p[0] != p[1]),
+    min_size=1, max_size=60,
+))
+@_slow
+def test_incremental_cc_merge_matches_full_recompute(spark, raw_pairs):
+    """Differential (VERDICT r11 #6): contracting base components to their
+    labels and anchor-hopping only the batch-touching delta edges must
+    reproduce from-scratch CC labels exactly — for ANY graph under the
+    %10==3 ingest split (including delta edges that weld several base
+    clusters, batch-only components, and base docs with no base edges)."""
+    from cocktails_data_engineering_spark.operators.dedup import incremental_cc_from
+
+    pairs = [(min(a, b), max(a, b)) for a, b in raw_pairs]
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    full = {r.node: r.cluster_id for r in connected_components(df).collect()}
+    inc = {
+        r.doc_id: (r.cluster_id, r.is_canonical)
+        for r in incremental_cc_from(df).collect()
+    }
+    assert {k: v[0] for k, v in inc.items()} == full
+    for d, (cl, canon) in inc.items():
+        assert canon == (1 if d == cl else 0)
+
+
 def test_cc_anchor_hopping_is_log_rounds_on_chains(spark):
     """The pathological case the kernel swap targets: a 48-node path graph
     (diameter 47).  Plain propagation needs O(diameter) rounds to carry
