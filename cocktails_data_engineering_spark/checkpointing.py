@@ -25,6 +25,7 @@ Usage (chains in place of ``.localCheckpoint(eager=True)``)::
 
 from __future__ import annotations
 
+from pyspark.storagelevel import StorageLevel
 from pyspark.sql import DataFrame
 
 CHECKPOINT_DIR_CONF = "spark.graft.checkpointDir"
@@ -45,3 +46,24 @@ def materialize(df: DataFrame) -> DataFrame:
             sc.setCheckpointDir(ckpt_dir)
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)
+
+
+def materialize_big(df: DataFrame) -> DataFrame:
+    """:func:`materialize` for intermediates whose row count scales with
+    the INPUT (edge lists, candidate pairs at high duplication) rather
+    than with clusters/labels/metadata.
+
+    ``localCheckpoint``'s default storage holds the materialized blocks
+    on the executor HEAP; a corpus-linear intermediate cached that way
+    competes with shuffle buffers for the same memory and falls over
+    exactly at scale (the 100× co-occurrence edge list is ~120M rows —
+    eager heap caching OOMed a 8 GB local JVM, SCALE.md r12).  DISK_ONLY
+    keeps the lineage cut and the reuse, costs one local spill/reload,
+    and leaves the heap to the operators.  The reliable-checkpoint path
+    (the 100 TB configuration) already writes to durable storage, so the
+    distinction only matters for ``localCheckpoint``.
+    """
+    spark = df.sparkSession
+    if spark.conf.get(CHECKPOINT_DIR_CONF, None):
+        return materialize(df)
+    return df.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)

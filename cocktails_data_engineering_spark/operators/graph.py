@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..checkpointing import materialize
+from ..checkpointing import materialize, materialize_big
 from ..functions.numerics import dsum
 from ..registry import register
 from ..sources.tables import load
@@ -309,7 +309,10 @@ def cooccurrence_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         parts.select(in_array_pairs.alias("p"))
         .select("p.u", "p.v")
         .distinct()
-        .transform(materialize)  # edges feed degrees, wedges, and the probe
+        # edges feed degrees, wedges, and the probe; the list is
+        # input-linear (~120M rows at the 100× tier), so it spills to
+        # local disk instead of competing with shuffle memory for heap
+        .transform(materialize_big)
     )
     deg = (
         edges.select(F.col("u").alias("node"))
@@ -328,7 +331,7 @@ def cooccurrence_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oriented = with_deg.select(
         F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-    ).transform(materialize)
+    ).transform(materialize_big)  # same input-linear scale as `edges`
     # Triangle counting by adjacency intersection, not wedge materialization:
     # a wedge self-join emits Σ d_out² rows into a shuffle before the closing
     # probe; intersecting out-neighbor arrays per edge computes the same
