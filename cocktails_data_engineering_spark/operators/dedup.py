@@ -34,7 +34,7 @@ import threading
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..checkpointing import materialize
+from ..checkpointing import materialize, materialize_big
 from ..registry import register
 from ..sources.tables import load, load_spread
 
@@ -2564,8 +2564,9 @@ _ORACLE_CANDIDATES_MAT = _ORACLE_CANDIDATES.replace(
     "shingled AS (", "shingled AS MATERIALIZED (", 1
 ).replace("\ncands AS (", "\ncands AS MATERIALIZED (", 1)
 
-_REVERIFY_ORACLE = f"""
-WITH RECURSIVE {_ORACLE_CANDIDATES_MAT},
+# CTE chain through `members` (node, original cluster_id, reverified
+# new_label) — shared by the reverify report and the reverified corpus.
+_REVERIFY_CHAIN = f"""{_ORACLE_CANDIDATES_MAT},
 edges AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM cands
           UNION SELECT doc_b, doc_a FROM cands),
 reach(node, r) AS (
@@ -2624,10 +2625,13 @@ reach2(node, r) AS (
   SELECT reach2.node, e.v FROM reach2 JOIN edges2 e ON e.u = reach2.r
 ),
 clusters2 AS (SELECT node, MIN(r) AS new_label FROM reach2 GROUP BY node),
-members AS (
+members AS MATERIALIZED (
   SELECT cl.node, cl.cluster_id, COALESCE(c2.new_label, cl.node) AS new_label
   FROM clusters cl LEFT JOIN clusters2 c2 ON c2.node = cl.node
-),
+)"""
+
+_REVERIFY_ORACLE = f"""
+WITH RECURSIVE {_REVERIFY_CHAIN},
 subs AS (
   SELECT cluster_id, new_label, COUNT(*) AS sub_n
   FROM members GROUP BY cluster_id, new_label
@@ -2658,13 +2662,14 @@ ORDER BY s.cluster_id
 """
 
 
-def reverify_chain_edges(
+def _reverify_parts(
     pairs: DataFrame, shingled: DataFrame, cc: DataFrame | None = None
-) -> DataFrame:
-    """The remediation core behind :func:`chain_edge_reverify`, taking the
-    candidate pairs and the (doc_id, shingle) table as inputs so tests can
-    inject a planted banding fluke (the production path feeds the cached
-    LSH candidates and the real shingle table).
+) -> dict:
+    """The remediation core shared by :func:`chain_edge_reverify` (the
+    split report) and :func:`dedup_canonical_corpus_reverified` (the
+    shippable corpus), taking the candidate pairs and the (doc_id,
+    shingle) table as inputs so tests can inject a planted banding fluke
+    (the production path feeds the cached LSH candidates and labels).
 
     Stages: (1) find the uncorroborated edges inside size-≥3 clusters
     (chain_edge_audit's review list), (2) recompute EXACT 3-shingle
@@ -2672,12 +2677,18 @@ def reverify_chain_edges(
     verification from ngram_jaccard_dedup, (3) drop the refuted edges
     (exact Jaccard < {JACCARD_MIN}, including zero-overlap pairs — the
     LEFT JOIN keeps edges whose endpoints share no shingle at all) and
-    re-run connected components on what survives, (4) report, per
-    original size-≥3 cluster, how many weak edges it had, how many were
-    refuted, and how the cluster splits (subcluster count + largest
-    surviving subcluster).
+    re-run connected components on what survives.
+
+    Returns {"cc", "sizes", "weak", "refuted", "members"}; ``members``
+    is (node, cluster_id, new_label) over the ORIGINAL clustered nodes,
+    where new_label is the reverified component min (a node orphaned by
+    refutation keeps its own id = stays canonical).
+
+    Candidate-sized intermediates checkpoint DISK_ONLY (materialize_big):
+    at the 100× tier a second invocation in one session OOMed the local
+    JVM on accumulated heap-cached blocks.
     """
-    pairs = pairs.select("doc_a", "doc_b").transform(materialize)
+    pairs = pairs.select("doc_a", "doc_b").transform(materialize_big)
     if cc is None:
         cc = connected_components(pairs)
     cca = cc.select(F.col("node").alias("doc_a"), "cluster_id")
@@ -2690,7 +2701,7 @@ def reverify_chain_edges(
         .join(sizes, "cluster_id")
         .filter(F.col("cluster_size") >= 3)
         .select("doc_a", "doc_b", "cluster_id")
-        .transform(materialize)
+        .transform(materialize_big)
     )
     counts = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = shingled.alias("sa")
@@ -2716,12 +2727,25 @@ def reverify_chain_edges(
         .join(cb, F.col("cb.doc_id") == F.col("doc_b"))
         .filter(F.coalesce(jac, F.lit(0.0)) < JACCARD_MIN)
         .select("doc_a", "doc_b", "cluster_id")
-        .transform(materialize)
+        .transform(materialize_big)
     )
     kept = pairs.join(refuted.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti")
     cc2 = connected_components(kept).withColumnRenamed("cluster_id", "nl")
     members = cc.join(cc2, "node", "left").select(
         "node", "cluster_id", F.coalesce("nl", "node").alias("new_label")
+    )
+    return {"cc": cc, "sizes": sizes, "weak": weak, "refuted": refuted, "members": members}
+
+
+def reverify_chain_edges(
+    pairs: DataFrame, shingled: DataFrame, cc: DataFrame | None = None
+) -> DataFrame:
+    """Per-original-cluster split report over :func:`_reverify_parts`:
+    how many weak edges each size-≥3 cluster had, how many were refuted,
+    and how the cluster splits (subcluster count + largest survivor)."""
+    parts = _reverify_parts(pairs, shingled, cc)
+    sizes, weak, refuted, members = (
+        parts["sizes"], parts["weak"], parts["refuted"], parts["members"]
     )
     subs = members.groupBy("cluster_id", "new_label").agg(
         F.count(F.lit(1)).alias("sub_n")
@@ -2781,6 +2805,51 @@ def chain_edge_reverify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reverify_chain_edges(pairs, shingled, cc=cluster_labels(spark, sf_dir))
 
 
+@register(
+    "dedup_canonical_corpus_reverified",
+    oracle=f"""
+WITH RECURSIVE {_REVERIFY_CHAIN},
+drop_set AS (SELECT node FROM members WHERE node <> new_label)
+SELECT d.doc_id, d.source
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT node FROM drop_set)
+""",
+)
+def dedup_canonical_corpus_reverified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shippable corpus AFTER chain-edge remediation — where the
+    reverify loop actually lands: documents are dropped only when they
+    are non-canonical under the REVERIFIED clustering (refuted fluke
+    edges removed, components recomputed).  Versus
+    ``dedup_canonical_corpus``, every document a banding fluke had
+    wrongly welded into someone else's cluster survives: its reverified
+    component min is itself (or its genuine duplicate's), not the
+    fluke-merged cluster's.  Triangle-corroborated merges are untouched
+    — their edges are never re-checked, so the conservative dedup
+    guarantees are unchanged for them.
+
+    Plan at 100 TB: _reverify_parts' candidate-sized work (CC labels
+    from the session cache, exact Jaccard on weak edges only) plus one
+    corpus-sized left-anti join against the drop set — identical to the
+    un-reverified corpus query's final stage."""
+    docs = load_spread(spark, sf_dir, "documents")
+    shingled = _shingles(docs).transform(materialize)
+    parts = _reverify_parts(
+        minhash_candidates(spark, sf_dir),
+        shingled,
+        cc=cluster_labels(spark, sf_dir),
+    )
+    drop = (
+        parts["members"]
+        .filter(F.col("node") != F.col("new_label"))
+        .select(F.col("node").alias("doc_id"))
+    )
+    return (
+        load(spark, sf_dir, "documents")
+        .join(drop, "doc_id", "left_anti")
+        .select("doc_id", "source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Incremental connected components: fold a batch's edges into stored labels
 # ---------------------------------------------------------------------------
@@ -2810,10 +2879,10 @@ def incremental_cc_from(
     output is bit-identical to recomputing CC over base+delta from
     scratch, which is exactly what the oracle does.
     """
-    pairs = pairs.select("doc_a", "doc_b").transform(materialize)
+    pairs = pairs.select("doc_a", "doc_b").transform(materialize_big)
     in_batch_a = _is_batch_doc("doc_a")
     in_batch_b = _is_batch_doc("doc_b")
-    delta_pairs = pairs.filter(in_batch_a | in_batch_b).transform(materialize)
+    delta_pairs = pairs.filter(in_batch_a | in_batch_b).transform(materialize_big)
     if base_labels is None:
         # yesterday's stored state: (node, cluster_id) over base-only edges
         base_labels = connected_components(pairs.filter(~in_batch_a & ~in_batch_b))

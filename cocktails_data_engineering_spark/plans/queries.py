@@ -63,8 +63,8 @@ _SAMPLE_FRONT = (
     # driver-hash staleness tail).  Order: (a) the two keys NEW this
     # round (no driver hash exists for them at all), then (b) the 73
     # stale keys strictly oldest-check-first (6 r1, 3 r2, 28 r3, then
-    # r4) — the ~50 cut takes (a) plus the first 48 of (b); the
-    # remaining 25 r4 keys sit immediately behind the cut so the r13
+    # r4) — the ~50 cut takes (a) plus the first ~47 of (b); the
+    # remaining r4 keys sit immediately behind the cut so the r13
     # rotation finishes the drain.  Keys whose implementation changed
     # this round but whose results are bit-identical by design (the
     # session-cached PQ/IVF index artifacts, the null-safe
@@ -74,6 +74,7 @@ _SAMPLE_FRONT = (
     # (a) new this round
     "chain_edge_reverify",
     "incremental_cc_merge",
+    "dedup_canonical_corpus_reverified",
     # (b) the staleness tail, oldest driver hash first — r1
     "connected_reachable_pairs",
     "doc_fingerprint",

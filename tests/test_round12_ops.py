@@ -137,3 +137,26 @@ def test_session_cache_is_an_attribute_not_a_module_global(spark):
     assert getattr(spark, caching._ATTR)[("t", "k")] is sentinel
     caching.clear(spark)
     assert ("t", "k") not in getattr(spark, caching._ATTR)
+
+
+def test_reverified_drop_set_spares_fluke_victims(spark):
+    """The corpus consequence of the remediation loop: under naive
+    transitive dedup the fluke-welded 4-cluster keeps only doc 1
+    (dropping 2, 3, 4); after reverification the refuted fluke splits
+    the cluster and each genuine pair keeps its own canonical — docs 3
+    survives, only 2 and 4 (true near-dups of 1 and 3) are dropped."""
+    docs = _docs(
+        spark,
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d e f g x"),
+            (3, "p q r s t u v w"),
+            (4, "p q r s t u v y"),
+        ],
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "doc_a long, doc_b long")
+    parts = dedup._reverify_parts(pairs, dedup._shingles(docs))
+    drop = {
+        r.node for r in parts["members"].filter(F.col("node") != F.col("new_label")).collect()
+    }
+    assert drop == {2, 4}  # naive CC would drop {2, 3, 4}
