@@ -42,7 +42,14 @@ def get_spark(app_name: str = "cocktails_spark_engine") -> SparkSession:
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local[32] puts driver + all executor threads in ONE JVM: 32
+        # concurrent tasks' execution memory, broadcast blocks, and
+        # checkpoint storage share this heap.  8g measurably thrashed at
+        # the 100× scale tier (GCLocker retry OOMs on repeated heavy
+        # dedup invocations, SCALE.md r12) on a 128 GiB host; 16g is
+        # still a small fraction of the box and sizes ~0.5g per task
+        # slot, the usual executor-memory floor per core.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         # UI off by default (port + heap overhead on a shared host); the
         # shuffle-bytes audit (tools/shuffle_bytes.py) flips it on to read
         # per-stage metrics from the status REST API.
