@@ -177,12 +177,20 @@ def encode(vecs: DataFrame, cb: DataFrame) -> DataFrame:
 # at 100× that was 91–150 s per head of which actual retrieval was a
 # small fraction (SCALE.md r11; VERDICT r11 #2).  These builders
 # memoize the materialized artifact DataFrames in the session-attribute
-# cache (caching.get_or_build): keyed by the embeddings fixture
+# cache (caching.get_or_build_tables): keyed by the embeddings fixture
 # fingerprint so a rewritten fixture rebuilds, scoped to the session so
 # checkpoint blocks never outlive their context.  Every artifact is a
 # deterministic function of the fixture (seeded codebook, engine-stable
 # DECIMAL/round-6 arithmetic), so serving it from cache yields
 # bit-identical query results — the oracles never see the difference.
+#
+# Round 13 (VERDICT r12 #2): the same builders write through to the
+# DURABLE parquet side-store when ``spark.graft.indexDir`` is set, so a
+# brand-new session (a fresh process) LOADS the index in seconds instead
+# of paying the ~115 s corpus-scale build in-line with its first
+# retrieval query at 100× — the index-on-disk shape a deployment runs.
+# All consumers are row-order-insensitive (ranked windows break ties on
+# explicit keys), so parquet-roundtripped artifacts are value-identical.
 
 
 def _artifact_key(sf_dir: str, tag: str) -> tuple:
@@ -195,7 +203,7 @@ def pq_index_artifacts(spark: SparkSession, sf_dir: str) -> dict:
     """{vecs, cb, enc}: the materialized corpus, trained codebook, and
     full corpus encode (vec_id, m, code, d2) — the PQ index build every
     PQ-family head shares."""
-    from ..caching import get_or_build
+    from ..caching import get_or_build_tables
 
     def _build() -> dict:
         vecs = materialize(_vectors(spark, sf_dir))
@@ -203,14 +211,14 @@ def pq_index_artifacts(spark: SparkSession, sf_dir: str) -> dict:
         enc = materialize(encode(vecs, cb))
         return {"vecs": vecs, "cb": cb, "enc": enc}
 
-    return get_or_build(spark, _artifact_key(sf_dir, "index"), _build)
+    return get_or_build_tables(spark, _artifact_key(sf_dir, "index"), _build)
 
 
 def coarse_quantizer(spark: SparkSession, sf_dir: str) -> dict:
     """{cents1, lists}: the dynamic-K one-Lloyd-round coarse centroids and
     the corpus inverted-list assignment (vec_id, cid) — the IVF leg shared
     by ivfadc_topk / ivfadc_rerank_topk / ivfpq_residual_topk."""
-    from ..caching import get_or_build
+    from ..caching import get_or_build_tables
     from .clustering import _assign, _init_centroids_dyn, _update, dyn_k
 
     def _build() -> dict:
@@ -221,14 +229,14 @@ def coarse_quantizer(spark: SparkSession, sf_dir: str) -> dict:
         lists = materialize(_assign(vecs, cents1).select("vec_id", "cid"))
         return {"cents1": cents1, "lists": lists}
 
-    return get_or_build(spark, _artifact_key(sf_dir, "coarse"), _build)
+    return get_or_build_tables(spark, _artifact_key(sf_dir, "coarse"), _build)
 
 
 def residual_artifacts(spark: SparkSession, sf_dir: str) -> dict:
     """{cb_r, codes_r}: the residual-trained codebook and the corpus's
     residual codes — the full-fidelity IVFPQ index leg (PQ over
     v − coarse centroid)."""
-    from ..caching import get_or_build
+    from ..caching import get_or_build_tables
 
     def _build() -> dict:
         vecs = pq_index_artifacts(spark, sf_dir)["vecs"]
@@ -245,7 +253,7 @@ def residual_artifacts(spark: SparkSession, sf_dir: str) -> dict:
         codes_r = materialize(encode(rvecs, cb_r).select("vec_id", "m", "code"))
         return {"cb_r": cb_r, "codes_r": codes_r}
 
-    return get_or_build(spark, _artifact_key(sf_dir, "residual"), _build)
+    return get_or_build_tables(spark, _artifact_key(sf_dir, "residual"), _build)
 
 
 # DuckDB twin: seed codebook → one Lloyd refinement per subspace →

@@ -56,6 +56,13 @@ def get_spark(app_name: str = "cocktails_spark_engine") -> SparkSession:
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
     )
+    # Durable index side-store (caching.get_or_build_tables): opt-in via
+    # env so a deployment can point every session at one index directory
+    # (fresh sessions then LOAD the IVF/PQ artifacts instead of paying
+    # the corpus-scale build in-line with their first retrieval query).
+    index_dir = os.environ.get("SPARK_GRAFT_INDEX_DIR")
+    if index_dir:
+        builder = builder.config("spark.graft.indexDir", index_dir)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
