@@ -2486,6 +2486,27 @@ def uncorroborated_pairs(pairs: DataFrame) -> DataFrame:
     return pairs.join(corroborated, ["doc_a", "doc_b"], "left_anti")
 
 
+def weak_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production corpus's uncorroborated candidate edges — built
+    once per (session, fixture), like the CC labels (VERDICT r12 #3:
+    chain_edge_audit, chain_edge_reverify, and the reverified corpus
+    each re-paid the weak-edge discovery self-join — 40.6 s at 100× —
+    per invocation, in neither direction sharing the work).  Discovery
+    is deterministic (set semantics), so serving the checkpoint is
+    value-identical; candidate-sized, so it checkpoints DISK_ONLY."""
+    from ..caching import get_or_build
+    from ..sources.tables import table_fingerprint
+
+    key = ("dedup_weak", sf_dir, table_fingerprint(sf_dir, "documents"))
+    return get_or_build(
+        spark,
+        key,
+        lambda: materialize_big(
+            uncorroborated_pairs(minhash_candidates(spark, sf_dir))
+        ),
+    )
+
+
 @register(
     "chain_edge_audit",
     oracle=f"""
@@ -2533,12 +2554,13 @@ def chain_edge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: candidate pairs come from the session-cached checkpoint; the
     corroboration test is one self-join of the symmetric edge list keyed
-    on the shared neighbor (candidate-pair-sized, never corpus-sized);
-    CC labels come from the anchor-hopping kernel.  At 100 TB this costs
-    Σ deg(a)·deg(b) over candidate edges — bounded by the hot-bucket cap
-    that already bounds the candidate join itself."""
-    pairs = minhash_candidates(spark, sf_dir)
-    weak = uncorroborated_pairs(pairs)
+    on the shared neighbor (candidate-pair-sized, never corpus-sized),
+    itself served from the session cache after the first of the three
+    weak-edge consumers runs; CC labels come from the anchor-hopping
+    kernel.  At 100 TB this costs Σ deg(a)·deg(b) over candidate edges —
+    bounded by the hot-bucket cap that already bounds the candidate join
+    itself."""
+    weak = weak_pairs_cached(spark, sf_dir)
     cc = cluster_labels(spark, sf_dir)
     sizes = cc.groupBy("cluster_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("cluster_size")
@@ -2662,14 +2684,71 @@ ORDER BY s.cluster_id
 """
 
 
+def refute_by_exact_jaccard(weak: DataFrame, shingled: DataFrame) -> DataFrame:
+    """Rows of ``weak`` (any columns alongside doc_a/doc_b) whose
+    endpoints' EXACT 3-shingle Jaccard falls below JACCARD_MIN —
+    including zero-overlap pairs, which the LEFT JOIN keeps as 0.0.  The
+    verification kernel shared by the batch remediation loop
+    (:func:`_reverify_parts`) and the ingest gate
+    (:func:`incremental_reverified_ingest`): work is |weak| ×
+    shingles-per-doc, never corpus².
+
+    The endpoint restriction below is a semantic no-op (counts and
+    overlaps only ever touch weak endpoints) but a decisive plan
+    property: Catalyst pushes the left-semi join BELOW the shingle
+    explode (verified: the Generate sits above the join in the
+    optimized plan), so when callers pass the LAZY shingle table only
+    the weak-edge endpoint documents are ever shingled — verification
+    cost stays |weak| × shingles/doc even though the corpus is 100 TB."""
+    endpoint_ids = (
+        weak.select(F.col("doc_a").alias("doc_id"))
+        .union(weak.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    shingled = shingled.join(endpoint_ids, "doc_id", "left_semi")
+    counts = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = shingled.alias("sa")
+    sb = shingled.alias("sb")
+    common = (
+        weak.select("doc_a", "doc_b")
+        .join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            sb,
+            (F.col("doc_b") == F.col("sb.doc_id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = counts.alias("ca")
+    cb = counts.alias("cb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("ca.n_sh") + F.col("cb.n_sh") - F.col("n_common")
+    )
+    out_cols = list(weak.columns)
+    return (
+        weak.join(common, ["doc_a", "doc_b"], "left")
+        .join(ca, F.col("ca.doc_id") == F.col("doc_a"))
+        .join(cb, F.col("cb.doc_id") == F.col("doc_b"))
+        .filter(F.coalesce(jac, F.lit(0.0)) < JACCARD_MIN)
+        .select(*out_cols)
+    )
+
+
 def _reverify_parts(
-    pairs: DataFrame, shingled: DataFrame, cc: DataFrame | None = None
+    pairs: DataFrame,
+    shingled: DataFrame,
+    cc: DataFrame | None = None,
+    weak_src: DataFrame | None = None,
 ) -> dict:
     """The remediation core shared by :func:`chain_edge_reverify` (the
     split report) and :func:`dedup_canonical_corpus_reverified` (the
     shippable corpus), taking the candidate pairs and the (doc_id,
     shingle) table as inputs so tests can inject a planted banding fluke
-    (the production path feeds the cached LSH candidates and labels).
+    (the production path, :func:`reverify_parts_cached`, feeds the
+    cached LSH candidates, labels, and weak edges — ``weak_src``
+    short-circuits the uncorroborated-edge discovery when the caller
+    already holds it).
 
     Stages: (1) find the uncorroborated edges inside size-≥3 clusters
     (chain_edge_audit's review list), (2) recompute EXACT 3-shingle
@@ -2696,39 +2775,14 @@ def _reverify_parts(
         F.count(F.lit(1)).cast("bigint").alias("cluster_size")
     )
     weak = (
-        uncorroborated_pairs(pairs)
+        (uncorroborated_pairs(pairs) if weak_src is None else weak_src)
         .join(cca, "doc_a")
         .join(sizes, "cluster_id")
         .filter(F.col("cluster_size") >= 3)
         .select("doc_a", "doc_b", "cluster_id")
         .transform(materialize_big)
     )
-    counts = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sa = shingled.alias("sa")
-    sb = shingled.alias("sb")
-    common = (
-        weak.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(
-            sb,
-            (F.col("doc_b") == F.col("sb.doc_id"))
-            & (F.col("sa.shingle") == F.col("sb.shingle")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    ca = counts.alias("ca")
-    cb = counts.alias("cb")
-    jac = F.col("n_common").cast("double") / (
-        F.col("ca.n_sh") + F.col("cb.n_sh") - F.col("n_common")
-    )
-    refuted = (
-        weak.join(common, ["doc_a", "doc_b"], "left")
-        .join(ca, F.col("ca.doc_id") == F.col("doc_a"))
-        .join(cb, F.col("cb.doc_id") == F.col("doc_b"))
-        .filter(F.coalesce(jac, F.lit(0.0)) < JACCARD_MIN)
-        .select("doc_a", "doc_b", "cluster_id")
-        .transform(materialize_big)
-    )
+    refuted = refute_by_exact_jaccard(weak, shingled).transform(materialize_big)
     kept = pairs.join(refuted.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti")
     cc2 = connected_components(kept).withColumnRenamed("cluster_id", "nl")
     members = cc.join(cc2, "node", "left").select(
@@ -2737,13 +2791,45 @@ def _reverify_parts(
     return {"cc": cc, "sizes": sizes, "weak": weak, "refuted": refuted, "members": members}
 
 
+def reverify_parts_cached(spark: SparkSession, sf_dir: str) -> dict:
+    """The production remediation core — candidate pairs, CC labels, and
+    weak edges all served from their session caches, and the resulting
+    parts dict itself cached once per (session, fixture) so the split
+    report and the reverified corpus share ONE weak-edge discovery +
+    exact-Jaccard verify + reverified-CC run (VERDICT r12 #3).  Every
+    stage is deterministic, so serving the cache is value-identical."""
+    from ..caching import get_or_build
+    from ..sources.tables import table_fingerprint
+
+    key = ("dedup_reverify", sf_dir, table_fingerprint(sf_dir, "documents"))
+
+    def _build() -> dict:
+        # LAZY shingles: refute_by_exact_jaccard's endpoint semi-join
+        # pushes below the explode, so only weak-edge endpoint docs are
+        # ever shingled — materializing the corpus-scale table here
+        # would pay 100M rows to verify a few thousand edges.
+        shingled = _shingles(load_spread(spark, sf_dir, "documents"))
+        return _reverify_parts(
+            minhash_candidates(spark, sf_dir),
+            shingled,
+            cc=cluster_labels(spark, sf_dir),
+            weak_src=weak_pairs_cached(spark, sf_dir),
+        )
+
+    return get_or_build(spark, key, _build)
+
+
 def reverify_chain_edges(
     pairs: DataFrame, shingled: DataFrame, cc: DataFrame | None = None
 ) -> DataFrame:
     """Per-original-cluster split report over :func:`_reverify_parts`:
     how many weak edges each size-≥3 cluster had, how many were refuted,
     and how the cluster splits (subcluster count + largest survivor)."""
-    parts = _reverify_parts(pairs, shingled, cc)
+    return _reverify_report(_reverify_parts(pairs, shingled, cc))
+
+
+def _reverify_report(parts: dict) -> DataFrame:
+    """The split report over a parts dict (see :func:`_reverify_parts`)."""
     sizes, weak, refuted, members = (
         parts["sizes"], parts["weak"], parts["refuted"], parts["members"]
     )
@@ -2795,14 +2881,14 @@ def chain_edge_reverify(spark: SparkSession, sf_dir: str) -> DataFrame:
     — identical in both engines, no rounding anywhere.
 
     Plan at 100 TB: weak-edge discovery is the chain_edge_audit plan
-    (edge-list self-join bounded by the hot-bucket cap); exact Jaccard
-    touches only weak-edge endpoints' shingles (|weak| × shingles/doc);
-    both CC runs are the anchor-hopping O(log diameter) kernel; the
-    report is cluster-keyed aggregation over candidate-sized data."""
-    docs = load_spread(spark, sf_dir, "documents")
-    shingled = _shingles(docs).transform(materialize)
-    pairs = minhash_candidates(spark, sf_dir)
-    return reverify_chain_edges(pairs, shingled, cc=cluster_labels(spark, sf_dir))
+    (edge-list self-join bounded by the hot-bucket cap), served from the
+    session cache it shares with the audit and the reverified corpus;
+    exact Jaccard touches only weak-edge endpoints' shingles (|weak| ×
+    shingles/doc); both CC runs are the anchor-hopping O(log diameter)
+    kernel; the report is cluster-keyed aggregation over candidate-sized
+    data, and the whole remediation core runs once per (session,
+    fixture) — a repeat invocation reads checkpoints."""
+    return _reverify_report(reverify_parts_cached(spark, sf_dir))
 
 
 @register(
@@ -2827,17 +2913,13 @@ def dedup_canonical_corpus_reverified(spark: SparkSession, sf_dir: str) -> DataF
     — their edges are never re-checked, so the conservative dedup
     guarantees are unchanged for them.
 
-    Plan at 100 TB: _reverify_parts' candidate-sized work (CC labels
-    from the session cache, exact Jaccard on weak edges only) plus one
-    corpus-sized left-anti join against the drop set — identical to the
-    un-reverified corpus query's final stage."""
-    docs = load_spread(spark, sf_dir, "documents")
-    shingled = _shingles(docs).transform(materialize)
-    parts = _reverify_parts(
-        minhash_candidates(spark, sf_dir),
-        shingled,
-        cc=cluster_labels(spark, sf_dir),
-    )
+    Plan at 100 TB: _reverify_parts' candidate-sized work (CC labels,
+    weak edges, and the whole remediation core from the session cache —
+    shared with chain_edge_reverify, so the pair of queries pays ONE
+    discovery + verify + re-CC) plus one corpus-sized left-anti join
+    against the drop set — identical to the un-reverified corpus query's
+    final stage."""
+    parts = reverify_parts_cached(spark, sf_dir)
     drop = (
         parts["members"]
         .filter(F.col("node") != F.col("new_label"))
@@ -2886,6 +2968,16 @@ def incremental_cc_from(
     if base_labels is None:
         # yesterday's stored state: (node, cluster_id) over base-only edges
         base_labels = connected_components(pairs.filter(~in_batch_a & ~in_batch_b))
+    return merge_delta_labels(delta_pairs, base_labels)
+
+
+def merge_delta_labels(delta_pairs: DataFrame, base_labels: DataFrame) -> DataFrame:
+    """Fold a delta edge set into stored (node, cluster_id) labels — the
+    contraction + super-edge CC described in :func:`incremental_cc_from`,
+    exposed so the ingest gate can merge a SCREENED delta (weak edges
+    reverified, flukes dropped) through the identical kernel.  Output:
+    (doc_id, cluster_id, is_canonical) over base nodes ∪ delta-edge
+    nodes, bit-identical to from-scratch CC over base ∪ delta edges."""
     la = base_labels.select(F.col("node").alias("doc_a"), F.col("cluster_id").alias("la"))
     lb = base_labels.select(F.col("node").alias("doc_b"), F.col("cluster_id").alias("lb"))
     super_edges = (
@@ -2959,15 +3051,177 @@ def incremental_cc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     join (equi, label side is the stored table) + CC over a graph whose
     node count is bounded by touched components — independent of corpus
     size for a fixed batch."""
+    pairs = minhash_candidates(spark, sf_dir)
+    return incremental_cc_from(pairs, base_labels=base_labels_cached(spark, sf_dir))
+
+
+def base_labels_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yesterday's stored (node, cluster_id) state: CC over the base-only
+    candidate edges, built once per (session, fixture) — shared by
+    incremental_cc_merge and the ingest gate."""
     from ..caching import get_or_build
     from ..sources.tables import table_fingerprint
 
-    pairs = minhash_candidates(spark, sf_dir)
-    base_labels = get_or_build(
+    return get_or_build(
         spark,
         ("dedup_cc_base", sf_dir, table_fingerprint(sf_dir, "documents")),
         lambda: connected_components(
-            pairs.filter(~_is_batch_doc("doc_a") & ~_is_batch_doc("doc_b"))
+            minhash_candidates(spark, sf_dir).filter(
+                ~_is_batch_doc("doc_a") & ~_is_batch_doc("doc_b")
+            )
         ),
     )
-    return incremental_cc_from(pairs, base_labels=base_labels)
+
+
+# ---------------------------------------------------------------------------
+# The daily-ingest composition: screen the delta, reverify its weak
+# edges, merge the survivors into stored labels — one plan
+# ---------------------------------------------------------------------------
+def screen_delta_edges(
+    delta_pairs: DataFrame, all_pairs: DataFrame, shingled: DataFrame
+) -> dict:
+    """Gate today's delta edges before they touch the stored labels:
+    {"weak", "refuted", "kept"}.
+
+    A delta edge is WEAK when its endpoints share no common neighbor in
+    the FULL candidate graph (base edges corroborate too — yesterday's
+    verified structure is evidence).  Unlike ``chain_edge_audit`` there
+    is no cluster-size-≥3 floor: at ingest the edge decides the new
+    document's keep/drop fate, so even a size-2 weld (batch doc ×
+    singleton corpus doc) is worth one exact-Jaccard check — a
+    documented divergence from the batch audit, where dropping a size-2
+    cluster's only edge merely un-merges it.  Weak edges get the exact
+    3-shingle Jaccard recomputed (``refute_by_exact_jaccard``,
+    |weak| × shingles/doc work); refuted flukes are dropped and ``kept``
+    is what may merge into the stored labels.
+
+    Scale shape: the corroboration probe is delta-sized against the
+    input-linear symmetric edge list (Σ over delta edges of
+    deg(a)·deg(b), bounded by the hot-bucket cap); nothing here is
+    corpus².
+    """
+    delta_pairs = delta_pairs.select("doc_a", "doc_b").transform(materialize_big)
+    edges = (
+        all_pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .union(all_pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        .distinct()
+        .transform(materialize_big)
+    )
+    e1 = edges.select(F.col("u").alias("a1"), F.col("v").alias("w1"))
+    e2 = edges.select(F.col("u").alias("b2"), F.col("v").alias("w2"))
+    corroborated = (
+        delta_pairs.join(e1, F.col("doc_a") == F.col("a1"))
+        .join(e2, (F.col("doc_b") == F.col("b2")) & (F.col("w1") == F.col("w2")))
+        .filter((F.col("w1") != F.col("doc_a")) & (F.col("w1") != F.col("doc_b")))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    weak = delta_pairs.join(corroborated, ["doc_a", "doc_b"], "left_anti").transform(
+        materialize_big
+    )
+    refuted = refute_by_exact_jaccard(weak, shingled).transform(materialize_big)
+    kept = delta_pairs.join(refuted, ["doc_a", "doc_b"], "left_anti")
+    return {"weak": weak, "refuted": refuted, "kept": kept}
+
+
+@register(
+    "incremental_reverified_ingest",
+    oracle=f"""
+WITH RECURSIVE {_ORACLE_CANDIDATES_MAT},
+delta AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM cands
+  WHERE doc_a % {BATCH_MOD} = {BATCH_REM} OR doc_b % {BATCH_MOD} = {BATCH_REM}
+),
+base AS (
+  SELECT doc_a, doc_b FROM cands
+  WHERE doc_a % {BATCH_MOD} <> {BATCH_REM} AND doc_b % {BATCH_MOD} <> {BATCH_REM}
+),
+edges_all AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM cands
+                           UNION SELECT doc_b, doc_a FROM cands),
+corroborated AS (
+  SELECT d.doc_a, d.doc_b
+  FROM delta d
+  JOIN edges_all e1 ON e1.u = d.doc_a
+  JOIN edges_all e2 ON e2.u = d.doc_b AND e2.v = e1.v
+  WHERE e1.v <> d.doc_a AND e1.v <> d.doc_b
+  GROUP BY d.doc_a, d.doc_b
+),
+weak AS MATERIALIZED (
+  SELECT d.doc_a, d.doc_b FROM delta d
+  LEFT JOIN corroborated c ON c.doc_a = d.doc_a AND c.doc_b = d.doc_b
+  WHERE c.doc_a IS NULL
+),
+wcounts AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingled GROUP BY doc_id),
+wcommon AS (
+  SELECT w.doc_a, w.doc_b, COUNT(*) AS n_common
+  FROM weak w
+  JOIN shingled sa ON sa.doc_id = w.doc_a
+  JOIN shingled sb ON sb.doc_id = w.doc_b AND sb.shingle = sa.shingle
+  GROUP BY w.doc_a, w.doc_b
+),
+refuted AS MATERIALIZED (
+  SELECT w.doc_a, w.doc_b
+  FROM weak w
+  LEFT JOIN wcommon c ON c.doc_a = w.doc_a AND c.doc_b = w.doc_b
+  JOIN wcounts ca ON ca.doc_id = w.doc_a
+  JOIN wcounts cb ON cb.doc_id = w.doc_b
+  WHERE COALESCE(CAST(c.n_common AS DOUBLE)
+                 / (ca.n_sh + cb.n_sh - c.n_common), 0.0) < {JACCARD_MIN}
+),
+kept AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM base
+  UNION ALL
+  SELECT d.doc_a, d.doc_b FROM delta d
+  LEFT JOIN refuted r ON r.doc_a = d.doc_a AND r.doc_b = d.doc_b
+  WHERE r.doc_a IS NULL
+),
+edges2 AS (SELECT doc_a AS u, doc_b AS v FROM kept
+           UNION SELECT doc_b, doc_a FROM kept),
+reach(node, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges2) t
+  UNION
+  SELECT reach.node, e.v FROM reach JOIN edges2 e ON e.u = reach.r
+)
+SELECT node AS doc_id, MIN(r) AS cluster_id,
+       CASE WHEN node = MIN(r) THEN 1 ELSE 0 END AS is_canonical
+FROM reach GROUP BY node
+""",
+)
+def incremental_reverified_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production daily-ingest loop, composed end-to-end (VERDICT r12
+    #4): today's batch (doc_id % BATCH_MOD == BATCH_REM, the
+    incremental_minhash_dedup convention) contributes the delta candidate
+    edges; every delta edge that is UNCORROBORATED in the full candidate
+    graph is re-verified with exact 3-shingle Jaccard before it may
+    merge clusters; refuted banding flukes are dropped; the surviving
+    delta folds into yesterday's stored labels through the
+    incremental_cc_merge contraction kernel.  One plan covers screen →
+    reverify → merge — the loop a 100 TB deployment runs per ingest,
+    with base edges trusted (yesterday already verified them) and only
+    the new evidence paying verification cost.
+
+    The oracle is a FULL RECOMPUTE over base ∪ kept-delta edges (the
+    recursive-CTE closure), so the hash match proves both halves at
+    once: the screen refutes exactly the sub-threshold uncorroborated
+    edges, and the incremental merge reproduces from-scratch labels on
+    the screened graph.  The reference's incremental per-parent flush
+    (scripts/spiders/web_spider_oo.py:123-128) is the
+    micro-batch-append ancestor of this shape.
+
+    Output: (doc_id, cluster_id, is_canonical) over base-graph nodes ∪
+    screened-delta nodes — a batch doc whose only edge was refuted
+    leaves no row (it never enters the label store; its keep verdict is
+    incremental_minhash_dedup's job).
+
+    Plan at 100 TB: candidate pairs, base labels, and the shingle-verify
+    inputs come from session caches shared with the sibling operators;
+    the screen is delta-sized (corroboration probe + exact Jaccard on
+    weak edges only); the merge is the delta-sized super-edge CC.  The
+    full corpus edge set is never re-traversed at ingest time."""
+    pairs = minhash_candidates(spark, sf_dir)
+    delta = pairs.filter(_is_batch_doc("doc_a") | _is_batch_doc("doc_b"))
+    # lazy: the verify kernel's endpoint semi-join pushes below the
+    # explode, so only weak-edge endpoint docs are shingled
+    shingled = _shingles(load_spread(spark, sf_dir, "documents"))
+    screened = screen_delta_edges(delta, pairs, shingled)
+    return merge_delta_labels(screened["kept"], base_labels_cached(spark, sf_dir))

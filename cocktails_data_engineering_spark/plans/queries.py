@@ -54,81 +54,36 @@ for _mod in _OPERATOR_MODULES:
 
 # Driver-sampling rotation (re-ordered each round since round 5).  The
 # external correctness sweep checks the FIRST 50 registered queries each
-# round, so this front list is the round's evidence budget: changed keys
-# first (fresh hash after any semantic edit), then the keys whose last
-# driver check is oldest.  Keys not listed keep their module registration
-# order behind these.  Rotate again next round.
+# round, so this front list is the round's evidence budget.
+#
+# STANDING POLICY (VERDICT r12 #8) — each round's ~50-key cut is, in
+# order: (a) keys NEW this round (no driver hash exists), then (b) keys
+# whose IMPLEMENTATION changed this round (even when values are
+# identical by design — a fresh hash re-proves the rewrite), then (c)
+# the staleness tail, strictly oldest-driver-hash-first, until the cut
+# is full.  Keys not listed keep their module registration order behind
+# the front; everything past the cut is free extra evidence.  Re-derive
+# the tail each round from CORRECTNESS_r*.json (latest round per key)
+# so staleness can never re-accumulate silently.
+#
+# Round-13 arithmetic: (a) 1 new + (b) 4 changed (the reverify
+# family's session-cache rewiring + the shared merge-core refactor) +
+# (c) the ENTIRE 26-key r4 remainder (finishing the r11/r12 staleness
+# drain: after this round no key's latest driver hash is older than r5)
+# + the first 19 of the 49-key r5 tail (alphabetical) = 50.  The
+# remaining 30 r5 keys sit immediately behind the cut, first in line
+# for the r14 rotation.
 _SAMPLE_FRONT = (
-    # --- round-12 rotation (VERDICT r11 #1: drain the 73-key r1–r4
-    # driver-hash staleness tail).  Order: (a) the two keys NEW this
-    # round (no driver hash exists for them at all), then (b) the 73
-    # stale keys strictly oldest-check-first (6 r1, 3 r2, 28 r3, then
-    # r4) — the ~50 cut takes (a) plus the first ~47 of (b); the
-    # remaining r4 keys sit immediately behind the cut so the r13
-    # rotation finishes the drain.  Keys whose implementation changed
-    # this round but whose results are bit-identical by design (the
-    # session-cached PQ/IVF index artifacts, the null-safe
-    # groupby_agg_depth rewrite) are re-proven exactly by
-    # tests/test_oracle_parity.py every pytest run and queue as (c)
-    # behind the staleness drain.
     # (a) new this round
+    "incremental_reverified_ingest",
+    # (b) implementation changed this round (values identical by design;
+    # the parity suite re-proves them exactly every pytest run)
+    "chain_edge_audit",
     "chain_edge_reverify",
-    "incremental_cc_merge",
     "dedup_canonical_corpus_reverified",
-    # (b) the staleness tail, oldest driver hash first — r1
-    "connected_reachable_pairs",
-    "doc_fingerprint",
-    "graph_degree_stats",
-    "quality_score",
-    "token_count_stats",
-    "wordcount_by_source",
-    # r2
-    "histogram_extendedprice",
-    "profile_orders_columns",
-    "tfidf_top_terms",
-    # r3
-    "above_avg_balance_customers",
-    "cheapest_supplier_per_part",
-    "customer_order_counts_left",
-    "from_json_struct",
-    "grouping_sets_priority_status",
-    "listagg_sources_by_lang",
-    "order_ship_latency",
-    "percentile_quantiles",
-    "pivot_priority_by_status",
-    "q10_returned_item_revenue",
-    "q14_promo_revenue_share",
-    "q18_large_volume_orders",
-    "q19_disjunctive_revenue",
-    "q22_wealthy_inactive",
-    "q3_shipping_priority",
-    "q4_priority_late_ship",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "sessionize_lag_gaps",
-    "sliding_window_agg",
-    "tumbling_window_agg",
-    "unpivot_measures",
-    "window_ntile_quartiles",
-    "window_percent_rank_cume",
-    "window_value_functions",
-    # r4 — first 11 inside the ~50 cut
-    "ann_cosine_lsh",
-    "audio_chunk_segments",
-    "binary_fingerprint",
-    "bm25_keyword_search",
-    "cdc_replay_reconstruct",
-    "chunk_documents_stride",
-    "doc_repetition_stats",
-    "embedding_near_dup_pairs",
-    "embedding_norm_stats",
-    "eval_contamination_overlap",
+    "incremental_cc_merge",
+    # (c) staleness tail — the full r4 remainder, oldest first
     "exact_dedup_by_fingerprint",
-    # ---- ~50 cut lands here ----
-    # r4 remainder (drained by the r13 rotation)
     "exact_substr_doc_spans",
     "exact_substr_windows",
     "incremental_minhash_dedup",
@@ -154,19 +109,65 @@ _SAMPLE_FRONT = (
     "stream_tumbling_window_agg",
     "stream_user_event_counts",
     "video_frame_sample",
-    # (c) implementation changed this round, values identical by design —
-    # fresh driver hashes are free extra evidence once the drain is done
+    # (c) staleness tail — r5, alphabetical, first 19 inside the cut
+    "ab_test_lift",
+    "ab_test_wilson_bounds",
+    "anomaly_zscore_hourly",
+    "approx_percentile_prices",
+    "char_entropy_quality",
+    "checksum_drilldown_diff",
+    "chi2_lang_source",
+    "corr_matrix_lineitem",
+    "curation_pipeline",
+    "dau_wau_stickiness",
+    "domain_mixture_sample",
+    "dq_orders_expectations",
+    "equidepth_histogram_prices",
+    "event_transition_matrix",
+    "exact_k_per_group_sample",
+    "forget_customers_cascade",
+    "forward_fill_purchase_value",
+    "funnel_three_step",
+    "funnel_user_conversion",
+    # ---- ~50 cut lands here ----
+    # r5 remainder (drained by the r14 rotation)
+    "hard_negative_mining",
+    "impute_value_by_type",
+    "incremental_agg_merge",
+    "incremental_semantic_dedup",
+    "kmeans_cluster_purity",
+    "label_prototype_confusion",
+    "last_touch_attribution",
+    "latency_percentiles_by_type",
+    "mad_outlier_orders",
+    "mmr_diverse_topk",
+    "monthly_revenue_growth",
+    "ols_trend_by_priority",
+    "partition_skew_stats",
+    "quality_percentile_filter",
+    "resample_fill_hourly",
+    "retention_cohorts",
+    "rolling_1h_user_spend",
+    "scd2_point_in_time_join",
+    "scd2_user_state",
+    "semantic_dedup_clusters",
+    "snapshot_diff_orders",
+    "stratified_sample_docs",
+    "stream_dedup_within_watermark",
+    "stream_error_rate_alert",
+    "stream_mixture_sample",
+    "stream_quality_gate",
+    "train_test_split_stats",
+    "weekday_hourly_profile",
+    "zone_map_orders_monthly",
+    "zorder_layout_stats",
+    # index-family keys whose artifact sourcing grew the durable store
+    # this round (driver-default path byte-identical; free extra evidence)
     "ivfadc_topk",
     "ivfadc_rerank_topk",
     "ivfpq_residual_topk",
     "pq_code_usage_audit",
-    "groupby_agg_depth",
     "minhash_near_dedup",
-    "lsh_band_plan_curve",
-    "adaptive_banding_dedup",
-    "near_dup_transitivity_audit",
-    "chain_edge_audit",
-    "dedup_clusters",
     # --- prior fronts below keep their relative order as re-samples;
     # everything past the ~50 cut is free extra evidence.
     "ivf_index_plan_curve",
