@@ -326,7 +326,18 @@ def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         got = _CANDS_CACHE.get(key)
         if got is not None:
             return got
-        out = materialize(build_minhash_candidates(spark, sf_dir))
+        # Durable state store (round 13): with spark.graft.indexDir set,
+        # the candidate table is published to parquet like the IVF/PQ
+        # index, so a FRESH process loads it instead of re-running the
+        # corpus-scale LSH build — yesterday's dedup state as a deployment
+        # stores it.  Conf unset: the builder's materialize is unchanged.
+        from ..caching import get_or_build_tables
+
+        out = get_or_build_tables(
+            spark,
+            ("dedup_cands", sf_dir, key[2]),
+            lambda: {"cands": materialize(build_minhash_candidates(spark, sf_dir))},
+        )["cands"]
         _CANDS_CACHE[key] = out
         return out
 
@@ -350,21 +361,23 @@ def minhash_signatures_view(spark: SparkSession, sf_dir: str) -> str:
     """Register a FRESH temp view over the once-per-(session, fixture)
     checkpointed signature table and return its name (consumers embed
     the name in SQL text)."""
-    from ..caching import get_or_build
+    from ..caching import get_or_build_tables
     from ..sources.tables import table_fingerprint
 
     key = ("minhash_sigs", sf_dir, table_fingerprint(sf_dir, "documents"))
 
-    def _build() -> DataFrame:
+    def _build() -> dict:
         shingled = _shingles(load_spread(spark, sf_dir, "documents"))
         hashed = shingled.select("doc_id", _x_col().alias("x"))
         hview = f"minhash_hashed_{next(_VIEW_COUNTER)}"
         hashed.createOrReplaceTempView(hview)
-        return materialize(
-            spark.sql(f"SELECT doc_id, {_SPARK_MINS} FROM {hview} GROUP BY doc_id")
-        )
+        return {
+            "mins": materialize(
+                spark.sql(f"SELECT doc_id, {_SPARK_MINS} FROM {hview} GROUP BY doc_id")
+            )
+        }
 
-    mins = get_or_build(spark, key, _build)
+    mins = get_or_build_tables(spark, key, _build)["mins"]
     view = f"minhash_sigs_{next(_VIEW_COUNTER)}"
     mins.createOrReplaceTempView(view)
     return view
@@ -590,14 +603,18 @@ def cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     these labels (dedup_clusters, dedup_canonical_corpus, the
     transitivity and chain-edge audits, chain_edge_reverify); the
     labeling is deterministic (component-min ids), so serving it from
-    cache is value-identical to recomputing."""
-    from ..caching import get_or_build
+    cache is value-identical to recomputing.  Durable-store-capable
+    (spark.graft.indexDir): a fresh process loads yesterday's labels
+    from parquet instead of re-running CC over the corpus."""
+    from ..caching import get_or_build_tables
     from ..sources.tables import table_fingerprint
 
     key = ("dedup_cc", sf_dir, table_fingerprint(sf_dir, "documents"))
-    return get_or_build(
-        spark, key, lambda: connected_components(minhash_candidates(spark, sf_dir))
-    )
+    return get_or_build_tables(
+        spark,
+        key,
+        lambda: {"labels": connected_components(minhash_candidates(spark, sf_dir))},
+    )["labels"]
 
 
 @register(
@@ -2493,18 +2510,21 @@ def weak_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     each re-paid the weak-edge discovery self-join — 40.6 s at 100× —
     per invocation, in neither direction sharing the work).  Discovery
     is deterministic (set semantics), so serving the checkpoint is
-    value-identical; candidate-sized, so it checkpoints DISK_ONLY."""
-    from ..caching import get_or_build
+    value-identical; candidate-sized, so it checkpoints DISK_ONLY.
+    Durable-store-capable alongside the candidate and label tables."""
+    from ..caching import get_or_build_tables
     from ..sources.tables import table_fingerprint
 
     key = ("dedup_weak", sf_dir, table_fingerprint(sf_dir, "documents"))
-    return get_or_build(
+    return get_or_build_tables(
         spark,
         key,
-        lambda: materialize_big(
-            uncorroborated_pairs(minhash_candidates(spark, sf_dir))
-        ),
-    )
+        lambda: {
+            "weak": materialize_big(
+                uncorroborated_pairs(minhash_candidates(spark, sf_dir))
+            )
+        },
+    )["weak"]
 
 
 @register(
@@ -3058,19 +3078,23 @@ def incremental_cc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 def base_labels_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Yesterday's stored (node, cluster_id) state: CC over the base-only
     candidate edges, built once per (session, fixture) — shared by
-    incremental_cc_merge and the ingest gate."""
-    from ..caching import get_or_build
+    incremental_cc_merge and the ingest gate.  Durable-store-capable:
+    with spark.graft.indexDir set this IS the on-disk label table a
+    daily deployment reads instead of bootstrapping in-query."""
+    from ..caching import get_or_build_tables
     from ..sources.tables import table_fingerprint
 
-    return get_or_build(
+    return get_or_build_tables(
         spark,
         ("dedup_cc_base", sf_dir, table_fingerprint(sf_dir, "documents")),
-        lambda: connected_components(
-            minhash_candidates(spark, sf_dir).filter(
-                ~_is_batch_doc("doc_a") & ~_is_batch_doc("doc_b")
+        lambda: {
+            "labels": connected_components(
+                minhash_candidates(spark, sf_dir).filter(
+                    ~_is_batch_doc("doc_a") & ~_is_batch_doc("doc_b")
+                )
             )
-        ),
-    )
+        },
+    )["labels"]
 
 
 # ---------------------------------------------------------------------------

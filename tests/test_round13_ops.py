@@ -285,3 +285,41 @@ def test_ingest_merge_matches_full_recompute_on_screened_graph(spark):
     full = {r.node: r.cluster_id for r in dedup.connected_components(kept_all).collect()}
     assert merged == full
     assert merged[23] == 1  # transitively through 13 → 2 → 1
+
+
+def test_dedup_state_store_serves_fresh_cache(spark, sf_dir, tmp_path):
+    """The dedup state tables (candidates, cluster labels, base labels,
+    weak edges) are durable-store-capable: a fresh cache (simulating a
+    new process) with a populated spark.graft.indexDir loads parquet
+    instead of re-running the LSH build, with identical values."""
+    spark.conf.set(caching.STORE_DIR_CONF, str(tmp_path / "dedup_store"))
+    try:
+        caching.clear(spark)
+        dedup._CANDS_CACHE.clear()
+        first = {
+            "cands": sorted(tuple(r) for r in dedup.minhash_candidates(spark, sf_dir).collect()),
+            "labels": sorted(tuple(r) for r in dedup.cluster_labels(spark, sf_dir).collect()),
+            "weak": sorted(tuple(r) for r in dedup.weak_pairs_cached(spark, sf_dir).collect()),
+        }
+        # fresh process: in-memory caches empty, store populated
+        caching.clear(spark)
+        dedup._CANDS_CACHE.clear()
+        import cocktails_data_engineering_spark.operators.dedup as d
+
+        orig = d.build_minhash_candidates
+        calls = []
+        d.build_minhash_candidates = lambda *a, **k: (calls.append(1), orig(*a, **k))[1]
+        try:
+            served = {
+                "cands": sorted(tuple(r) for r in dedup.minhash_candidates(spark, sf_dir).collect()),
+                "labels": sorted(tuple(r) for r in dedup.cluster_labels(spark, sf_dir).collect()),
+                "weak": sorted(tuple(r) for r in dedup.weak_pairs_cached(spark, sf_dir).collect()),
+            }
+        finally:
+            d.build_minhash_candidates = orig
+        assert not calls, "populated store must not re-run the LSH build"
+        assert served == first
+    finally:
+        spark.conf.unset(caching.STORE_DIR_CONF)
+        caching.clear(spark)
+        dedup._CANDS_CACHE.clear()
