@@ -66,16 +66,17 @@ for _mod in _OPERATOR_MODULES:
 # the tail each round from CORRECTNESS_r*.json (latest round per key)
 # so staleness can never re-accumulate silently.
 #
-# Round-13 arithmetic: (a) 1 new + (b) 4 changed (the reverify
+# Round-13 arithmetic: (a) 2 new + (b) 4 changed (the reverify
 # family's session-cache rewiring + the shared merge-core refactor) +
 # (c) the ENTIRE 26-key r4 remainder (finishing the r11/r12 staleness
 # drain: after this round no key's latest driver hash is older than r5)
-# + the first 19 of the 49-key r5 tail (alphabetical) = 50.  The
-# remaining 30 r5 keys sit immediately behind the cut, first in line
+# + the first 18 of the 49-key r5 tail (alphabetical) = 50.  The
+# remaining 31 r5 keys sit immediately behind the cut, first in line
 # for the r14 rotation.
 _SAMPLE_FRONT = (
     # (a) new this round
     "incremental_reverified_ingest",
+    "stream_dedup_ingest_labels",
     # (b) implementation changed this round (values identical by design;
     # the parity suite re-proves them exactly every pytest run)
     "chain_edge_audit",
@@ -128,9 +129,9 @@ _SAMPLE_FRONT = (
     "forget_customers_cascade",
     "forward_fill_purchase_value",
     "funnel_three_step",
-    "funnel_user_conversion",
     # ---- ~50 cut lands here ----
     # r5 remainder (drained by the r14 rotation)
+    "funnel_user_conversion",
     "hard_negative_mining",
     "impute_value_by_type",
     "incremental_agg_merge",

@@ -1478,3 +1478,166 @@ def stream_watermark_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_pending"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming LSH dedup ingest: micro-batched clustering == batch clustering
+# ---------------------------------------------------------------------------
+# Diagnostic: micro-batch count of the most recent stream_dedup_ingest run
+# (tests assert the staged backlog really produced a multi-batch ingest).
+LAST_DEDUP_INGEST_BATCH_COUNT = [0]
+
+
+def _batch_bands(batch_docs: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_key) for ONE micro-batch's documents —
+    bit-identical to the batch LSH path (same 3-shingles, same 128
+    arithmetic hashes, same 32×4 banding; dedup's one-SQL-string wide
+    aggregate), computed over batch-sized data only."""
+    from ..operators import dedup as d
+
+    sess = batch_docs.sparkSession
+    hashed = d._shingles(batch_docs).select("doc_id", d._x_col().alias("x"))
+    view = f"stream_mh_{next(_COUNTER)}"
+    hashed.createOrReplaceTempView(view)
+    return sess.sql(
+        f"WITH mins AS (SELECT doc_id, {d._SPARK_MINS} FROM {view} GROUP BY doc_id) "
+        f"SELECT doc_id, {d._SPARK_STACK} AS (band_id, band_key) FROM mins"
+    )
+
+
+from ..operators.dedup import _ORACLE_CANDIDATES as _DEDUP_ORACLE_CANDIDATES
+
+
+@register(
+    "stream_dedup_ingest_labels",
+    # dedup_clusters' FULL-RECOMPUTE recursive-CTE closure: the batch
+    # clustering is the ground truth the streaming ingest must land on.
+    oracle=f"""
+WITH RECURSIVE {_DEDUP_ORACLE_CANDIDATES},
+edges AS (SELECT doc_a AS u, doc_b AS v FROM cands
+          UNION SELECT doc_b, doc_a FROM cands),
+reach(node, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r
+)
+SELECT node AS doc_id, MIN(r) AS cluster_id,
+       CASE WHEN node = MIN(r) THEN 1 ELSE 0 END AS is_canonical
+FROM reach GROUP BY node
+""",
+)
+def stream_dedup_ingest_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingest loop as an ACTUAL Structured Streaming job: documents
+    arrive in micro-batches (staged 8 files, 2 per trigger → ≥4 real
+    batches), and each batch is LSH-signed, probed against the
+    accumulated band-bucket state, star-linked within itself, and merged
+    into the stored labels via the incremental contraction kernel
+    (``dedup.merge_delta_labels``) — the streaming twin of
+    ``incremental_reverified_ingest``'s daily loop, and the grown-up
+    version of the reference's per-parent incremental flush
+    (``scripts/spiders/web_spider_oo.py:305-308``).
+
+    State between micro-batches is two parquet tables, exactly what a
+    deployment stores: band buckets (band_id, band_key, anchor = min doc
+    id seen) and labels (node, cluster_id).  Each batch contributes
+    delta edges only — every batch doc links to its bucket's stored
+    anchor (cross) and to the batch-local bucket min (intra) — so
+    per-batch work is batch-sized, never corpus-sized; state versions
+    write to fresh directories (snapshot isolation, the foreachBatch
+    upsert pattern).
+
+    Correctness: a bucket's members are chain-connected through its
+    evolving anchors, so the streaming graph's connected components
+    equal the batch candidate graph's (cliques under the hot-bucket
+    cap, stars over it — all three are bucket-co-membership closures),
+    and the merge algebra keeps labels at component minima after every
+    batch.  The oracle is therefore dedup_clusters' FULL-RECOMPUTE
+    recursive-CTE closure — the hash match proves a 4-micro-batch
+    streaming ingest lands on from-scratch batch labels exactly;
+    tests/test_streaming.py additionally asserts equality with the
+    registered batch dedup_clusters output and a real multi-batch run.
+
+    Scale: per-batch LSH is batch-sized; the bucket state is one row
+    per occupied bucket (the incremental_minhash_dedup storage shape);
+    the label merge is delta-sized super-edge CC.  At 100 TB this runs
+    continuously against the same durable state tables the batch
+    engine publishes."""
+    import tempfile
+
+    from ..operators import dedup as d
+
+    stage = tempfile.mkdtemp(prefix="dedup_ingest_stage_")
+    state_root = tempfile.mkdtemp(prefix="dedup_ingest_state_")
+
+    docs = load(spark, sf_dir, "documents")
+    docs.repartition(8).write.mode("overwrite").parquet(stage)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(stage).schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(stage)
+    )
+
+    bucket_path: list[str | None] = [None]
+    label_path: list[str | None] = [None]
+    LAST_DEDUP_INGEST_BATCH_COUNT[0] = 0
+
+    def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        LAST_DEDUP_INGEST_BATCH_COUNT[0] += 1
+        sess = batch_df.sparkSession
+        bands = materialize(_batch_bands(batch_df))
+        batch_buckets = bands.groupBy("band_id", "band_key").agg(
+            F.min("doc_id").alias("bmin")
+        )
+        intra = (
+            bands.join(batch_buckets, ["band_id", "band_key"])
+            .filter(F.col("doc_id") != F.col("bmin"))
+            .select(F.col("doc_id").alias("doc_a"), F.col("bmin").alias("doc_b"))
+        )
+        if bucket_path[0] is None:
+            delta = intra
+            new_buckets = batch_buckets.withColumnRenamed("bmin", "anchor")
+            base_labels = sess.createDataFrame([], "node long, cluster_id long")
+        else:
+            state_buckets = sess.read.parquet(bucket_path[0])
+            cross = (
+                bands.join(state_buckets, ["band_id", "band_key"])
+                .filter(F.col("doc_id") != F.col("anchor"))
+                .select(F.col("doc_id").alias("doc_a"), F.col("anchor").alias("doc_b"))
+            )
+            delta = intra.unionByName(cross)
+            new_buckets = (
+                state_buckets.join(batch_buckets, ["band_id", "band_key"], "full_outer")
+                .select(
+                    "band_id",
+                    "band_key",
+                    F.least(
+                        F.coalesce("anchor", "bmin"), F.coalesce("bmin", "anchor")
+                    ).alias("anchor"),
+                )
+            )
+            base_labels = sess.read.parquet(label_path[0])
+        merged = d.merge_delta_labels(materialize(delta.distinct()), base_labels)
+        new_label_path = os.path.join(state_root, f"labels_{batch_id}")
+        new_bucket_path = os.path.join(state_root, f"buckets_{batch_id}")
+        merged.select(F.col("doc_id").alias("node"), "cluster_id").write.mode(
+            "overwrite"
+        ).parquet(new_label_path)
+        new_buckets.write.mode("overwrite").parquet(new_bucket_path)
+        label_path[0] = new_label_path
+        bucket_path[0] = new_bucket_path
+
+    q = (
+        stream.writeStream.foreachBatch(ingest_batch)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    labels = spark.read.parquet(label_path[0])
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        "cluster_id",
+        F.when(F.col("node") == F.col("cluster_id"), 1)
+        .otherwise(0)
+        .alias("is_canonical"),
+    )

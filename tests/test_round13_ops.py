@@ -323,3 +323,22 @@ def test_dedup_state_store_serves_fresh_cache(spark, sf_dir, tmp_path):
         spark.conf.unset(caching.STORE_DIR_CONF)
         caching.clear(spark)
         dedup._CANDS_CACHE.clear()
+
+
+def test_stream_dedup_ingest_matches_batch_clusters(spark, sf_dir):
+    """The streaming LSH ingest must (a) really run multiple
+    micro-batches over the staged backlog and (b) land on the REGISTERED
+    batch clustering exactly — same nodes, same component-min labels,
+    same canonical flags."""
+    from cocktails_data_engineering_spark.streaming import events as se
+
+    streamed = {
+        r.doc_id: (r.cluster_id, r.is_canonical)
+        for r in se.stream_dedup_ingest_labels(spark, sf_dir).collect()
+    }
+    assert se.LAST_DEDUP_INGEST_BATCH_COUNT[0] >= 2
+    batch = {
+        r.doc_id: (r.cluster_id, r.is_canonical)
+        for r in dedup.dedup_clusters(spark, sf_dir).collect()
+    }
+    assert streamed == batch

@@ -46,6 +46,7 @@ SCENARIOS = {
         "incremental_reverified_ingest#2",
     ],
     "newrows": ["dsir_importance_resample", "semantic_dedup_clusters"],
+    "stream_ingest": ["stream_dedup_ingest_labels"],
 }
 
 
