@@ -104,7 +104,20 @@ def _oracle_init_dyn(src: str = "vecs") -> str:
 
 
 def _assign(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
-    """Nearest centroid per vector: (vec_id, emb, cid, d2)."""
+    """Nearest centroid per vector: (vec_id, emb, cid, d2).
+
+    Optimization r13 (guide §2.3 "aggregate before you shuffle"): the
+    argmin is a partial-aggregated ``min(struct(d2, cid))`` instead of
+    the old row_number window — struct ordering compares d2 then cid,
+    exactly the old ``orderBy("d2", "cid")`` rk==1 (ties included), and
+    map-side combine collapses the K centroid rows per vector BEFORE
+    the exchange, so each Lloyd round shuffles N rows instead of N×K
+    window-sorted rows carrying the embedding payload.  ``first(emb)``
+    is deterministic (every row in a vec_id group carries the identical
+    embedding).  A fully map-side fold over a collected centroid array
+    was measured SLOWER at the 10× tier — nested higher-order-function
+    evaluation per row costs more than the avoided exchange
+    (OPTIMIZATION_r13.md)."""
     d2 = F.round(
         F.aggregate(
             F.zip_with("emb", "cemb", lambda x, y: (x - y) * (x - y)),
@@ -113,13 +126,17 @@ def _assign(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
         ),
         6,
     )
-    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
     return (
         vecs.crossJoin(F.broadcast(centroids))
         .select("vec_id", "emb", "cid", d2.alias("d2"))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .drop("rk")
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cid")).alias("_best"), F.first("emb").alias("emb"))
+        .select(
+            "vec_id",
+            "emb",
+            F.col("_best.cid").alias("cid"),
+            F.col("_best.d2").alias("d2"),
+        )
     )
 
 
@@ -131,7 +148,14 @@ def _update(assigned: DataFrame, with_inertia: bool = False) -> DataFrame:
     per exploded dimension, so summing it over the pos==0 slice counts
     each vector exactly once.  This folds what used to be a separate
     full-scan ``agg(sum(d2))`` action into the centroid job (VERDICT
-    r10 #6: one corpus-scale action per Lloyd round, not two)."""
+    r10 #6: one corpus-scale action per Lloyd round, not two).
+
+    Optimization r13 note: a "one groupBy(cid) with {DIM} per-dimension
+    DECIMAL sum columns" rewrite (removing this function's second
+    exchange and the Generate) was implemented and REVERTED — 64 grouped
+    decimal aggregate buffers de-optimize the hash aggregate and
+    measured +40% at the 10× tier; the exploded single-sum shape is
+    what codegen handles well (OPTIMIZATION_r13.md)."""
     explode_cols = ["cid"] + (["d2"] if with_inertia else [])
     per_dim = (
         assigned.select(*explode_cols, F.posexplode("emb").alias("pos", "x"))
@@ -654,28 +678,30 @@ def pca_power_iteration_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.numerics import dec_half_up, round_half_up
 
     vecs = _vectors(spark, sf_dir)
-    n_rows = vecs.count()
+    dec = "decimal(28,12)"
+    # Optimization r13 (guide §2.3/§2.4): the per-dimension sums used to
+    # go through posexplode (64× the rows) into a 64-key hash exchange
+    # plus a SEPARATE count() job.  One single-row aggregate — 64 decimal
+    # sum columns + the row count — computes the same order-independent
+    # DECIMAL sums map-side with no Generate and no keyed exchange; the
+    # division and half-up rounds move to the driver, where
+    # float(Decimal) ≡ the JVM's decimal→double cast (both round to
+    # nearest) and round_half_up ≡ F.round — bit-identical means.
+    mean_row = vecs.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.round(F.col("emb")[i], 12).cast(dec)).alias(f"s{i}")
+            for i in range(DIM)
+        ],
+    ).collect()[0]
+    n_rows = mean_row["n"]
     if n_rows == 0:
         # Empty corpus: the oracle's centered CTE is empty, every w/v CTE
         # after it is empty, and the final projection emits zero rows.
         return spark.createDataFrame([], "dim int, loading double")
-    dec = "decimal(28,12)"
-    flat = vecs.select(
-        "vec_id", F.posexplode("emb").alias("d", "x")
-    )
-    mean_rows = (
-        flat.groupBy("d")
-        .agg(
-            (
-                F.sum(F.round("x", 12).cast(dec)).cast("double") / n_rows
-            ).alias("m_raw")
-        )
-        .select("d", F.round("m_raw", 9).alias("m"))
-        .collect()
-    )
-    mean = [0.0] * DIM
-    for r in mean_rows:
-        mean[r["d"]] = r["m"]
+    mean = [
+        round_half_up(float(mean_row[f"s{i}"]) / n_rows, 9) for i in range(DIM)
+    ]
     mean_lit = F.array(*[F.lit(float(mean[i])) for i in range(DIM)])
     centered = materialize(
         vecs.select(
@@ -701,19 +727,26 @@ def pca_power_iteration_top(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double"),
             12,
         )
-        w_rows = (
-            centered.select(dot.alias("dot"), F.posexplode("cx").alias("d", "x"))
-            .groupBy("d")
+        # 64 scalars per round — O(1) driver round, the GD precedent.
+        # Same r13 shape as the mean: one single-row map-side aggregate
+        # (no posexplode, no 64-key exchange); float(Decimal) driver-side
+        # ≡ the JVM decimal→double cast the old plan ran per dimension.
+        w_row = (
+            centered.select(dot.alias("dot"), "cx")
             .agg(
-                F.sum(F.round(F.col("dot") * F.col("x"), 12).cast(dec))
-                .cast("double")
-                .alias("w")
+                *[
+                    F.sum(
+                        F.round(F.col("dot") * F.col("cx")[i], 12).cast(dec)
+                    ).alias(f"w{i}")
+                    for i in range(DIM)
+                ]
             )
-            .collect()
-        )  # 64 scalars — O(1) driver round, the GD precedent
-        w = [0.0] * DIM
-        for r in w_rows:
-            w[r["d"]] = r["w"]
+            .collect()[0]
+        )
+        w = [
+            float(w_row[f"w{i}"]) if w_row[f"w{i}"] is not None else 0.0
+            for i in range(DIM)
+        ]
         # Exact decimal sum of the engine-rounded w² terms, then the same
         # half-up rounds both engines apply.
         nn = round_half_up(

@@ -1055,26 +1055,34 @@ def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     wb = words.select(
         "doc_id", "lang", (_hash24_of(F.col("w"), "dsir|") % DSIR_BUCKETS).alias("b")
     )
-    rc = wb.groupBy("b").agg(F.count(F.lit(1)).alias("c_r"))
-    tc = (
-        wb.filter(F.col("lang") == DSIR_TARGET_LANG)
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("c_t"))
+    # Optimization r13 (guide §2.3): raw counts, target counts, and the
+    # two totals used to be THREE separate aggregations over the exploded
+    # token stream (each re-running the split+md5-bucket projection).
+    # One conditional groupBy("b") pass computes both per-bucket counts;
+    # the totals are exact sums of that {DSIR_BUCKETS}-row table — the
+    # token stream is now scanned twice in the whole operator (counts +
+    # scoring) instead of four times.  c_t = SUM(lang = target) over the
+    # bucket ≡ the old inner count with the left join's COALESCE(·, 0);
+    # n_r/n_t = the bucket sums ≡ the old global counts.  Identical
+    # values into the identical delta formula.
+    bc = materialize(  # {DSIR_BUCKETS}-row table feeding tot AND delta
+        wb.groupBy("b").agg(
+            F.count(F.lit(1)).alias("c_r"),
+            F.sum(
+                F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+            ).alias("c_t"),
+        )
     )
-    tot = wb.agg(
-        F.count(F.lit(1)).alias("n_r"),
-        F.sum(F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)).alias("n_t"),
+    tot = bc.agg(
+        F.sum("c_r").alias("n_r"),
+        F.sum("c_t").alias("n_t"),
     )
     delta = (
-        rc.join(tc, "b", "left")
-        .crossJoin(F.broadcast(tot))
+        bc.crossJoin(F.broadcast(tot))
         .select(
             "b",
             F.round(
-                F.log(
-                    (F.coalesce(F.col("c_t"), F.lit(0)) + 1.0)
-                    / (F.col("n_t") + DSIR_BUCKETS)
-                )
+                F.log((F.col("c_t") + 1.0) / (F.col("n_t") + DSIR_BUCKETS))
                 - F.log((F.col("c_r") + 1.0) / (F.col("n_r") + DSIR_BUCKETS)),
                 6,
             ).alias("d"),

@@ -554,6 +554,30 @@ def connected_components(pairs: DataFrame) -> DataFrame:
         "node", F.col("node").alias("cluster_id")
     ).transform(materialize)
 
+    # Convergence check (optimization r13, guide §2.4): both steps only
+    # ever DECREASE a node's label (propagation takes a min including the
+    # old label; the shortcut replaces L(u) by L(L(u)) ≤ L(u) since every
+    # labeling here satisfies L(x) ≤ x).  For INTEGRAL node ids (every
+    # production dedup graph) a round changed nothing iff the exact label
+    # sum is unchanged — one map-side single-row aggregate over the fresh
+    # checkpoint instead of the old new⋈old equi-join + count, which
+    # shuffled two node-sized tables every round.  DECIMAL(38,0) keeps
+    # the sum exact at any node-id magnitude / corpus size.  Non-numeric
+    # keys (entity_resolution_clusters runs this kernel on string
+    # variants, where a decimal cast would NULL the labels out) keep the
+    # join-based count — correctness first, the string graphs are
+    # token-domain-sized anyway.
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    _sum_ok = isinstance(
+        labels.schema["cluster_id"].dataType,
+        (ByteType, ShortType, IntegerType, LongType),
+    )
+
+    def _label_sum(df: DataFrame):
+        return df.agg(F.sum(F.col("cluster_id").cast("decimal(38,0)"))).collect()[0][0]
+
+    prev_sum = _label_sum(labels) if _sum_ok else None
     _LAST_CC_ROUNDS["anchor_hop"] = 0
     while True:
         _LAST_CC_ROUNDS["anchor_hop"] += 1
@@ -585,14 +609,20 @@ def connected_components(pairs: DataFrame) -> DataFrame:
             )
             .transform(materialize)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
+        if _sum_ok:
+            new_sum = _label_sum(new_labels)
+            converged = new_sum == prev_sum
+            prev_sum = new_sum
+        else:
+            converged = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+                .count()
+                == 0
+            )
         labels = new_labels
-        if changed == 0:
+        if converged:
             return labels
 
 

@@ -634,10 +634,24 @@ def train_logistic_split(
 
 
 def _run_gd(spark: SparkSession, f: DataFrame) -> list[list[float]]:
-    n_rows = f.count()
+    """One map-side-combinable aggregate job per GD round — nothing else.
+
+    Optimization r13 (guide §1.2): the old loop ran THREE kinds of job —
+    an up-front count(), the per-round gradient aggregate, and a
+    per-round ``spark.range(1).select(F.round(...))`` whose only purpose
+    was JVM half-up rounding of three driver floats.  The row count now
+    rides the FIRST gradient aggregate (one extra count column in the
+    same map-side-combined pass), and the weight rounding uses
+    :func:`..functions.numerics.round_half_up`, documented (and
+    regression-tested) bit-identical to routing the literal through
+    ``F.round`` — LOGIT_ROUNDS+1 fewer driver barriers per training,
+    identical weights."""
+    from ..functions.numerics import round_half_up
+
+    n_rows: int | None = None
     w = [0.0, 0.0, 0.0]
     history = []
-    for _ in range(LOGIT_ROUNDS):
+    for r in range(LOGIT_ROUNDS):
         z = F.round(
             F.lit(w[0]) * F.col("x0")
             + F.lit(w[1]) * F.col("x1")
@@ -645,24 +659,19 @@ def _run_gd(spark: SparkSession, f: DataFrame) -> list[list[float]]:
             3,
         )
         p = F.round(1.0 / (1.0 + F.exp(-z)), 6)
+        count_cols = [F.count(F.lit(1)).alias("n_rows")] if n_rows is None else []
         g = f.select(
             *[
                 F.round((p - F.col("y")) * F.col(f"x{j}"), 6).alias(f"t{j}")
                 for j in range(3)
             ]
-        ).agg(*[dsum(F.col(f"t{j}")).alias(f"g{j}") for j in range(3)]).collect()[0]
-        w = list(
-            spark.range(1)
-            .select(
-                *[
-                    F.round(F.lit(w[j] - LOGIT_LR * g[f"g{j}"] / n_rows), 6).alias(
-                        f"w{j}"
-                    )
-                    for j in range(3)
-                ]
-            )
-            .collect()[0]
-        )
+        ).agg(
+            *[dsum(F.col(f"t{j}")).alias(f"g{j}") for j in range(3)],
+            *count_cols,
+        ).collect()[0]
+        if n_rows is None:
+            n_rows = g["n_rows"]
+        w = [round_half_up(w[j] - LOGIT_LR * g[f"g{j}"] / n_rows, 6) for j in range(3)]
         history.append(list(w))
     return history
 

@@ -100,15 +100,33 @@ def seed_codebook(vecs: DataFrame) -> DataFrame:
 
 def _argmin(vecs: DataFrame, cb: DataFrame) -> DataFrame:
     """(vec_id, m, code, s_emb, d2): nearest sub-centroid per subspace,
-    subvector retained for the centroid-update step."""
+    subvector retained for the centroid-update step.
+
+    Optimization r13 (guide §2.3): the argmin is a partial-aggregated
+    ``min(struct(d2, code))`` instead of a row_number window — struct
+    ordering compares d2 then code, exactly the old
+    ``orderBy("d2", "code")`` rk==1, and map-side combine collapses the
+    K codebook rows per (vector, subspace) BEFORE the exchange, so the
+    shuffle carries N×M rows instead of N×M×K sorted rows.  (A fully
+    map-side fold over a collected codebook array was measured SLOWER at
+    the 10× tier — nested higher-order-function evaluation per row costs
+    more than the avoided exchange; see OPTIMIZATION_r13.md.)"""
     subs = _subspaces(vecs)
-    w = Window.partitionBy("vec_id", "m").orderBy("d2", "code")
     return (
         subs.join(F.broadcast(cb), "m")
         .select("vec_id", "m", "code", "s_emb", _d2("s_emb", "c_emb").alias("d2"))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .drop("rk")
+        .groupBy("vec_id", "m")
+        .agg(
+            F.min(F.struct("d2", "code")).alias("_best"),
+            F.first("s_emb").alias("s_emb"),
+        )
+        .select(
+            "vec_id",
+            "m",
+            F.col("_best.code").alias("code"),
+            "s_emb",
+            F.col("_best.d2").alias("d2"),
+        )
     )
 
 
@@ -118,21 +136,26 @@ def refine(vecs: DataFrame, cb0: DataFrame) -> DataFrame:
     same discipline as ``clustering._update``).  Every seed's own
     subvector sits at distance 0 from its code, so no code is ever empty
     after one round from seed centroids."""
+    # Optimization r13 (same shape as clustering._update): one
+    # groupBy(m, code) with SUB_DIM per-dimension DECIMAL sum columns
+    # instead of posexplode + groupBy(m, code, pos) + a second
+    # collect_list exchange — identical order-independent sums, one
+    # exchange of M×K rows, no Generate.
     assigned = _argmin(vecs, cb0)
-    per_dim = (
-        assigned.select("m", "code", F.posexplode("s_emb").alias("pos", "x"))
-        .groupBy("m", "code", "pos")
-        .agg(
-            F.round(
-                F.sum(F.col("x").cast(_DEC_UPD)).cast("double") / F.count(F.lit(1)), 6
-            ).alias("c")
-        )
+    per_code = assigned.groupBy("m", "code").agg(
+        *[
+            F.sum(F.col("s_emb")[i].cast(_DEC_UPD)).alias(f"s{i}")
+            for i in range(SUB_DIM)
+        ],
+        F.count(F.lit(1)).alias("n"),
     )
-    return per_dim.groupBy("m", "code").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
-        ).alias("c_emb")
+    c_emb = F.array(
+        *[
+            F.round(F.col(f"s{i}").cast("double") / F.col("n"), 6)
+            for i in range(SUB_DIM)
+        ]
     )
+    return per_code.select("m", "code", c_emb.alias("c_emb"))
 
 
 def codebook(vecs: DataFrame) -> DataFrame:
@@ -155,15 +178,20 @@ def _d2(a, b):
 
 
 def encode(vecs: DataFrame, cb: DataFrame) -> DataFrame:
-    """(vec_id, m, code, d2): nearest sub-centroid per (vector, subspace)."""
+    """(vec_id, m, code, d2): nearest sub-centroid per (vector, subspace).
+    Partial-aggregated min(struct) argmin — see :func:`_argmin`."""
     subs = _subspaces(vecs)
-    w = Window.partitionBy("vec_id", "m").orderBy("d2", "code")
     return (
         subs.join(F.broadcast(cb), "m")
         .select("vec_id", "m", "code", _d2("s_emb", "c_emb").alias("d2"))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .drop("rk")
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d2", "code")).alias("_best"))
+        .select(
+            "vec_id",
+            "m",
+            F.col("_best.code").alias("code"),
+            F.col("_best.d2").alias("d2"),
+        )
     )
 
 
@@ -1001,13 +1029,13 @@ def ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = pq_index_artifacts(spark, sf_dir)["vecs"]
     coarse = coarse_quantizer(spark, sf_dir)
     cents1, lists = coarse["cents1"], coarse["lists"]
-    resid = F.zip_with("emb", "cemb", lambda x, y: x - y)
     res = residual_artifacts(spark, sf_dir)
     cb_r, codes_r = res["cb_r"], res["codes_r"]
 
     qv = vecs.filter(
         (F.col("vec_id") % QUERY_MOD == 0) & (F.col("vec_id") < QUERY_CAP)
     )
+    resid = F.zip_with("emb", "cemb", lambda x, y: x - y)
     qd = (
         qv.crossJoin(F.broadcast(cents1))
         .select("vec_id", "cid", _d2("emb", "cemb").alias("d2"), "emb", "cemb")

@@ -650,7 +650,14 @@ def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"sp_{a}_{b}")
         )
     one = li.agg(*aggs)
-    outs = []
+    # Optimization r13 (guide §2.4/§3.3): the old shape union'd one
+    # .select() per pair over `one`, replicating the whole
+    # scan+aggregate subtree |pairs| times in the plan (6 scans of
+    # lineitem at sf0.1 unless exchange reuse fired).  Exploding an
+    # array of per-pair structs over the SINGLE one-row aggregate keeps
+    # exactly one scan + one aggregate; the per-pair arithmetic is the
+    # identical double formula, so values are unchanged.
+    pair_structs = []
     for a, b in _corr_pairs():
         r = (
             F.col("n") * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
@@ -658,17 +665,16 @@ def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.col("n") * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}"))
             * F.sqrt(F.col("n") * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}"))
         )
-        outs.append(
-            one.select(
+        pair_structs.append(
+            F.struct(
                 F.lit(a).alias("col_a"),
                 F.lit(b).alias("col_b"),
                 F.round(r, 6).alias("pearson_r"),
             )
         )
-    res = outs[0]
-    for df in outs[1:]:
-        res = res.unionByName(df)
-    return res
+    return one.select(F.explode(F.array(*pair_structs)).alias("p")).select(
+        "p.col_a", "p.col_b", "p.pearson_r"
+    )
 
 
 @register(
