@@ -48,6 +48,32 @@ def materialize(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def materialize_lazy(df: DataFrame) -> DataFrame:
+    """:func:`materialize` that DEFERS computation to the first consumer
+    action (optimization r14, guide §1.2/§2.4 "fewer jobs/barriers").
+
+    ``localCheckpoint(eager=False)`` marks the plan's RDD for local
+    checkpointing without running a job; the first action that computes
+    it stores the blocks as a side effect (local checkpoints go through
+    the caching subsystem, so partitions are persisted AS they are first
+    computed), and every later consumer — in the same job or a later one
+    — reads the stored blocks.  Lineage truncation and block reuse are
+    identical to the eager form; the eager form just pays one extra
+    driver-visible job per call site, which at sub-second query scale is
+    pure fixed cost (the CC kernel paid 4 such setup jobs per invocation,
+    the streaming dedup ingest paid them per micro-batch).
+
+    Reliable-checkpoint mode (``spark.graft.checkpointDir`` set) keeps
+    EAGER checkpoints: a non-eager reliable ``checkpoint()`` RECOMPUTES
+    the whole plan in a second job when the checkpoint files are written
+    (the classic checkpoint-without-cache gotcha) — exactly the double
+    pay this helper exists to remove."""
+    spark = df.sparkSession
+    if spark.conf.get(CHECKPOINT_DIR_CONF, None):
+        return materialize(df)
+    return df.localCheckpoint(eager=False)
+
+
 def materialize_big(df: DataFrame) -> DataFrame:
     """:func:`materialize` for intermediates whose row count scales with
     the INPUT (edge lists, candidate pairs at high duplication) rather
@@ -67,3 +93,14 @@ def materialize_big(df: DataFrame) -> DataFrame:
     if spark.conf.get(CHECKPOINT_DIR_CONF, None):
         return materialize(df)
     return df.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+
+
+def materialize_big_lazy(df: DataFrame) -> DataFrame:
+    """:func:`materialize_big`'s deferred form — DISK_ONLY local
+    checkpoint blocks, stored by the first consuming action instead of a
+    dedicated eager job (see :func:`materialize_lazy` for the mechanism
+    and the reliable-checkpoint fallback)."""
+    spark = df.sparkSession
+    if spark.conf.get(CHECKPOINT_DIR_CONF, None):
+        return materialize(df)
+    return df.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)

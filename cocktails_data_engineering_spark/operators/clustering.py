@@ -699,8 +699,12 @@ def pca_power_iteration_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Empty corpus: the oracle's centered CTE is empty, every w/v CTE
         # after it is empty, and the final projection emits zero rows.
         return spark.createDataFrame([], "dim int, loading double")
+    # ADVICE r13: guard a NULL per-dimension sum (null/short embedding
+    # array) exactly like the sibling w-loop below — the old posexplode
+    # shape defaulted such a dimension's mean to 0.0.
     mean = [
-        round_half_up(float(mean_row[f"s{i}"]) / n_rows, 9) for i in range(DIM)
+        round_half_up(float(s) / n_rows, 9) if s is not None else 0.0
+        for s in (mean_row[f"s{i}"] for i in range(DIM))
     ]
     mean_lit = F.array(*[F.lit(float(mean[i])) for i in range(DIM)])
     centered = materialize(

@@ -34,7 +34,7 @@ import threading
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..checkpointing import materialize, materialize_big
+from ..checkpointing import materialize, materialize_big, materialize_lazy
 from ..registry import register
 from ..sources.tables import load, load_spread
 
@@ -543,16 +543,30 @@ def connected_components(pairs: DataFrame) -> DataFrame:
     lineage truncates per round — at 100 TB the round count is the
     binary log of the deepest chain, bounded ~40 for any physical graph.
     """
-    pairs = pairs.select("doc_a", "doc_b").transform(materialize)
+    # Setup (optimization r14, guide §2.4/§1.2): the symmetric edge list is
+    # built with ONE explode pass over the pair list instead of a two-scan
+    # self-union, so `pairs` itself no longer needs a checkpoint, and both
+    # setup tables are LAZY local checkpoints — the convergence aggregate
+    # below is the single job that computes, caches, and reads them.  The
+    # old shape paid 3 eager checkpoint jobs + 1 sum job before round 1;
+    # this shape pays 1 job total, with identical lineage truncation and
+    # block reuse (see checkpointing.materialize_lazy).
     edges = (
-        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-        .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")),
+                    F.struct(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
         .distinct()
-        .transform(materialize)
+        .transform(materialize_lazy)
     )
     labels = edges.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("cluster_id")
-    ).transform(materialize)
+    ).transform(materialize_lazy)
 
     # Convergence check (optimization r13, guide §2.4): both steps only
     # ever DECREASE a node's label (propagation takes a min including the
@@ -574,10 +588,39 @@ def connected_components(pairs: DataFrame) -> DataFrame:
         (ByteType, ShortType, IntegerType, LongType),
     )
 
-    def _label_sum(df: DataFrame):
-        return df.agg(F.sum(F.col("cluster_id").cast("decimal(38,0)"))).collect()[0][0]
+    def _label_sum(df: DataFrame, n_rows) -> object:
+        s = df.agg(F.sum(F.col("cluster_id").cast("decimal(38,0)"))).collect()[0][0]
+        if s is None and n_rows:
+            # ADVICE r13: under non-ANSI mode a decimal overflow returns
+            # NULL, and None == None would read as "converged" — silently
+            # wrong labels.  Unreachable at any physical corpus size
+            # (requires Σ|label| ≥ 10^38), but fail loudly, never quietly.
+            raise ArithmeticError(
+                "connected_components: label sum overflowed decimal(38,0) "
+                "on a non-empty label table; convergence undecidable"
+            )
+        return s
 
-    prev_sum = _label_sum(labels) if _sum_ok else None
+    if _sum_ok:
+        # One job: computes + locally checkpoints edges and labels, and
+        # returns the initial sum and node count together.
+        first = labels.agg(
+            F.sum(F.col("cluster_id").cast("decimal(38,0)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        prev_sum, n_nodes = first["s"], first["n"]
+        if n_nodes == 0:
+            # Empty edge set → empty labeling; the loop would spend a full
+            # round of jobs proving it.
+            _LAST_CC_ROUNDS["anchor_hop"] = 0
+            return labels
+        if prev_sum is None:
+            raise ArithmeticError(
+                "connected_components: label sum overflowed decimal(38,0) "
+                "on a non-empty label table; convergence undecidable"
+            )
+    else:
+        prev_sum, n_nodes = None, None
     _LAST_CC_ROUNDS["anchor_hop"] = 0
     while True:
         _LAST_CC_ROUNDS["anchor_hop"] += 1
@@ -601,16 +644,18 @@ def connected_components(pairs: DataFrame) -> DataFrame:
         hop = propagated.select(
             F.col("node").alias("anchor"), F.col("cluster_id").alias("anchor_label")
         )
+        # Lazy checkpoint: the convergence action below is the one job that
+        # computes + caches this round's labels (2 jobs/round → 1).
         new_labels = (
             propagated.join(hop, propagated.cluster_id == hop.anchor, "left")
             .select(
                 "node",
                 F.coalesce("anchor_label", "cluster_id").alias("cluster_id"),
             )
-            .transform(materialize)
+            .transform(materialize_lazy)
         )
         if _sum_ok:
-            new_sum = _label_sum(new_labels)
+            new_sum = _label_sum(new_labels, n_nodes)
             converged = new_sum == prev_sum
             prev_sum = new_sum
         else:

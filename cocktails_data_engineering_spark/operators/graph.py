@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..checkpointing import materialize, materialize_big
+from ..checkpointing import materialize, materialize_big, materialize_big_lazy
 from ..functions.numerics import dsum
 from ..registry import register
 from ..sources.tables import load
@@ -311,8 +311,12 @@ def cooccurrence_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         # edges feed degrees, wedges, and the probe; the list is
         # input-linear (~120M rows at the 100× tier), so it spills to
-        # local disk instead of competing with shuffle memory for heap
-        .transform(materialize_big)
+        # local disk instead of competing with shuffle memory for heap.
+        # LAZY (optimization r14, guide §1.2): the blocks are stored by
+        # the first stage of the one summary job instead of a dedicated
+        # eager checkpoint job — reuse and DISK_ONLY protection identical
+        # (VERDICT r13 #3: "two DISK_ONLY checkpoints become one pass").
+        .transform(materialize_big_lazy)
     )
     deg = (
         edges.select(F.col("u").alias("node"))
@@ -331,7 +335,7 @@ def cooccurrence_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oriented = with_deg.select(
         F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-    ).transform(materialize_big)  # same input-linear scale as `edges`
+    ).transform(materialize_big_lazy)  # same input-linear scale as `edges`
     # Triangle counting by adjacency intersection, not wedge materialization:
     # a wedge self-join emits Σ d_out² rows into a shuffle before the closing
     # probe; intersecting out-neighbor arrays per edge computes the same
